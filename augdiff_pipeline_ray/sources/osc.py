@@ -1,0 +1,217 @@
+"""OSC (OsmChange XML) micro-batch reader/writer → Arrow change rows.
+
+Replaces the reference's Osmosis `XmlChangeReader` + `ChangeAugmenter` entity→row builders
+(ad/src/main/scala/AugmentedDiff.scala:95-159, ChangeAugmenter.scala:28-135):
+
+* create/modify → full rows (`entity_to_row`), delete → "lesser" tombstone rows with only
+  id/type/timestamp/version populated, empty tags, empty nds/members, ``visible=False``
+  (ChangeAugmenter.scala:28-51).
+* gz/bz2 sniffing by filename suffix (AugmentedDiff.scala:141-143).
+* exponential-backoff retry ×2 capped at 2^8 s for flaky fetch, mirrored as a parameter
+  (AugmentedDiff.scala:103,148-156) — local files rarely need it, the hook stays.
+* sequence-number → AAA/BBB/CCC zero-padded replication path (AugmentedDiff.scala:217-223).
+
+Parsing one OSC file is a bounded, per-micro-batch operation; inside the engine it runs as
+``ray.data.read_binary_files(...) → map_batches(parse_osc_batch)`` so many batches parse in
+parallel, each emitting Arrow tables in ``CHANGE_SCHEMA``.
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import time
+import xml.etree.ElementTree as ET
+from xml.sax.saxutils import escape, quoteattr
+
+import numpy as np
+import pyarrow as pa
+
+from .. import cells as C
+from .. import keys as K
+from ..schemas import CHANGE_SCHEMA
+
+_ACTIONS = ("create", "modify", "delete")
+_EPOCH = np.datetime64("1970-01-01T00:00:00", "ms")
+
+
+def sequence_path(seq: int) -> str:
+    """Sequence number → 'AAA/BBB/CCC' zero-padded path (planet replication layout)."""
+    return f"{(seq // 1_000_000) % 1000:03d}/{(seq // 1000) % 1000:03d}/{seq % 1000:03d}"
+
+
+def _decompress(data: bytes, name: str) -> bytes:
+    if name.endswith(".bz2"):
+        return bz2.decompress(data)
+    if name.endswith(".gz"):
+        return gzip.decompress(data)
+    return data
+
+
+def read_osc_file(path: str, batch_seq: int, max_retries: int = 8) -> pa.Table:
+    """Read + parse one OSC file with exponential-backoff retry (×2, capped 2^8 s total cap
+    mirrored from the reference; retries only fire on IO errors, never on clean parses)."""
+    delay = 1
+    while True:
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+            return parse_osc(_decompress(data, path), batch_seq)
+        except OSError:
+            if delay > (1 << 8) // 2 or max_retries <= 0:
+                raise
+            time.sleep(min(delay, 4) * 0.01)  # scaled down: sandbox has no real remote fetch
+            delay *= 2
+            max_retries -= 1
+
+
+def parse_osc(xml_bytes: bytes, batch_seq: int) -> pa.Table:
+    """OsmChange XML → Arrow table in CHANGE_SCHEMA (vector-built, one pass)."""
+    root = ET.fromstring(xml_bytes)
+    ids: list[int] = []
+    types: list[str] = []
+    tags: list[list[tuple[str, str]]] = []
+    lats: list[float | None] = []
+    lons: list[float | None] = []
+    nds: list[list[dict] | None] = []
+    members: list[list[dict] | None] = []
+    changesets: list[int | None] = []
+    timestamps: list[int] = []
+    uids: list[int | None] = []
+    users: list[str | None] = []
+    versions: list[int] = []
+    visibles: list[bool] = []
+    actions: list[str] = []
+
+    for action_el in root:
+        action = action_el.tag
+        if action not in _ACTIONS:
+            continue
+        for el in action_el:
+            etype = el.tag  # node | way | relation
+            ids.append(int(el.get("id")))
+            types.append(etype)
+            ts = np.datetime64(el.get("timestamp").rstrip("Z"), "ms")
+            timestamps.append(int((ts - _EPOCH).astype(np.int64)))
+            versions.append(int(el.get("version", "1")))
+            actions.append(action)
+            if action == "delete":
+                # lesser row: tombstone (ChangeAugmenter.scala:28-51)
+                tags.append([])
+                lats.append(None)
+                lons.append(None)
+                nds.append([])
+                members.append([])
+                changesets.append(None)
+                uids.append(None)
+                users.append(None)
+                visibles.append(False)
+                continue
+            tags.append([(t.get("k"), t.get("v")) for t in el.findall("tag")])
+            lats.append(float(el.get("lat")) if el.get("lat") is not None else None)
+            lons.append(float(el.get("lon")) if el.get("lon") is not None else None)
+            nds.append(
+                [{"ref": int(nd.get("ref"))} for nd in el.findall("nd")]
+                if etype == "way"
+                else []
+            )
+            members.append(
+                [
+                    {
+                        "type": m.get("type"),
+                        "ref": int(m.get("ref")),
+                        "role": m.get("role", ""),
+                    }
+                    for m in el.findall("member")
+                ]
+                if etype == "relation"
+                else []
+            )
+            changesets.append(int(el.get("changeset", "0")))
+            uids.append(int(el.get("uid", "0")))
+            users.append(el.get("user", ""))
+            visibles.append(True)
+
+    n = len(ids)
+    id_arr = np.asarray(ids, dtype=np.int64) if n else np.empty(0, np.int64)
+    p = K.partition_number_typed(id_arr, types) if n else np.empty(0, np.int64)
+    lat_np = np.array([float("nan") if v is None else v for v in lats], dtype=np.float64)
+    lon_np = np.array([float("nan") if v is None else v for v in lons], dtype=np.float64)
+    cell = C.cell_of(lat_np, lon_np) if n else np.empty(0, np.int64)
+
+    return pa.table(
+        {
+            "p": pa.array(p),
+            "cell": pa.array(cell),
+            "id": pa.array(id_arr),
+            "type": pa.array(types, pa.string()),
+            "tags": pa.array(tags, CHANGE_SCHEMA.field("tags").type),
+            "lat": pa.array(lats, pa.float64()),
+            "lon": pa.array(lons, pa.float64()),
+            "nds": pa.array(nds, CHANGE_SCHEMA.field("nds").type),
+            "members": pa.array(members, CHANGE_SCHEMA.field("members").type),
+            "changeset": pa.array(changesets, pa.int64()),
+            "timestamp": pa.array(timestamps, pa.timestamp("ms")),
+            "uid": pa.array(uids, pa.int64()),
+            "user": pa.array(users, pa.string()),
+            "version": pa.array(versions, pa.int64()),
+            "visible": pa.array(visibles, pa.bool_()),
+            "batch_seq": pa.array([batch_seq] * n, pa.int64()),
+            "action": pa.array(actions, pa.string()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# writer (used by the synthetic world generator to produce real OSC inputs)
+# ---------------------------------------------------------------------------
+
+
+def _ts_str(ts) -> str:
+    """datetime (UTC-naive, from Arrow to_pylist) or epoch-ms int → ISO-8601 Z string."""
+    if isinstance(ts, (int, np.integer)):
+        return str(np.datetime64(int(ts), "ms")) + "Z"
+    return ts.isoformat(timespec="milliseconds") + "Z"
+
+
+def write_osc(table: pa.Table, path: str) -> None:
+    """Arrow change rows (CHANGE_SCHEMA) → OsmChange XML file (gz/bz2 by suffix)."""
+    rows = table.to_pylist()
+    out: list[str] = ['<?xml version="1.0" encoding="UTF-8"?>', '<osmChange version="0.6">']
+    for r in rows:
+        a = r["action"]
+        etype = r["type"]
+        attrs = [
+            f'id="{r["id"]}"',
+            f'version="{r["version"]}"',
+            f'timestamp={quoteattr(_ts_str(r["timestamp"]))}',
+        ]
+        if a != "delete":
+            attrs += [
+                f'changeset="{r["changeset"]}"',
+                f'uid="{r["uid"]}"',
+                f"user={quoteattr(r['user'] or '')}",
+            ]
+            if etype == "node":
+                attrs += [f'lat="{r["lat"]:.7f}"', f'lon="{r["lon"]:.7f}"']
+        body: list[str] = []
+        if a != "delete":
+            for kv in r["tags"] or []:
+                k, v = (kv["key"], kv["value"]) if isinstance(kv, dict) else kv
+                body.append(f"<tag k={quoteattr(k)} v={quoteattr(v)}/>")
+            for nd in r["nds"] or []:
+                body.append(f'<nd ref="{nd["ref"]}"/>')
+            for m in r["members"] or []:
+                body.append(
+                    f'<member type="{m["type"]}" ref="{m["ref"]}" role={quoteattr(m["role"] or "")}/>'
+                )
+        el = f"<{etype} {' '.join(attrs)}>{''.join(body)}</{etype}>"
+        out.append(f"<{a}>{el}</{a}>")
+    out.append("</osmChange>")
+    payload = "\n".join(out).encode()
+    if path.endswith(".bz2"):
+        payload = bz2.compress(payload)
+    elif path.endswith(".gz"):
+        payload = gzip.compress(payload)
+    with open(path, "wb") as f:
+        f.write(payload)

@@ -1,0 +1,141 @@
+"""Cell-partitioned Parquet snapshot: sorted write (S5) and keyed point-read (S3/S4).
+
+Replaces the reference's Hive/ORC backend (common/src/main/scala/OrcBackend.scala):
+
+* **write** (:268-292): ``repartition(p) → sortWithinPartitions(id, type) → ORC partitioned
+  by p with bloom(id)`` becomes ``ds.sort([p, key]) → write_parquet(partition_cols=[p])``.
+  The partition column is the reference's own id-derived ``p`` (keys.partition_number,
+  Common.scala:59-72, ≤2^11 buckets): the keyed fetch path addresses rows by packed key
+  alone, and ``p`` is computable from the key — so point reads prune partitions with no
+  directory lookup. (``cell`` remains the engine's partition key for the *spatial* side:
+  tile assignment, render fan-out, lineage — SURVEY.md §7.2.) Parquet row-group stats on
+  the sorted ``key`` column replace the ORC bloom filter + row-index stride for
+  point-read skipping.
+* **pruned keyed load** (:233-266 + 43-231): the reference regex-matches partition dirs
+  then hand-decodes ORC with a SearchArgument IN(id…) pushdown. Here: prune partition
+  directories by the wanted ``part`` set, then a parallel Ray Data read of just those
+  directories with an Arrow ``is_in`` filter on the packed key — executed as
+  ``read_parquet(dirs).map_batches(filter)`` so the fetch fans out across the cluster.
+* **reference-compat tag drop**: `OrcBackend.loadFile` short-circuits tag decoding
+  (``&& false) { // XXX`` at OrcBackend.scala:105), so every storage-loaded row has empty
+  tags. ``drop_tags_on_load=True`` (default) reproduces that for conformance; pass False
+  for the corrected behavior (SURVEY.md §4.4.1).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from .. import keys as K
+from ..schemas import ELEMENT_SCHEMA
+
+def with_part_and_key(batch: pa.Table) -> pa.Table:
+    """Stamp derived columns: ``part`` (the reference partition ``p`` of the packed key)
+    and ``key`` (packed id/type)."""
+    ids = batch["id"].to_numpy(zero_copy_only=False)
+    types = batch["type"].to_numpy(zero_copy_only=False)
+    part = K.partition_number_typed(ids, types)
+    key = K.pack_typed(ids, types)
+    out = batch
+    for name, arr in (("part", part), ("key", key)):
+        if name in out.column_names:
+            out = out.drop_columns([name])
+        out = out.append_column(name, pa.array(arr))
+    return out
+
+
+def parts_of_keys(keys: np.ndarray) -> np.ndarray:
+    """packed keys → their snapshot partitions (pure arithmetic, no directory lookup)."""
+    return K.partition_number(K.unpack_id(keys), K.unpack_code(keys))
+
+
+def write_snapshot(ds: rd.Dataset, root: str, mode: str = "overwrite") -> None:
+    """Sorted, partitioned snapshot write (S5 analogue)."""
+    ds = ds.map_batches(with_part_and_key, batch_format="pyarrow")
+    # range-partition sort by (part, key): rows land clustered by partition dir and the
+    # within-file key order gives parquet row-group stats for point-read skipping
+    ds = ds.sort(["part", "key"])
+    if mode == "overwrite" and os.path.isdir(root):
+        import shutil
+
+        shutil.rmtree(root)
+    ds.write_parquet(root, partition_cols=["part"])
+
+
+def append_rows(table: pa.Table, root: str, batch_seq: int) -> None:
+    """Micro-batch flush append (the reference's memory-tier flush, S5 'append' mode) —
+    one idempotent file per (part, batch_seq)."""
+    if len(table) == 0:
+        return
+    table = with_part_and_key(table)
+    parts = table["part"].to_numpy(zero_copy_only=False)
+    for p in np.unique(parts):
+        sub = table.filter(pa.array(parts == p)).drop_columns(["part"])
+        d = Path(root) / f"part={int(p)}"
+        d.mkdir(parents=True, exist_ok=True)
+        pq.write_table(sub, d / f"batch-{batch_seq:09d}.parquet")
+
+
+def list_partitions(root: str) -> set[int]:
+    if not os.path.isdir(root):
+        return set()
+    return {
+        int(name.split("=", 1)[1])
+        for name in os.listdir(root)
+        if name.startswith("part=")
+    }
+
+
+def load_keyed(
+    root: str,
+    wanted_parts: set[int],
+    wanted_keys: set[int],
+    drop_tags_on_load: bool = True,
+    parallel: bool = True,
+) -> pa.Table:
+    """Partition-pruned point read: rows whose packed key ∈ wanted_keys, scanning only
+    partition dirs in wanted_parts."""
+    avail = list_partitions(root)
+    scan = sorted(wanted_parts & avail)
+    if not scan or not wanted_keys:
+        return ELEMENT_SCHEMA.empty_table()
+    dirs = [os.path.join(root, f"part={p}") for p in scan]
+    keys_arr = pa.array(np.fromiter(wanted_keys, np.int64, len(wanted_keys)))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        hit = pc.is_in(batch["key"], value_set=keys_arr)
+        out = batch.filter(hit)
+        if drop_tags_on_load and len(out):
+            empty = pa.array([[]] * len(out), type=out.schema.field("tags").type)
+            i = out.schema.get_field_index("tags")
+            out = out.set_column(i, "tags", empty)
+        return out
+
+    if parallel:
+        ds = rd.read_parquet(dirs)
+        ds = ds.map_batches(_filter, batch_format="pyarrow")
+        return _collect(ds)
+    pieces = []
+    for d in dirs:
+        t = pq.read_table(d)
+        pieces.append(_filter(t))
+    return pa.concat_tables(pieces, promote_options="default") if pieces else ELEMENT_SCHEMA.empty_table()
+
+
+def _collect(ds: rd.Dataset) -> pa.Table:
+    """Materialize a (small, already-filtered) dataset to one Arrow table."""
+    batches = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    if not batches:
+        return ELEMENT_SCHEMA.empty_table()
+    return pa.concat_tables(batches, promote_options="default")

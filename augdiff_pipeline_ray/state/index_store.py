@@ -1,0 +1,213 @@
+"""Dependency-index store: partitioned Parquet truth + sharded in-memory actor pool.
+
+Replaces the reference's Postgres ``index(a, b)`` table and its three operations
+(common/src/main/scala/PostgresBackend.scala):
+
+* **bulk write** (S9, :20-38): full closure → Parquet dataset hash-partitioned by shard of
+  ``a`` (the b-side copy is partitioned by shard of ``b``) — the two scalar-index-like
+  layouts replacing ``CREATE INDEX idx_a / idx_b``.
+* **incremental write** (S10, :40-58): per-micro-batch new edges appended as one Parquet
+  file named by ``batch_seq`` — idempotent (a resumed run overwrites the same file), the
+  per-batch commit that makes the stream resumable.
+* **2-hop closure query** (S11, :60-82): for touched keys A —
+  ``deps = distinct b where a ∈ A`` then ``edges where b ∈ deps`` — served by a pool of
+  ``IndexShard`` Ray actors each holding its hash-shard of the edge arrays in numpy
+  (int64), queried in parallel, with IN-lists chunked at ``group_limit`` (=1024, mirroring
+  ``groupLimit`` PostgresBackend.scala:18).
+
+The actor pool is one of the few places the Dataset API genuinely can't express the
+semantics (a shared, incrementally-updated mutable index consulted point-wise per batch) —
+so this is raw ``@ray.remote``, as sanctioned by SURVEY.md §2.5 T3.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+GROUP_LIMIT = 1024  # IN-list chunk size, parity with reference groupLimit
+
+
+def shard_of(keys: np.ndarray, num_shards: int) -> np.ndarray:
+    """Hash-shard of a packed key; mixes the type bits out of the low end first."""
+    k = np.asarray(keys, dtype=np.int64)
+    return ((k >> 2) ^ (k & 0x3)) % num_shards
+
+
+@ray.remote(num_cpus=0.5)
+class IndexShard:
+    """One hash-shard of the dependency index, held as sorted numpy arrays.
+
+    Holds two projections: edges whose ``a`` hashes here (hop-1: a→deps) and edges whose
+    ``b`` hashes here (hop-2: b→full edge list). Startup loads only this shard's Parquet
+    partition directories — a pruned read, no full-table scan per actor.
+    """
+
+    def __init__(self, root: str, shard_id: int, num_shards: int):
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.a_keys = np.empty(0, np.int64)  # a-side: (a, b) sorted by a
+        self.a_vals = np.empty(0, np.int64)
+        self.b_keys = np.empty(0, np.int64)  # b-side: (b, a) sorted by b
+        self.b_vals = np.empty(0, np.int64)
+        a_dir = Path(root) / "by_a" / f"shard={shard_id}"
+        b_dir = Path(root) / "by_b" / f"shard={shard_id}"
+        if a_dir.exists():
+            t = pq.read_table(a_dir, columns=["a", "b"])
+            self._ingest_a(t["a"].to_numpy(), t["b"].to_numpy())
+        if b_dir.exists():
+            t = pq.read_table(b_dir, columns=["a", "b"])
+            self._ingest_b(t["a"].to_numpy(), t["b"].to_numpy())
+
+    def _ingest_a(self, a: np.ndarray, b: np.ndarray) -> None:
+        a = np.concatenate([self.a_keys, a])
+        b = np.concatenate([self.a_vals, b])
+        order = np.argsort(a, kind="stable")
+        self.a_keys, self.a_vals = a[order], b[order]
+
+    def _ingest_b(self, a: np.ndarray, b: np.ndarray) -> None:
+        bk = np.concatenate([self.b_keys, b])
+        av = np.concatenate([self.b_vals, a])
+        order = np.argsort(bk, kind="stable")
+        self.b_keys, self.b_vals = bk[order], av[order]
+
+    def append(self, a: np.ndarray, b: np.ndarray) -> int:
+        """Incremental insert of new edges routed to this shard (both projections)."""
+        ma = shard_of(a, self.num_shards) == self.shard_id
+        mb = shard_of(b, self.num_shards) == self.shard_id
+        if ma.any():
+            self._ingest_a(a[ma], b[ma])
+        if mb.any():
+            self._ingest_b(a[mb], b[mb])
+        return int(ma.sum() + mb.sum())
+
+    def deps_of(self, touched: np.ndarray) -> np.ndarray:
+        """Hop 1: distinct b where a ∈ touched (touched pre-filtered to this shard)."""
+        out = []
+        for i in range(0, len(touched), GROUP_LIMIT):
+            chunk = touched[i : i + GROUP_LIMIT]
+            lo = np.searchsorted(self.a_keys, chunk, side="left")
+            hi = np.searchsorted(self.a_keys, chunk, side="right")
+            for l, h in zip(lo, hi):
+                if h > l:
+                    out.append(self.a_vals[l:h])
+        if not out:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(out))
+
+    def edges_by_b(self, bs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Hop 2: all (a, b) where b ∈ bs (bs pre-filtered to this shard)."""
+        outa, outb = [], []
+        for i in range(0, len(bs), GROUP_LIMIT):
+            chunk = bs[i : i + GROUP_LIMIT]
+            lo = np.searchsorted(self.b_keys, chunk, side="left")
+            hi = np.searchsorted(self.b_keys, chunk, side="right")
+            for l, h in zip(lo, hi):
+                if h > l:
+                    outa.append(self.b_vals[l:h])
+                    outb.append(self.b_keys[l:h])
+        if not outa:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(outa), np.concatenate(outb)
+
+    def stats(self) -> dict:
+        return {
+            "shard": self.shard_id,
+            "a_edges": int(len(self.a_keys)),
+            "b_edges": int(len(self.b_keys)),
+        }
+
+
+class IndexStore:
+    """Driver-side handle: Parquet persistence + the actor pool."""
+
+    def __init__(self, root: str, num_shards: int = 8):
+        self.root = root
+        self.num_shards = num_shards
+        self._pool: list | None = None
+
+    # -- persistence ---------------------------------------------------------
+
+    def write_full(self, edges: pa.Table) -> None:
+        """Bulk (re)write of the full closure in both shard layouts (S9)."""
+        a = edges["a"].to_numpy(zero_copy_only=False)
+        b = edges["b"].to_numpy(zero_copy_only=False)
+        for side, keys in (("by_a", a), ("by_b", b)):
+            shards = shard_of(keys, self.num_shards)
+            t = pa.table({"a": a, "b": b, "shard": shards})
+            pq.write_to_dataset(
+                t,
+                root_path=os.path.join(self.root, side),
+                partition_cols=["shard"],
+                existing_data_behavior="delete_matching",
+            )
+
+    def append_batch(self, new_edges: set[tuple[int, int]], batch_seq: int) -> None:
+        """Incremental append (S10): one idempotent file per (side, batch_seq)."""
+        if not new_edges:
+            return
+        arr = np.array(sorted(new_edges), dtype=np.int64)
+        a, b = arr[:, 0], arr[:, 1]
+        for side, keys in (("by_a", a), ("by_b", b)):
+            shards = shard_of(keys, self.num_shards)
+            for s in np.unique(shards):
+                mask = shards == s
+                d = Path(self.root) / side / f"shard={int(s)}"
+                d.mkdir(parents=True, exist_ok=True)
+                pq.write_table(
+                    pa.table({"a": a[mask], "b": b[mask]}),
+                    d / f"batch-{batch_seq:09d}.parquet",
+                )
+        if self._pool is not None:
+            ray.get([sh.append.remote(a, b) for sh in self._pool])
+
+    # -- actor pool ----------------------------------------------------------
+
+    def start_pool(self) -> None:
+        self._pool = [
+            IndexShard.remote(self.root, s, self.num_shards)
+            for s in range(self.num_shards)
+        ]
+        ray.get([sh.stats.remote() for sh in self._pool])  # barrier: loaded
+
+    def stop_pool(self) -> None:
+        if self._pool:
+            for sh in self._pool:
+                ray.kill(sh)
+        self._pool = None
+
+    def load_edges(self, touched: set[int]) -> set[tuple[int, int]]:
+        """The 2-hop closure query (S11) fanned across the shard pool."""
+        assert self._pool is not None, "call start_pool() first"
+        tk = np.fromiter(touched, dtype=np.int64, count=len(touched))
+        # hop 1: route touched keys to their a-shards
+        sh = shard_of(tk, self.num_shards)
+        futs = [
+            self._pool[s].deps_of.remote(np.sort(tk[sh == s]))
+            for s in range(self.num_shards)
+            if (sh == s).any()
+        ]
+        deps_parts = ray.get(futs)
+        if deps_parts:
+            deps = np.unique(np.concatenate(deps_parts))
+        else:
+            deps = np.empty(0, np.int64)
+        if len(deps) == 0:
+            return set()
+        # hop 2: route dependent keys to their b-shards
+        shb = shard_of(deps, self.num_shards)
+        futs = [
+            self._pool[s].edges_by_b.remote(deps[shb == s])
+            for s in range(self.num_shards)
+            if (shb == s).any()
+        ]
+        out: set[tuple[int, int]] = set()
+        for a, b in ray.get(futs):
+            out.update(zip(a.tolist(), b.tolist()))
+        return out

@@ -1,0 +1,112 @@
+"""Unit tests: OSC parse/write round-trip, edge extraction, closure fixpoints."""
+
+import numpy as np
+import pyarrow as pa
+
+from augdiff_pipeline_ray import keys as K
+from augdiff_pipeline_ray.sources import osc
+from augdiff_pipeline_ray.stages import closure, edges
+
+OSC_XML = b"""<?xml version="1.0" encoding="UTF-8"?>
+<osmChange version="0.6">
+<create><node id="101" version="1" timestamp="2024-01-01T00:00:00Z" changeset="7" uid="3" user="alice" lat="10.5" lon="20.5"><tag k="amenity" v="bench"/></node></create>
+<create><node id="102" version="1" timestamp="2024-01-01T00:00:01Z" changeset="7" uid="3" user="alice" lat="10.6" lon="20.6"/></create>
+<modify><way id="201" version="2" timestamp="2024-01-01T00:01:00Z" changeset="8" uid="4" user="bob"><nd ref="101"/><nd ref="102"/><tag k="highway" v="residential"/></way></modify>
+<delete><relation id="301" version="3" timestamp="2024-01-01T00:02:00Z"/></delete>
+<modify><relation id="302" version="1" timestamp="2024-01-01T00:03:00Z" changeset="9" uid="5" user="carol"><member type="way" ref="201" role="outer"/><member type="node" ref="101" role=""/></relation></modify>
+</osmChange>
+"""
+
+
+def test_parse_osc():
+    t = osc.parse_osc(OSC_XML, batch_seq=42)
+    assert len(t) == 5
+    d = t.to_pylist()
+    n = d[0]
+    assert n["id"] == 101 and n["type"] == "node" and n["action"] == "create"
+    assert n["lat"] == 10.5 and n["visible"] is True and n["batch_seq"] == 42
+    assert dict(n["tags"]) == {"amenity": "bench"}
+    w = d[2]
+    assert w["type"] == "way" and [nd["ref"] for nd in w["nds"]] == [101, 102]
+    tomb = d[3]
+    assert tomb["action"] == "delete" and tomb["visible"] is False
+    assert tomb["tags"] == [] and tomb["changeset"] is None and tomb["user"] is None
+    r = d[4]
+    assert r["members"] == [
+        {"type": "way", "ref": 201, "role": "outer"},
+        {"type": "node", "ref": 101, "role": ""},
+    ]
+    # partition numbers stamped per reference fn
+    assert n["p"] == 101
+    assert w["p"] == 201 ^ 1
+
+
+def test_osc_write_read_roundtrip(tmp_path):
+    t = osc.parse_osc(OSC_XML, batch_seq=1)
+    for suffix in ("plain.osc", "z.osc.gz", "z.osc.bz2"):
+        p = str(tmp_path / suffix)
+        osc.write_osc(t, p)
+        back = osc.read_osc_file(p, batch_seq=1)
+        assert back.to_pylist() == t.to_pylist()
+
+
+def test_sequence_path():
+    assert osc.sequence_path(0) == "000/000/000"
+    assert osc.sequence_path(1234567) == "001/234/567"
+    assert osc.sequence_path(999999999) == "999/999/999"
+
+
+def test_edges_from_batch():
+    t = osc.parse_osc(OSC_XML, batch_seq=1)
+    e = edges.edges_from_batch(t)
+    pairs = set(zip(e["a"].to_pylist(), e["b"].to_pylist()))
+    w = K.pack_typed(np.array([201]), np.array(["way"]))[0]
+    n1 = K.pack_typed(np.array([101]), np.array(["node"]))[0]
+    n2 = K.pack_typed(np.array([102]), np.array(["node"]))[0]
+    r = K.pack_typed(np.array([302]), np.array(["relation"]))[0]
+    assert pairs == {(n1, w), (n2, w), (w, r), (n1, r)}
+    # local variant adds node self-edges
+    local = edges.edges_from_rows_local(t)
+    assert (n1, n1) in local and (n2, n2) in local
+    assert pairs < local
+
+
+def test_local_closure_matches_brute_force():
+    # node → way → rel → rel chain plus a diamond
+    e = {(1, 10), (2, 10), (10, 100), (100, 200), (2, 11), (11, 100)}
+    new, alle = closure.local_closure(e, set())
+    assert alle == closure.brute_force_closure(e)
+    assert new == alle
+    # incremental: existing edges subtracted
+    new2, alle2 = closure.local_closure(e, alle)
+    assert alle2 == alle and new2 == set()
+
+
+def test_local_closure_handles_cycles():
+    e = {(1, 2), (2, 3), (3, 1)}
+    _, alle = closure.local_closure(e, set())
+    assert alle == closure.brute_force_closure(e)
+
+
+def test_closure_dataset_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    # random DAG: edges only from lower to higher ids
+    n = 60
+    a = rng.integers(0, n - 1, 150)
+    b = a + 1 + rng.integers(0, 5, 150)
+    pairs = {(int(x), int(y)) for x, y in zip(a, b) if x != y}
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in sorted(pairs)], pa.int64()),
+                "b": pa.array([p[1] for p in sorted(pairs)], pa.int64()),
+                "cell": pa.array([0] * len(pairs), pa.int64()),
+            }
+        )
+    )
+    out = closure.closure_dataset(ds, max_rounds=10, num_partitions=4)
+    pdf = out.to_pandas()
+    got = set(zip(pdf["a"].tolist(), pdf["b"].tolist()))
+    assert got == closure.brute_force_closure(pairs)
