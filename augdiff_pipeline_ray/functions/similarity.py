@@ -1,0 +1,72 @@
+"""Similarity search over the embeddings table: brute-force cosine top-k + LSH-bucketed ANN.
+
+* ``TopKSearcher`` — the actor-pool stage: normalizes the broadcast query matrix once per
+  actor (``__init__``), then per batch computes cosine via one numpy matmul and emits
+  per-batch partial top-k rows; a tiny final ``sort/limit`` per query merges partials.
+  No full-dataset materialization; only (query_id, vec_id, score) rows move.
+* ``random_hyperplane_buckets`` — the scale path: sign-LSH bucket ids so candidate
+  generation groups by bucket (shuffle moves (bucket, vec_id) only), then exact cosine
+  verifies within buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_rng = np.random.default_rng(0xC051)
+
+
+def normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class TopKSearcher:
+    """map_batches actor: batch of (vec_id, embedding) → partial top-k per query."""
+
+    def __init__(self, queries: np.ndarray, query_ids: np.ndarray, k: int = 10):
+        self.q = normalize(np.asarray(queries, np.float32))
+        self.qids = np.asarray(query_ids, np.int64)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = np.stack(
+            [np.asarray(e, np.float32) for e in batch["embedding"].to_pylist()]
+        )
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = normalize(embs) @ self.q.T  # (batch, nq)
+        k = min(self.k, len(ids))
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, nq)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            sel = top[:, qi]
+            out_q.extend([int(self.qids[qi])] * len(sel))
+            out_v.extend(ids[sel].tolist())
+            out_s.extend(sims[sel, qi].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def merge_topk(partials: pa.Table, k: int) -> pa.Table:
+    """Merge per-batch partial top-k rows into the global top-k per query (small)."""
+    import pandas as pd
+
+    df = partials.to_pandas()
+    df = df.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def random_hyperplane_buckets(embs: np.ndarray, n_planes: int = 12) -> np.ndarray:
+    """Sign-LSH bucket id per row (int64): bit b = sign(x · h_b). Deterministic planes."""
+    dim = embs.shape[1]
+    planes = np.random.default_rng(0xC051).standard_normal((n_planes, dim)).astype(np.float32)
+    signs = (embs @ planes.T) > 0
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    return signs @ weights

@@ -1,0 +1,278 @@
+"""Driver-testdata adapter: maps the TPC-H-ish tables onto the engine's data model and
+exposes every operator as a (Ray pipeline, DuckDB oracle SQL) pair.
+
+Derivations (all pure integer/double arithmetic so the DuckDB oracle can mirror them):
+
+* **node** ← part:      id = p_partkey;  lat/lon from fixed multiplicative hashes
+* **way** ← orders:     id = o_orderkey; nds = that order's l_partkey list (by l_linenumber)
+* **relation** ← customer: id = c_custkey; members = that customer's orders (ways)
+* **image** ← documents: phash = (doc_id·1103515245 + 12345) mod 2³¹; w/h/fmt from doc_id;
+  caption = text; bytes = engine-codec-encoded deterministic pixels
+
+This gives the real dependency DAG (node→way→relation) over driver-provided data, so the
+closure/index/semi-join operators run with SQL-checkable ground truth, while the engine's
+own synthetic world (worldgen.py) covers the geometry-rich cases SQL can't express.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from .. import cells as C
+from .. import georef
+from .. import keys as K
+from ..functions import dedup as DD
+from ..functions import image as IMG
+from ..functions import similarity as SIM
+from ..functions import text as TX
+
+BASE_TS_MS = 1_704_067_200_000  # 2024-01-01
+
+LAT_MUL, LAT_MOD = 7919, 180_000
+LON_MUL, LON_MOD = 104_729, 360_000
+
+
+def _p(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# derivations (Ray side)
+# ---------------------------------------------------------------------------
+
+
+def node_latlon(partkeys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    pk = np.asarray(partkeys, np.int64)
+    lat = ((pk * LAT_MUL) % LAT_MOD) / 1000.0 - 90.0
+    lon = ((pk * LON_MUL) % LON_MOD) / 1000.0 - 180.0
+    return lat, lon
+
+
+def nodes_dataset(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_type", "p_size", "p_brand"])
+
+    def build(t: pa.Table) -> pa.Table:
+        pk = t["p_partkey"].to_numpy(zero_copy_only=False)
+        lat, lon = node_latlon(pk)
+        n = len(t)
+        return pa.table(
+            {
+                "p": pa.array(K.partition_number(pk, np.zeros(n, np.int64))),
+                "cell": pa.array(C.cell_of(lat, lon)),
+                "id": pa.array(pk),
+                "type": pa.array(["node"] * n, pa.string()),
+                "tags": pa.array(
+                    [[("part_type", v)] for v in t["p_type"].to_pylist()],
+                    pa.map_(pa.string(), pa.string()),
+                ),
+                "lat": pa.array(lat),
+                "lon": pa.array(lon),
+                "nds": pa.array([[]] * n, pa.list_(pa.struct([("ref", pa.int64())]))),
+                "members": pa.array(
+                    [[]] * n,
+                    pa.list_(pa.struct([("type", pa.string()), ("ref", pa.int64()), ("role", pa.string())])),
+                ),
+                "changeset": pa.array(t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)),
+                "timestamp": pa.array(
+                    BASE_TS_MS + pk * 1000, pa.timestamp("ms")
+                ),
+                "uid": pa.array(t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)),
+                "user": t["p_brand"].cast(pa.string()),
+                "version": pa.array(np.ones(n, np.int64)),
+                "visible": pa.array(np.ones(n, bool)),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def ways_table(sf_dir: str) -> pa.Table:
+    """Orders as ways with lineitem partkeys as nds (grouped driver-side: the nds list
+    build is a groupby that DuckDB mirrors with list(l_partkey ORDER BY l_linenumber))."""
+    li = pq.read_table(_p(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey", "l_linenumber"])
+    od = pq.read_table(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"],
+    )
+    ldf = li.to_pandas().sort_values(["l_orderkey", "l_linenumber"])
+    nds_map = ldf.groupby("l_orderkey")["l_partkey"].apply(list)
+    odf = od.to_pandas().sort_values("o_orderkey")
+    odf["nds"] = odf["o_orderkey"].map(nds_map)
+    odf = odf[odf["nds"].notna()]
+    ok = odf["o_orderkey"].to_numpy(np.int64)
+    n = len(odf)
+    la, lo = node_latlon(np.array([nd[0] for nd in odf["nds"]], np.int64))
+    return pa.table(
+        {
+            "p": pa.array(K.partition_number(ok, np.ones(n, np.int64))),
+            "cell": pa.array(C.cell_of(la, lo)),
+            "id": pa.array(ok),
+            "type": pa.array(["way"] * n, pa.string()),
+            "tags": pa.array(
+                [[("status", s)] for s in odf["o_orderstatus"]],
+                pa.map_(pa.string(), pa.string()),
+            ),
+            "lat": pa.array([None] * n, pa.float64()),
+            "lon": pa.array([None] * n, pa.float64()),
+            "nds": pa.array(
+                [[{"ref": int(r)} for r in nds] for nds in odf["nds"]],
+                pa.list_(pa.struct([("ref", pa.int64())])),
+            ),
+            "members": pa.array(
+                [[]] * n,
+                pa.list_(pa.struct([("type", pa.string()), ("ref", pa.int64()), ("role", pa.string())])),
+            ),
+            "changeset": pa.array(odf["o_custkey"].to_numpy(np.int64)),
+            "timestamp": pa.array(odf["o_orderdate"].to_numpy()),
+            "uid": pa.array(odf["o_custkey"].to_numpy(np.int64)),
+            "user": pa.array(odf["o_orderpriority"], pa.string()),
+            "version": pa.array(np.ones(n, np.int64)),
+            "visible": pa.array(np.ones(n, bool)),
+        }
+    )
+
+
+def relations_table(sf_dir: str) -> pa.Table:
+    od = pq.read_table(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]).to_pandas()
+    cu = pq.read_table(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey", "c_mktsegment"]
+    ).to_pandas()
+    members = od.sort_values("o_orderkey").groupby("o_custkey")["o_orderkey"].apply(list)
+    cu = cu.sort_values("c_custkey")
+    cu["mem"] = cu["c_custkey"].map(members)
+    cu = cu[cu["mem"].notna()]
+    ck = cu["c_custkey"].to_numpy(np.int64)
+    n = len(cu)
+    return pa.table(
+        {
+            "p": pa.array(K.partition_number(ck, np.full(n, 2, np.int64))),
+            "cell": pa.array(np.full(n, -1, np.int64)),
+            "id": pa.array(ck),
+            "type": pa.array(["relation"] * n, pa.string()),
+            "tags": pa.array(
+                [[("segment", s)] for s in cu["c_mktsegment"]],
+                pa.map_(pa.string(), pa.string()),
+            ),
+            "lat": pa.array([None] * n, pa.float64()),
+            "lon": pa.array([None] * n, pa.float64()),
+            "nds": pa.array([[]] * n, pa.list_(pa.struct([("ref", pa.int64())]))),
+            "members": pa.array(
+                [[{"type": "way", "ref": int(o), "role": "outer"} for o in mem] for mem in cu["mem"]],
+                pa.list_(pa.struct([("type", pa.string()), ("ref", pa.int64()), ("role", pa.string())])),
+            ),
+            "changeset": pa.array(cu["c_nationkey"].to_numpy(np.int64)),
+            "timestamp": pa.array(BASE_TS_MS + ck, pa.timestamp("ms")),
+            "uid": pa.array(cu["c_nationkey"].to_numpy(np.int64)),
+            "user": pa.array(cu["c_mktsegment"], pa.string()),
+            "version": pa.array(np.ones(n, np.int64)),
+            "visible": pa.array(np.ones(n, bool)),
+        }
+    )
+
+
+def image_params(doc_ids: np.ndarray) -> dict[str, np.ndarray]:
+    d = np.asarray(doc_ids, np.int64)
+    return {
+        "phash": (d * 1103515245 + 12345) % 2147483648,
+        "w": (64 * (1 + d % 3)).astype(np.int32),
+        "h": (64 * (1 + (d // 3) % 3)).astype(np.int32),
+        "fmt": np.where(d % 2 == 0, "rawz", "qz"),
+    }
+
+
+def images_from_documents(sf_dir: str) -> pa.Table:
+    docs = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    d = docs["doc_id"].to_numpy(zero_copy_only=False)
+    pr = image_params(d)
+    ids = [f"doc-{i:08d}" for i in d]
+    blobs = [
+        IMG.encode(IMG.synth_pixels(iid, int(w), int(h)), str(f))
+        for iid, w, h, f in zip(ids, pr["w"], pr["h"], pr["fmt"])
+    ]
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(pr["w"]),
+            "h": pa.array(pr["h"]),
+            "fmt": pa.array(pr["fmt"].astype(str), pa.string()),
+            "caption": docs["text"],
+            "phash": pa.array(pr["phash"]),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL fragments shared by the oracles
+# ---------------------------------------------------------------------------
+
+
+def sql_squash(expr: str, rounds: int = 8) -> str:
+    """The reference partition squash (÷10 while > 2048) as nested CASE (ids < 10^(3+rounds))."""
+    e = expr
+    for _ in range(rounds):
+        e = f"(CASE WHEN {e} > 2048 THEN ({e}) // 10 ELSE {e} END)"
+    return e
+
+
+SQL_KEYS = """
+    SELECT p_partkey * 4 AS key, p_partkey AS id, 'node' AS type FROM part
+    UNION ALL
+    SELECT o_orderkey * 4 + 1, o_orderkey, 'way' FROM orders
+    UNION ALL
+    SELECT c_custkey * 4 + 2, c_custkey, 'relation' FROM customer
+"""
+
+SQL_EDGES = """
+    SELECT l_partkey * 4 AS a, l_orderkey * 4 + 1 AS b FROM lineitem
+    UNION ALL
+    SELECT o_orderkey * 4 + 1, o_custkey * 4 + 2 FROM orders
+"""
+
+# the DAG is exactly 2 levels deep, so closure = direct ∪ (node → relation)
+SQL_CLOSURE = f"""
+    SELECT DISTINCT a, b FROM ({SQL_EDGES})
+    UNION
+    SELECT DISTINCT l.l_partkey * 4, o.o_custkey * 4 + 2
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+SQL_NODE_LATLON = f"""
+    SELECT p_partkey,
+           ((p_partkey * {LAT_MUL}) % {LAT_MOD}) / 1000.0 - 90.0 AS lat,
+           ((p_partkey * {LON_MUL}) % {LON_MOD}) / 1000.0 - 180.0 AS lon
+    FROM part
+"""
+
+SQL_CELL = """
+    (8::BIGINT << 50)
+    + (LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * 256) AS BIGINT), 0), 255) << 25)
+    + (((CAST(FLOOR((lon + 180.0) / 360.0 * 512) AS BIGINT) % 512) + 512) % 512)
+"""
+
+SQL_TILES = """
+    SELECT doc_id,
+           'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS image_id,
+           (doc_id * 1103515245 + 12345) % 2147483648 AS phash,
+           CAST(64 * (1 + doc_id % 3) AS INTEGER) AS w,
+           CAST(64 * (1 + (doc_id // 3) % 3) AS INTEGER) AS h,
+           CASE WHEN doc_id % 2 = 0 THEN 'rawz' ELSE 'qz' END AS fmt
+    FROM documents
+"""
+
+SQL_TILE_LATLON = f"""
+    SELECT *,
+           ((phash % 65536) / 65536.0) * 360.0 - 180.0 AS lon,
+           (((phash // 65536) % 32768) / 32768.0) * 180.0 - 90.0 AS lat
+    FROM ({SQL_TILES})
+"""

@@ -107,7 +107,15 @@ def load_keyed(
     scan = sorted(wanted_parts & avail)
     if not scan or not wanted_keys:
         return ELEMENT_SCHEMA.empty_table()
-    dirs = [os.path.join(root, f"part={p}") for p in scan]
+    import glob
+
+    dirs = [
+        f
+        for p in scan
+        for f in sorted(glob.glob(os.path.join(root, f"part={p}", "*.parquet")))
+    ]
+    if not dirs:
+        return ELEMENT_SCHEMA.empty_table()
     keys_arr = pa.array(np.fromiter(wanted_keys, np.int64, len(wanted_keys)))
 
     def _filter(batch: pa.Table) -> pa.Table:
@@ -124,8 +132,8 @@ def load_keyed(
         ds = ds.map_batches(_filter, batch_format="pyarrow")
         return _collect(ds)
     pieces = []
-    for d in dirs:
-        t = pq.read_table(d)
+    for f in dirs:
+        t = pq.read_table(f)
         pieces.append(_filter(t))
     return pa.concat_tables(pieces, promote_options="default") if pieces else ELEMENT_SCHEMA.empty_table()
 

@@ -52,10 +52,23 @@ def _anti_join_pairs(left: rd.Dataset, right: rd.Dataset, num_partitions: int) -
     )
 
 
+def default_join_partitions() -> int:
+    """Join fan-in sized to the cluster: hash-shuffle aggregator actors each hold a
+    partition, so more partitions than CPUs just queues actors (and can starve a small
+    local session)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(cpus, 64))
+
+
 def closure_dataset(
     edges: rd.Dataset,
     max_rounds: int = 12,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Direct-edge Dataset (a, b[, cell]) → transitive-closure Dataset (a, b), a != b.
 
@@ -65,6 +78,8 @@ def closure_dataset(
     composite key plus an anti-join dedup, keeping per-round work proportional to the
     *new* pairs only.
     """
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
     paths = edges.select_columns(["a", "b"]).map_batches(
         lambda t: t.filter(pa.compute.not_equal(t["a"], t["b"])),
         batch_format="pyarrow",

@@ -40,13 +40,17 @@ def shard_of(keys: np.ndarray, num_shards: int) -> np.ndarray:
     return ((k >> 2) ^ (k & 0x3)) % num_shards
 
 
-@ray.remote(num_cpus=0.5)
+@ray.remote(num_cpus=0)
 class IndexShard:
     """One hash-shard of the dependency index, held as sorted numpy arrays.
 
     Holds two projections: edges whose ``a`` hashes here (hop-1: a→deps) and edges whose
     ``b`` hashes here (hop-2: b→full edge list). Startup loads only this shard's Parquet
     partition directories — a pruned read, no full-table scan per actor.
+
+    ``num_cpus=0``: these are long-lived, mostly-idle lookup actors; reserving CPUs for
+    them would starve the Dataset read/map stages they serve (their per-query numpy work
+    is short and bursty).
     """
 
     def __init__(self, root: str, shard_id: int, num_shards: int):

@@ -1,0 +1,184 @@
+"""End-to-end golden runs: worldgen → indexer → stream → ndjson + assignments + lineage;
+resume produces byte-identical output; distributed render == local render."""
+
+import json
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from augdiff_pipeline_ray import keys as K
+from augdiff_pipeline_ray.pipelines import adiff as AD
+from augdiff_pipeline_ray.pipelines import worldgen as W
+from augdiff_pipeline_ray.sources import geojson as GJ
+
+CFG = W.WorldConfig(grid=8, n_images=48, n_batches=6, churn_nodes=4)
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory, ray_session):
+    root = tmp_path_factory.mktemp("world")
+    W.write_world(str(root), CFG)
+    return root
+
+
+@pytest.fixture(scope="module")
+def full_run(world, tmp_path_factory):
+    out = tmp_path_factory.mktemp("out_full")
+    stats = AD.run_stream(str(world), str(out), num_shards=2, render_concurrency=2)
+    return out, stats
+
+
+def _read_all_ndjson(out: Path) -> dict[int, str]:
+    res = {}
+    for p in sorted((out / "adiff").rglob("*.ndjson")):
+        seq = int("".join(p.relative_to(out / "adiff").with_suffix("").parts))
+        res[seq] = p.read_text()
+    return res
+
+
+def test_stream_runs_and_emits(full_run):
+    out, stats = full_run
+    assert len(stats["batches"]) == CFG.n_batches
+    nd = _read_all_ndjson(out)
+    assert set(nd) == set(range(1, CFG.n_batches + 1))
+    total_features = 0
+    for seq, text in nd.items():
+        for line in text.splitlines():
+            f = json.loads(line)
+            assert f["type"] == "Feature"
+            assert set(f["properties"]) == {
+                "id", "type", "tags", "changeset", "timestamp", "uid", "user",
+                "version", "visible",
+            }
+            total_features += 1
+    assert total_features > 0
+
+
+def test_batch1_node_move_ripples(full_run):
+    """Batch 1 moves node (0,0): expect the node modify (after+before) and the
+    containing building way + new polygon geometry."""
+    out, _ = full_run
+    text = _read_all_ndjson(out)[1]
+    feats = [json.loads(l) for l in text.splitlines()]
+    nid = W.node_id(CFG, 0, 0)
+    node_feats = [f for f in feats if f["properties"]["id"] == nid and f["properties"]["type"] == "node"]
+    assert len(node_feats) == 2  # after + before(visible=false)
+    assert node_feats[0]["properties"]["visible"] is True
+    assert node_feats[1]["properties"]["visible"] is False
+    assert node_feats[0]["geometry"]["coordinates"] != node_feats[1]["geometry"]["coordinates"]
+    # the building way referencing that node is swept in by the closure and re-rendered.
+    # Reference-compat quirk (SURVEY.md §4.4.1): storage-loaded rows have tags dropped
+    # (OrcBackend.scala:105 `&& false`), so the closed building renders as a LineString
+    # with empty tags — exactly what the reference produces.
+    way_feats = [f for f in feats if f["properties"]["type"] == "way"
+                 and f["properties"]["id"] == W.WAY_BUILDING0]
+    assert len(way_feats) == 2
+    assert way_feats[0]["geometry"]["type"] == "LineString"
+    assert way_feats[0]["properties"]["tags"] == {}
+
+
+def test_delete_emits_single_invisible_before(full_run):
+    out, _ = full_run
+    text = _read_all_ndjson(out)[3]
+    feats = [json.loads(l) for l in text.splitlines()]
+    victim = W.node_id(CFG, 2, 2)
+    nf = [f for f in feats if f["properties"]["id"] == victim and f["properties"]["type"] == "node"]
+    assert len(nf) == 1
+    assert nf[0]["properties"]["visible"] is False
+
+
+def test_two_hop_ripple_rerenders_multipolygon(full_run):
+    """Batch 3 moves an inner-ring node → ring way → multipolygon relation re-renders.
+
+    In reference-compat mode the relation's tags are dropped on storage load, so
+    ``isMultiPolygon({})`` is false and the member rings fold into a MultiLineString —
+    the reference's actual output shape for storage-loaded relations (§4.4.1)."""
+    out, _ = full_run
+    text = _read_all_ndjson(out)[3]
+    feats = [json.loads(l) for l in text.splitlines()]
+    mp = [f for f in feats if f["properties"]["id"] == W.REL_MP]
+    assert len(mp) == 2  # after + before
+    assert mp[0]["geometry"]["type"] == "MultiLineString"
+
+
+def test_corrected_mode_builds_area_and_multipolygon(world, tmp_path_factory):
+    """With drop_tags_on_load=False (the corrected behavior behind the compat flag),
+    the building renders as a Polygon and the relation as a polygon-with-hole."""
+    out = tmp_path_factory.mktemp("out_correct")
+    job = AD.AdiffJob(str(world), str(out), num_shards=2, render_concurrency=2,
+                      drop_tags_on_load=False, distributed_render=False,
+                      parallel_fetch=False)
+    job.run_stream(start=1, end=3)
+    job.close()
+    feats1 = [json.loads(l) for l in _read_all_ndjson(out)[1].splitlines()]
+    way = [f for f in feats1 if f["properties"]["type"] == "way"
+           and f["properties"]["id"] == W.WAY_BUILDING0]
+    assert way and way[0]["geometry"]["type"] == "Polygon"
+    assert way[0]["properties"]["tags"] == {"building": "yes"}
+    feats3 = [json.loads(l) for l in _read_all_ndjson(out)[3].splitlines()]
+    mp = [f for f in feats3 if f["properties"]["id"] == W.REL_MP]
+    g = mp[0]["geometry"]
+    assert g["type"] == "Polygon" and len(g["coordinates"]) == 2  # outer + hole
+
+
+def test_assignments_and_lineage(full_run):
+    out, stats = full_run
+    asg = pq.read_table(out / "assignments")
+    assert set(asg["assignment_kind"].to_pylist()) == {"geometry"}
+    assert (np.array(asg["cell"].to_pylist()) >= -1).all()
+    base = pq.read_table(out / "tile_assignments_base.parquet")
+    assert len(base) == CFG.n_images
+    assert set(base["assignment_kind"].to_pylist()) == {"tile"}
+    lin = pq.read_table(out / "lineage")
+    seqs = set(lin["batch_seq"].to_pylist())
+    assert seqs == set(range(0, CFG.n_batches + 1))
+    assert set(lin["status"].to_pylist()) == {"committed"}
+    # decoded-tile verification ran at bootstrap
+    tiles = pq.read_table(out / "tiles_decoded.parquet")
+    assert tiles["decode_ok"].to_pylist() == [True] * CFG.n_images
+    psnr = np.array(tiles["psnr_db"].to_pylist())
+    assert (np.isinf(psnr) | (psnr >= 40.0)).all()
+
+
+def test_knn_and_overlay_outputs(full_run):
+    out, stats = full_run
+    knn = pq.read_table(out / "knn")
+    assert len(knn) > 0
+    assert knn.column_names == ["batch_seq", "key", "rank", "image_id", "dist_m"]
+    ov = pq.read_table(out / "overlay")
+    assert ov.num_rows >= 0  # overlay may be empty when no tiles share diff cells
+    if ov.num_rows:
+        assert (np.array(ov["changed_px"].to_pylist()) >= 0).all()
+
+
+def test_resume_skips_committed_and_is_byte_identical(world, full_run, tmp_path_factory):
+    out_full, _ = full_run
+    out = tmp_path_factory.mktemp("out_resume")
+    # first run: only batches 1..3 (simulated kill after 3)
+    job = AD.AdiffJob(str(world), str(out), num_shards=2, render_concurrency=2)
+    job.run_stream(start=1, end=3)
+    job.close()
+    # resumed run: full range — must skip 1..3
+    job2 = AD.AdiffJob(str(world), str(out), num_shards=2, render_concurrency=2)
+    stats = job2.run_stream()
+    job2.close()
+    assert stats["skipped"] == [1, 2, 3]
+    assert [b["seq"] for b in stats["batches"]] == [4, 5, 6]
+    # outputs byte-identical to the uninterrupted run
+    nd_a = _read_all_ndjson(out_full)
+    nd_b = _read_all_ndjson(out)
+    assert nd_a == nd_b
+    asg_a = pq.read_table(out_full / "assignments").to_pylist()
+    asg_b = pq.read_table(out / "assignments").to_pylist()
+    assert asg_a == asg_b
+
+
+def test_distributed_render_equals_local(world, full_run, tmp_path_factory):
+    out_full, _ = full_run
+    out = tmp_path_factory.mktemp("out_local")
+    AD.run_stream(str(world), str(out), num_shards=2,
+                  distributed_render=False, parallel_fetch=False)
+    assert _read_all_ndjson(out_full) == _read_all_ndjson(out)

@@ -1,0 +1,118 @@
+"""Image codec invariants, STRtree, PIP assignment, kNN, overlay kernels."""
+
+import numpy as np
+import pyarrow as pa
+
+from augdiff_pipeline_ray import cells as C
+from augdiff_pipeline_ray import georef
+from augdiff_pipeline_ray.functions import image as IMG
+from augdiff_pipeline_ray.pipelines import worldgen as W
+from augdiff_pipeline_ray.stages import tiles as T
+from augdiff_pipeline_ray.state.strtree import STRtree
+
+
+def test_codec_lossless_roundtrip():
+    px = IMG.synth_pixels("img-x", 64, 48)
+    back, fmt = IMG.decode(IMG.encode(px, "rawz"))
+    assert fmt == "rawz"
+    assert np.array_equal(px, back)
+    assert IMG.psnr(px, back) == float("inf")
+
+
+def test_codec_lossy_psnr_at_least_40():
+    for iid in ("img-a", "img-b", "img-c"):
+        px = IMG.synth_pixels(iid, 128, 128)
+        back, fmt = IMG.decode(IMG.encode(px, "qz"))
+        assert fmt == "qz"
+        assert IMG.psnr(px, back) >= 40.0, IMG.psnr(px, back)
+
+
+def test_synth_pixels_deterministic():
+    a = IMG.synth_pixels("img-00000007", 64, 64)
+    b = IMG.synth_pixels("img-00000007", 64, 64)
+    assert np.array_equal(a, b)
+    assert IMG.phash64(a) == IMG.phash64(b)
+
+
+def test_strtree_matches_bruteforce():
+    rng = np.random.default_rng(3)
+    boxes = np.sort(rng.uniform(0, 100, (500, 4)).reshape(500, 2, 2), axis=1).transpose(
+        0, 2, 1
+    ).reshape(500, 4)[:, [0, 2, 1, 3]]
+    # boxes now [xmin, ymin, xmax, ymax] — rebuild properly to be safe
+    lo = rng.uniform(0, 90, (500, 2))
+    ext = rng.uniform(0.1, 10, (500, 2))
+    boxes = np.hstack([lo, lo + ext])  # xmin ymin xmax ymax
+    tree = STRtree(boxes)
+    for _ in range(50):
+        q = rng.uniform(0, 100, 2)
+        got = set(tree.query_point(q[0], q[1]).tolist())
+        want = set(
+            np.nonzero(
+                (boxes[:, 0] <= q[0]) & (boxes[:, 2] >= q[0])
+                & (boxes[:, 1] <= q[1]) & (boxes[:, 3] >= q[1])
+            )[0].tolist()
+        )
+        assert got == want
+
+
+def test_cell_assigner_matches_arithmetic():
+    rng = np.random.default_rng(5)
+    lat = rng.uniform(-80, 80, 200)
+    lon = rng.uniform(-179, 179, 200)
+    asg = T.CellAssigner()
+    got = asg.assign_points(lat, lon)
+    want = C.cell_of(lat, lon)
+    assert (got == want).all()
+
+
+def test_worldgen_images_deterministic_and_verifiable():
+    cfg = W.WorldConfig(n_images=32)
+    t1 = W.images_table(cfg)
+    t2 = W.images_table(cfg)
+    assert t1.equals(t2)
+    # per-row invariant: decode → PSNR + caption equality
+    for rec in t1.to_pylist():
+        px, fmt = IMG.decode(rec["bytes"])
+        assert fmt == rec["fmt"]
+        ref = IMG.synth_pixels(rec["image_id"], rec["w"], rec["h"])
+        if fmt == "rawz":
+            assert np.array_equal(px, ref)
+        else:
+            assert IMG.psnr(ref, px) >= 40.0
+    # hot cells: ~30% of images in 2 cells
+    cells = georef.cell_of_image(t1["phash"])
+    _, counts = np.unique(cells, return_counts=True)
+    top2 = np.sort(counts)[-2:].sum()
+    assert top2 >= 0.25 * len(t1)
+
+
+def test_knn_against_tiles():
+    cfg = W.WorldConfig(n_images=64)
+    t = W.images_table(cfg)
+    lat, lon = georef.centroid(t["phash"])
+    cells = georef.cell_of_image(t["phash"])
+    ids = t["image_id"].to_pylist()
+    res = T.knn_against_tiles(lat[:5], lon[:5], cells, lat, lon, ids, k=3)
+    assert len(res) == 5
+    for i, neigh in enumerate(res):
+        assert len(neigh) >= 1
+        # the tile's own position is at distance 0 (ties share quantized georef positions)
+        assert neigh[0][1] == 0.0
+        dists = [d for _, d in neigh]
+        assert dists == sorted(dists)
+
+
+def test_overlay_rasterize():
+    px = IMG.synth_pixels("img-ov", 64, 64)
+    bbox = (10.0, 10.1, 20.0, 20.1)
+    square = np.array(
+        [[20.02, 10.02], [20.08, 10.02], [20.08, 10.08], [20.02, 10.08], [20.02, 10.02]]
+    )
+    out, changed = T.rasterize_geom_on_tile(px, bbox, ("Polygon", [square]))
+    assert changed > 0
+    assert not np.array_equal(out, px)
+    # geometry fully outside → no change
+    far = square + 5.0
+    out2, changed2 = T.rasterize_geom_on_tile(px, bbox, ("Polygon", [far]))
+    assert changed2 == 0 and np.array_equal(out2, px)

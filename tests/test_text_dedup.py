@@ -1,0 +1,134 @@
+"""Text analysis, dedup (exact/minhash/simhash/jaccard/cosine), similarity kernels."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from augdiff_pipeline_ray.functions import dedup as D
+from augdiff_pipeline_ray.functions import similarity as S
+from augdiff_pipeline_ray.functions import text as TX
+
+
+def test_token_counts():
+    s = pd.Series(["hello world", "", "a b  c", None])
+    assert TX.token_count_whitespace(s).tolist() == [2, 0, 3, 0]
+    assert TX.token_count_bpe(pd.Series(["don't stop, 123!"])).tolist()[0] >= 4
+
+
+def test_quality_scores():
+    df = TX.quality_scores(pd.Series(["the cat, the hat!", "xyz"]))
+    assert df["n_words"].tolist() == [4, 1]
+    assert df["punct_ratio"][0] > 0
+    assert 0 < df["stopword_ratio"][0] <= 1
+    assert df["stopword_ratio"][1] == 0
+
+
+def test_lang_id():
+    s = pd.Series(
+        [
+            "the cat and the dog is in a house",
+            "el perro y la casa de un que",
+            "der hund und die katze ist ein",
+            "",
+        ]
+    )
+    assert TX.lang_id(s).tolist() == ["en", "es", "de", "und"]
+
+
+def test_fingerprint_deterministic():
+    s = pd.Series(["abc", "abc", "abd"])
+    fp = TX.fingerprint64(s)
+    assert fp[0] == fp[1] != fp[2]
+
+
+def test_minhash_jaccard_correlation():
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    c = "completely different words entirely unrelated to anything else whatsoever here now"
+    sa, sb, sc = (D.minhash_signature(t) for t in (a, b, c))
+    est_ab = (sa == sb).mean()
+    est_ac = (sa == sc).mean()
+    true_ab = D.jaccard(a, b)
+    assert abs(est_ab - true_ab) < 0.2
+    assert est_ab > est_ac
+    # LSH: near-dups share at least one band, far docs share none
+    ba, bb, bc = (set(D.lsh_band_rows(s)) for s in (sa, sb, sc))
+    assert ba & bb
+    assert not (ba & bc)
+
+
+def test_simhash_hamming():
+    a = D.simhash64("the quick brown fox jumps over the lazy dog")
+    b = D.simhash64("the quick brown fox jumps over the lazy cat")
+    c = D.simhash64("totally unrelated text about databases and shuffles")
+    arr = np.array([a, a, a], np.int64)
+    other = np.array([a, b, c], np.int64)
+    d = D.hamming64(arr, other)
+    assert d[0] == 0
+    assert d[1] < d[2]
+
+
+def test_content_hash_and_cosine_dups():
+    texts = ["x", "x", "y"]
+    h = D.content_hash(texts)
+    assert h[0] == h[1] != h[2]
+    embs = np.array([[1, 0], [0.999, 0.01], [0, 1]], np.float64)
+    pairs = D.cosine_near_dups(embs, np.array([10, 11, 12]), threshold=0.95)
+    assert [(p[0], p[1]) for p in pairs] == [(10, 11)]
+
+
+def test_topk_searcher_and_merge(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    embs = rng.standard_normal((200, 16)).astype(np.float32)
+    ids = np.arange(200)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, e)) for e in embs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    queries = embs[:3]
+    ds = rd.from_arrow(tbl)
+    partials = ds.map_batches(
+        S.TopKSearcher,
+        fn_constructor_args=(queries, np.array([0, 1, 2]), 5),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=1,
+    )
+    import pyarrow as _pa
+
+    parts = _pa.concat_tables(
+        [b for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")],
+        promote_options="default",
+    )
+    top = S.merge_topk(parts, k=5)
+    df = top.to_pandas()
+    # each query's own vector is its top hit
+    for q in (0, 1, 2):
+        sub = df[df.query_id == q]
+        assert len(sub) == 5
+        assert sub.iloc[0]["vec_id"] == q
+    # brute-force check
+    normed = S.normalize(embs.astype(np.float64))
+    sims = normed @ normed[:3].T
+    for q in (0, 1, 2):
+        want = set(np.argsort(-sims[:, q], kind="stable")[:5].tolist())
+        got = set(df[df.query_id == q]["vec_id"].tolist())
+        assert got == want
+
+
+def test_hyperplane_buckets_deterministic():
+    rng = np.random.default_rng(1)
+    embs = rng.standard_normal((50, 8)).astype(np.float32)
+    b1 = S.random_hyperplane_buckets(embs)
+    b2 = S.random_hyperplane_buckets(embs)
+    assert (b1 == b2).all()
+    # identical vectors share a bucket
+    dup = np.vstack([embs[0], embs[0]])
+    bd = S.random_hyperplane_buckets(dup)
+    assert bd[0] == bd[1]
