@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline — the full augmented-diff stream over the
+tpch-derived world at sf0.001 (index bootstrap → minutely change batches → closure →
+semi-join fetch → render → tile assignment) and returns the emitted feature rows.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
+training-data additions as ``(sf_dir) -> Dataset | DataFrame | Table`` callables;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each SQL-expressible one
+(column names match exactly). See augdiff_pipeline_ray/pipelines/tpch_queries.py.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing here (nor in
+the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +18,32 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows >= 0."""
+    from augdiff_pipeline_ray.pipelines import tpch as TP
+
+    return TP.run_flagship(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from augdiff_pipeline_ray.pipelines import tpch_queries as Q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = dict(Q.QUERIES)
+
+    # the streaming adiff itself (stateful, multi-batch; no single SQL equivalent)
+    def adiff_stream(sf_dir: str):
+        from augdiff_pipeline_ray.pipelines import tpch as TP
+
+        return TP.run_flagship(sf_dir)
+
+    out["adiff_stream"] = adiff_stream
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from augdiff_pipeline_ray.pipelines import tpch_queries as Q
+
+    return dict(Q.ORACLE_SQL)

@@ -36,7 +36,7 @@ def _register_pickle_by_value() -> None:
         "stages.render", "stages.tiles",
         "state", "state.index_store", "state.strtree", "state.lineage",
         "pipelines", "pipelines.worldgen", "pipelines.indexer", "pipelines.adiff",
-        "pipelines.tpch",
+        "pipelines.tpch", "pipelines.tpch_queries",
     ]
     for name in submodules:
         try:

@@ -133,7 +133,7 @@ def ways_table(sf_dir: str) -> pa.Table:
                 pa.list_(pa.struct([("type", pa.string()), ("ref", pa.int64()), ("role", pa.string())])),
             ),
             "changeset": pa.array(odf["o_custkey"].to_numpy(np.int64)),
-            "timestamp": pa.array(odf["o_orderdate"].to_numpy()),
+            "timestamp": pa.array(odf["o_orderdate"].to_numpy().astype("datetime64[ms]")),
             "uid": pa.array(odf["o_custkey"].to_numpy(np.int64)),
             "user": pa.array(odf["o_orderpriority"], pa.string()),
             "version": pa.array(np.ones(n, np.int64)),
@@ -225,12 +225,17 @@ def sql_squash(expr: str, rounds: int = 8) -> str:
     return e
 
 
+# the element universe: nodes = all parts; ways = orders that have lineitems (an order
+# with no items derives a way with no nds, which the adapter drops); relations =
+# customers that have orders
 SQL_KEYS = """
     SELECT p_partkey * 4 AS key, p_partkey AS id, 'node' AS type FROM part
     UNION ALL
     SELECT o_orderkey * 4 + 1, o_orderkey, 'way' FROM orders
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
     UNION ALL
     SELECT c_custkey * 4 + 2, c_custkey, 'relation' FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders)
 """
 
 SQL_EDGES = """
@@ -276,3 +281,132 @@ SQL_TILE_LATLON = f"""
            (((phash // 65536) % 32768) / 32768.0) * 180.0 - 90.0 AS lat
     FROM ({SQL_TILES})
 """
+
+
+# ---------------------------------------------------------------------------
+# the flagship: a full adiff stream over the tpch-derived world
+# ---------------------------------------------------------------------------
+
+
+def change_batches_from_events(sf_dir: str, n_batches: int = 3, max_events: int = 120) -> list[pa.Table]:
+    """Events → minutely change batches: each event modifies (or, for 'error' events,
+    deletes) a derived node; deterministic targeting and versioning."""
+    from ..schemas import CHANGE_SCHEMA
+    from .worldgen import _el, elements_to_table
+
+    ev = (
+        pq.read_table(_p(sf_dir, "events"), columns=["event_id", "ts", "event_type", "value"])
+        .to_pandas()
+        .sort_values("event_id")
+        .head(max_events)
+    )
+    parts = pq.read_table(_p(sf_dir, "part"), columns=["p_partkey"])["p_partkey"].to_numpy(
+        zero_copy_only=False
+    )
+    n_parts = len(parts)
+    versions: dict[int, int] = {}
+    out = []
+    for k in range(1, n_batches + 1):
+        sub = ev[ev["event_id"] % n_batches == (k - 1)]
+        rows, acts = [], []
+        for _, e in sub.iterrows():
+            pk = int(parts[(int(e.event_id) * 37) % n_parts])
+            v = versions.get(pk, 1) + 1
+            versions[pk] = v
+            ts_ms = int(pd.Timestamp(e.ts).value // 1_000_000) + 86_400_000
+            if e.event_type == "error":
+                rows.append(_el(pk, "node", ts_ms, version=v, visible=False,
+                                changeset=None, uid=None, user=None))
+                acts.append("delete")
+            else:
+                la, lo = node_latlon(np.array([pk]))
+                rows.append(
+                    _el(pk, "node", ts_ms, version=v,
+                        lat=float(la[0]) + float(e.value) * 1e-5,
+                        lon=float(lo[0]) + float(e.value) * 1e-5,
+                        tags={"event": str(e.event_type)},
+                        changeset=int(e.event_id), uid=int(e.event_id), user="ev")
+                )
+                acts.append("modify")
+        out.append(
+            elements_to_table(
+                rows, CHANGE_SCHEMA,
+                extra={
+                    "batch_seq": pa.array([k] * len(rows), pa.int64()),
+                    "action": pa.array(acts, pa.string()),
+                },
+            )
+        )
+    return out
+
+
+def build_world(sf_dir: str, root: str, n_batches: int = 3) -> dict:
+    """Materialize the tpch-derived world (snapshot + images + OSC batches) on disk."""
+    from ..sources import osc as OSC
+
+    rootp = Path(root)
+    rootp.mkdir(parents=True, exist_ok=True)
+    marker = rootp / "_WORLD_OK"
+    if not marker.exists():
+        elements = pa.concat_tables(
+            [
+                pa.concat_tables(
+                    [
+                        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+                        for b in nodes_dataset(sf_dir).iter_batches(batch_size=None, batch_format="pyarrow")
+                    ],
+                    promote_options="default",
+                ),
+                ways_table(sf_dir),
+                relations_table(sf_dir),
+            ],
+            promote_options="default",
+        )
+        pq.write_table(elements, rootp / "snapshot.parquet")
+        pq.write_table(images_from_documents(sf_dir), rootp / "images.parquet")
+        for i, t in enumerate(change_batches_from_events(sf_dir, n_batches), start=1):
+            rel = OSC.sequence_path(i)
+            p = rootp / "changes" / rel
+            p.parent.mkdir(parents=True, exist_ok=True)
+            OSC.write_osc(t, str(p) + ".osc")
+        marker.touch()
+    return {"root": str(rootp), "n_batches": n_batches}
+
+
+def run_flagship(sf_dir: str, work_root: str | None = None, n_batches: int = 3) -> pa.Table:
+    """The flagship pipeline: index the derived world, stream the change batches through
+    the full augmented-diff engine, and return the rendered features + assignments."""
+    import json
+
+    from .adiff import run_stream
+
+    if work_root is None:
+        h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+        work_root = f"/tmp/augdiff_flagship_{h}"
+    world = Path(work_root) / "world"
+    out = Path(work_root) / "out"
+    build_world(sf_dir, str(world), n_batches)
+    run_stream(str(world), str(out))
+
+    rows = []
+    for p in sorted((out / "adiff").rglob("*.ndjson")):
+        seq = int("".join(p.relative_to(out / "adiff").with_suffix("").parts))
+        for line in p.read_text().splitlines():
+            f = json.loads(line)
+            rows.append(
+                {
+                    "batch_seq": seq,
+                    "id": f["properties"]["id"],
+                    "type": f["properties"]["type"],
+                    "version": f["properties"]["version"],
+                    "visible": f["properties"]["visible"],
+                    "geom_type": f["geometry"]["type"],
+                }
+            )
+    if not rows:
+        return pa.table(
+            {"batch_seq": pa.array([], pa.int64()), "id": pa.array([], pa.int64()),
+             "type": pa.array([], pa.string()), "version": pa.array([], pa.int64()),
+             "visible": pa.array([], pa.bool_()), "geom_type": pa.array([], pa.string())}
+        )
+    return pa.Table.from_pylist(rows)

@@ -1,0 +1,962 @@
+"""Query registry: every operator from SURVEY.md §2 (plus the training-data additions)
+as a Ray Data pipeline over the driver's testdata, with a matching DuckDB oracle SQL.
+
+Contract (driver): ``QUERIES[name]`` is a callable ``(sf_dir) -> Dataset | DataFrame |
+pyarrow.Table``; ``ORACLE_SQL[name]`` is ANSI SQL DuckDB runs over the same parquet
+tables (views: region nation customer supplier part orders lineitem events documents
+embeddings). Column names match exactly; results are compared by row-count + schema +
+order-insensitive value hash. Queries with no SQL equivalent (geometry WKB/WKT, LSH
+internals, the streaming adiff itself) have no oracle entry → rows-only check.
+
+Float discipline: outputs avoid order-dependent float sums and python-vs-SQL rounding —
+aggregates are integral-exact (sums of integral doubles, counts, min/max), ranks use
+deterministic tie-breaks, raw doubles come from identical arithmetic on both sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from .. import cells as C
+from .. import georef
+from .. import keys as K
+from ..functions import dedup as DD
+from ..functions import image as IMG
+from ..functions import similarity as SIM
+from ..functions import text as TX
+from ..sources import snapshot as SNAP
+from ..stages import tiles as TILES
+from ..stages.closure import closure_dataset
+from ..stages.edges import edges_from_batch
+from . import tpch as TP
+
+WINDOW_CUTOFF_MS = 1_705_276_800_000  # 2024-01-15T00:00:00Z — the A1 "update window"
+
+# ---------------------------------------------------------------------------
+# cache for heavy precomputes (closure, snapshot store) keyed by sf_dir
+# ---------------------------------------------------------------------------
+
+_CACHE_ROOT = "/tmp/augdiff_tpch_cache"
+
+
+def _cache_dir(sf_dir: str) -> Path:
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    d = Path(_CACHE_ROOT) / h
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def elements_dataset(sf_dir: str) -> rd.Dataset:
+    nodes = TP.nodes_dataset(sf_dir)
+    ways = rd.from_arrow(TP.ways_table(sf_dir))
+    rels = rd.from_arrow(TP.relations_table(sf_dir))
+    return nodes.union(ways).union(rels)
+
+
+def closure_table(sf_dir: str) -> pa.Table:
+    """Cached transitive closure of the element DAG (built once per sf_dir)."""
+    f = _cache_dir(sf_dir) / "closure.parquet"
+    if not f.exists():
+        edges = elements_dataset(sf_dir).map_batches(
+            edges_from_batch, batch_format="pyarrow"
+        )
+        clo = closure_dataset(edges)
+        pdf = clo.to_pandas()
+        pq.write_table(
+            pa.table({"a": pa.array(pdf["a"].to_numpy(), pa.int64()),
+                      "b": pa.array(pdf["b"].to_numpy(), pa.int64())}),
+            f,
+        )
+    return pq.read_table(f)
+
+
+def snapshot_store(sf_dir: str) -> str:
+    """Cached cell/p-partitioned element store for the keyed-fetch queries."""
+    d = _cache_dir(sf_dir) / "snapshot_store"
+    marker = d / "_SUCCESS"
+    if not marker.exists():
+        SNAP.write_snapshot(elements_dataset(sf_dir), str(d))
+        marker.touch()
+    return str(d)
+
+
+def touched_node_keys(sf_dir: str) -> np.ndarray:
+    pk = pq.read_table(TP._p(sf_dir, "part"), columns=["p_partkey"])["p_partkey"].to_numpy(
+        zero_copy_only=False
+    )
+    sel = pk[pk % 97 == 1]
+    return (sel.astype(np.int64) << 2).astype(np.int64)
+
+
+SQL_TOUCHED = "SELECT p_partkey * 4 AS key FROM part WHERE p_partkey % 97 = 1"
+
+
+# ---------------------------------------------------------------------------
+# the queries
+# ---------------------------------------------------------------------------
+
+QUERIES = {}
+ORACLE_SQL = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# -- M1/M2: key packing + reference partition fn ------------------------------------
+
+
+@query(
+    "keys_pack",
+    f"SELECT key, id, type FROM ({TP.SQL_KEYS})",
+)
+def q_keys_pack(sf_dir: str):
+    ds = elements_dataset(sf_dir)
+
+    def kb(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        types = t["type"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"key": pa.array(K.pack_typed(ids, types)), "id": t["id"], "type": t["type"]}
+        )
+
+    return ds.map_batches(kb, batch_format="pyarrow")
+
+
+_P_NODE = TP.sql_squash("p_partkey")
+_P_WAY = TP.sql_squash("o_orderkey")
+_P_REL = TP.sql_squash("c_custkey")
+
+
+@query(
+    "partition_number",
+    f"""
+    SELECT p_partkey AS id, 'node' AS type, {_P_NODE}::BIGINT AS p FROM part
+    UNION ALL
+    SELECT o_orderkey, 'way', xor({_P_WAY}, 1)::BIGINT FROM orders
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+    UNION ALL
+    SELECT c_custkey, 'relation', xor({_P_REL}, 2)::BIGINT FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_partition_number(sf_dir: str):
+    ds = elements_dataset(sf_dir)
+
+    def pb(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        types = t["type"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"id": t["id"], "type": t["type"],
+             "p": pa.array(K.partition_number_typed(ids, types))}
+        )
+
+    return ds.map_batches(pb, batch_format="pyarrow")
+
+
+# -- J1: edge extraction --------------------------------------------------------------
+
+
+@query("edges_extract", f"SELECT a, b FROM ({TP.SQL_EDGES})")
+def q_edges(sf_dir: str):
+    ds = elements_dataset(sf_dir)
+    return ds.map_batches(
+        lambda t: edges_from_batch(t).select(["a", "b"]), batch_format="pyarrow"
+    )
+
+
+# -- J2: transitive closure -----------------------------------------------------------
+
+
+@query("closure", TP.SQL_CLOSURE)
+def q_closure(sf_dir: str):
+    return closure_table(sf_dir)
+
+
+# -- S11: 2-hop index lookup ----------------------------------------------------------
+
+
+@query(
+    "index_2hop",
+    f"""
+    WITH closure AS ({TP.SQL_CLOSURE}),
+         touched AS ({SQL_TOUCHED}),
+         deps AS (SELECT DISTINCT b FROM closure WHERE a IN (SELECT key FROM touched))
+    SELECT a, b FROM closure WHERE b IN (SELECT b FROM deps)
+    """,
+)
+def q_index_2hop(sf_dir: str):
+    clo = closure_table(sf_dir)
+    a = clo["a"].to_numpy(zero_copy_only=False)
+    b = clo["b"].to_numpy(zero_copy_only=False)
+    touched = touched_node_keys(sf_dir)
+    deps = np.unique(b[np.isin(a, touched)])
+    hit = np.isin(b, deps)
+    return pa.table({"a": pa.array(a[hit]), "b": pa.array(b[hit])})
+
+
+# -- J5: augment semi-join fetch ------------------------------------------------------
+
+
+@query(
+    "augment_semijoin",
+    f"""
+    WITH closure AS ({TP.SQL_CLOSURE}),
+         touched AS ({SQL_TOUCHED}),
+         deps AS (SELECT DISTINCT b FROM closure WHERE a IN (SELECT key FROM touched)),
+         hop2 AS (SELECT a, b FROM closure WHERE b IN (SELECT b FROM deps)),
+         needed AS (
+            SELECT key FROM touched
+            UNION SELECT a FROM hop2
+            UNION SELECT b FROM hop2
+         )
+    SELECT k.id, k.type, k.key
+    FROM ({TP.SQL_KEYS}) k
+    WHERE k.key IN (SELECT key FROM needed)
+    """,
+)
+def q_augment_semijoin(sf_dir: str):
+    """The real fetch path: needed keys → partition-pruned keyed load from the
+    partitioned snapshot store (S3/S4), projected to identity columns."""
+    clo = closure_table(sf_dir)
+    a = clo["a"].to_numpy(zero_copy_only=False)
+    b = clo["b"].to_numpy(zero_copy_only=False)
+    touched = touched_node_keys(sf_dir)
+    deps = np.unique(b[np.isin(a, touched)])
+    hit = np.isin(b, deps)
+    needed = set(touched.tolist()) | set(a[hit].tolist()) | set(b[hit].tolist())
+    parts = set(SNAP.parts_of_keys(np.fromiter(needed, np.int64, len(needed))).tolist())
+    tbl = SNAP.load_keyed(snapshot_store(sf_dir), parts, needed, drop_tags_on_load=True)
+    return tbl.select(["id", "type", "key"])
+
+
+# -- A1: grouped version top-1 (history) ---------------------------------------------
+
+
+@query(
+    "history_top1",
+    f"""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, (epoch_ms(ts) >= {WINDOW_CUTOFF_MS})
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             (epoch_ms(ts) >= {WINDOW_CUTOFF_MS}) AS in_win
+      FROM events
+    )
+    SELECT user_id,
+           MAX(CASE WHEN in_win AND rn = 1 THEN event_id END) AS in_window_event,
+           MAX(CASE WHEN NOT in_win AND rn = 1 THEN event_id END) AS before_event
+    FROM ranked GROUP BY user_id
+    """,
+)
+def q_history_top1(sf_dir: str):
+    ds = rd.read_parquet(TP._p(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=[False, False])
+        ms = g["ts"].astype("datetime64[ms]").astype(np.int64)
+        in_win = ms >= WINDOW_CUTOFF_MS
+        iw = g.loc[in_win, "event_id"]
+        bf = g.loc[~in_win, "event_id"]
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "in_window_event": [iw.iloc[0] if len(iw) else None],
+                "before_event": [bf.iloc[0] if len(bf) else None],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(pick, batch_format="pandas")
+    return out
+
+
+# -- A2: latest version per key -------------------------------------------------------
+
+
+@query(
+    "latest_version",
+    """
+    SELECT user_id, event_id AS latest_event, event_type
+    FROM (SELECT user_id, event_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_latest_version(sf_dir: str):
+    ds = rd.read_parquet(TP._p(sf_dir, "events"), columns=["user_id", "event_id", "event_type", "ts"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=[False, False]).head(1)
+        return pd.DataFrame(
+            {"user_id": g["user_id"].values, "latest_event": g["event_id"].values,
+             "event_type": g["event_type"].values}
+        )
+
+    return ds.groupby("user_id").map_groups(pick, batch_format="pandas")
+
+
+# -- A3/A6: exact dedup / distinct ----------------------------------------------------
+
+
+@query("distinct_flags", "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")
+def q_distinct_flags(sf_dir: str):
+    ds = rd.read_parquet(TP._p(sf_dir, "lineitem"), columns=["l_returnflag", "l_linestatus"])
+    return ds.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+@query(
+    "dedup_exact_docs",
+    "SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text",
+)
+def q_dedup_exact_docs(sf_dir: str):
+    ds = rd.read_parquet(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        return t.append_column("h", pa.array(DD.content_hash(t["text"].to_pylist())))
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").head(1)
+        return g[["doc_id", "text"]]
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+# -- A5: partitioned sorted write order ----------------------------------------------
+
+
+@query(
+    "sorted_write_order",
+    f"""
+    SELECT id, type, p, key,
+           ROW_NUMBER() OVER (ORDER BY p, key) - 1 AS rank
+    FROM (SELECT id, type, key,
+                 CASE type WHEN 'node' THEN {TP.sql_squash('id')}::BIGINT
+                           WHEN 'way' THEN xor({TP.sql_squash('id')}, 1)::BIGINT
+                           ELSE xor({TP.sql_squash('id')}, 2)::BIGINT END AS p
+          FROM ({TP.SQL_KEYS}))
+    """,
+)
+def q_sorted_write_order(sf_dir: str):
+    ds = elements_dataset(sf_dir).map_batches(SNAP.with_part_and_key, batch_format="pyarrow")
+    ds = ds.select_columns(["id", "type", "part", "key"]).sort(["part", "key"])
+    # global rank: the sort is the operator under test; stamping the rank on the small
+    # collected result verifies the order end-to-end
+    t = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")],
+        promote_options="default",
+    )
+    t = t.rename_columns(["id", "type", "p", "key"])
+    return t.append_column("rank", pa.array(np.arange(len(t), dtype=np.int64)))
+
+
+# -- graft: cell assignment (PIP through the STRtree actor stage) --------------------
+
+
+@query(
+    "cell_assign",
+    f"""
+    SELECT p_partkey AS id, ({TP.SQL_CELL})::BIGINT AS cell
+    FROM ({TP.SQL_NODE_LATLON})
+    """,
+)
+def q_cell_assign(sf_dir: str):
+    ds = TP.nodes_dataset(sf_dir)
+
+    class Assign:
+        def __init__(self):
+            self.assigner = TILES.CellAssigner()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lat = t["lat"].to_numpy(zero_copy_only=False)
+            lon = t["lon"].to_numpy(zero_copy_only=False)
+            return pa.table({"id": t["id"], "cell": pa.array(self.assigner.assign_points(lat, lon))})
+
+    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=2, num_cpus=1)
+
+
+@query(
+    "tile_georef",
+    f"""
+    SELECT image_id, phash, w, h, fmt, ({TP.SQL_CELL})::BIGINT AS cell
+    FROM ({TP.SQL_TILE_LATLON})
+    """,
+)
+def q_tile_georef(sf_dir: str):
+    t = TP.images_from_documents(sf_dir)
+    cell = georef.cell_of_image(t["phash"])
+    return pa.table(
+        {"image_id": t["image_id"], "phash": t["phash"], "w": t["w"], "h": t["h"],
+         "fmt": t["fmt"], "cell": pa.array(cell)}
+    )
+
+
+@query(
+    "tiles_per_cell",
+    f"""
+    SELECT ({TP.SQL_CELL})::BIGINT AS cell, COUNT(*) AS n
+    FROM ({TP.SQL_TILE_LATLON}) GROUP BY 1
+    """,
+)
+def q_tiles_per_cell(sf_dir: str):
+    t = TP.images_from_documents(sf_dir)
+    ds = rd.from_arrow(t.select(["phash"]))
+
+    def cellify(b: pa.Table) -> pa.Table:
+        return pa.table({"cell": pa.array(georef.cell_of_image(b["phash"]))})
+
+    from ray.data.aggregate import Count
+
+    return ds.map_batches(cellify, batch_format="pyarrow").groupby("cell").aggregate(
+        Count(alias_name="n")
+    )
+
+
+@query(
+    "knn_tiles",
+    f"""
+    WITH tiles AS (
+      SELECT image_id, lat, lon,
+             LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * 256) AS BIGINT), 0), 255) AS row,
+             ((CAST(FLOOR((lon + 180.0) / 360.0 * 512) AS BIGINT) % 512) + 512) % 512 AS col
+      FROM ({TP.SQL_TILE_LATLON})
+    ),
+    q AS (SELECT * FROM tiles WHERE image_id <= 'doc-00000004'),
+    pairs AS (
+      SELECT q.image_id AS query_id, t.image_id AS neighbor_id,
+             sqrt(pow((t.lat - q.lat) * 111320.0, 2)
+                  + pow((t.lon - q.lon) * 111320.0 * cos(radians(q.lat)), 2)) AS dist
+      FROM q JOIN tiles t
+        ON abs(t.row - q.row) <= 1
+       AND LEAST(((t.col - q.col) % 512 + 512) % 512, ((q.col - t.col) % 512 + 512) % 512) <= 1
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY round(dist, 3), neighbor_id) - 1 AS rank
+      FROM pairs)
+    WHERE rank < 3
+    """,
+)
+def q_knn_tiles(sf_dir: str):
+    t = TP.images_from_documents(sf_dir)
+    lat, lon = georef.centroid(t["phash"])
+    cells = georef.cell_of_image(t["phash"])
+    ids = t["image_id"].to_pylist()
+    nq = min(5, len(ids))
+    # ask for every candidate in the ring, then re-rank deterministically
+    res = TILES.knn_against_tiles(lat[:nq], lon[:nq], cells, lat, lon, ids, k=10**6)
+    rows = []
+    for qi in range(nq):
+        cands = sorted(res[qi], key=lambda p: (round(p[1], 3), p[0]))[:3]
+        for rank, (nid, _) in enumerate(cands):
+            rows.append({"query_id": ids[qi], "neighbor_id": nid, "rank": rank})
+    return pa.Table.from_pylist(rows)
+
+
+# -- text analysis -------------------------------------------------------------------
+
+
+@query(
+    "token_counts",
+    """
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_ws
+    FROM documents
+    """,
+)
+def q_token_counts(sf_dir: str):
+    ds = rd.read_parquet(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_ws": TX.token_count_whitespace(df["text"])}
+        )
+
+    return ds.map_batches(tok, batch_format="pandas")
+
+
+@query(
+    "quality_scores",
+    """
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars2,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_words,
+           length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE
+             / GREATEST(length(text), 1) AS punct_ratio,
+           len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))::DOUBLE
+             / GREATEST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), 1) AS stopword_ratio
+    FROM documents
+    """,
+)
+def q_quality_scores(sf_dir: str):
+    ds = rd.read_parquet(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        q = TX.quality_scores(df["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_chars2": q["n_chars"].to_numpy(np.int64),
+                "n_words": q["n_words"].to_numpy(np.int64),
+                "punct_ratio": q["punct_ratio"].to_numpy(),
+                "stopword_ratio": q["stopword_ratio"].to_numpy(),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def _sql_lang_hits(lang: str) -> str:
+    words = sorted(TX.STOPWORDS[lang])
+    if lang == "zh":
+        parts = " + ".join(
+            f"(length(text) - length(replace(text, '{ch}', '')))" for ch in words
+        )
+        return f"({parts})"
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+        f" x -> list_contains([{lst}], x)))"
+    )
+
+
+@query(
+    "lang_id",
+    f"""
+    WITH hits AS (
+      SELECT doc_id,
+             {_sql_lang_hits('en')} AS h_en,
+             {_sql_lang_hits('es')} AS h_es,
+             {_sql_lang_hits('fr')} AS h_fr,
+             {_sql_lang_hits('de')} AS h_de,
+             {_sql_lang_hits('zh')} AS h_zh
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN GREATEST(h_en, h_es, h_fr, h_de, h_zh) = 0 THEN 'und'
+                WHEN h_en >= GREATEST(h_es, h_fr, h_de, h_zh) THEN 'en'
+                WHEN h_es >= GREATEST(h_fr, h_de, h_zh) THEN 'es'
+                WHEN h_fr >= GREATEST(h_de, h_zh) THEN 'fr'
+                WHEN h_de >= h_zh THEN 'de'
+                ELSE 'zh' END AS lang_guess
+    FROM hits
+    """,
+)
+def q_lang_id(sf_dir: str):
+    ds = rd.read_parquet(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def lid(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang_guess": TX.lang_id(df["text"])})
+
+    return ds.map_batches(lid, batch_format="pandas")
+
+
+@query(
+    "fingerprint",
+    "SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp FROM documents",
+)
+def q_fingerprint(sf_dir: str):
+    ds = rd.read_parquet(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        vals = [
+            int(hashlib.md5((t or "").encode()).hexdigest()[:15], 16)
+            for t in df["text"]
+        ]
+        return pd.DataFrame({"doc_id": df["doc_id"], "fp": np.array(vals, np.int64)})
+
+    return ds.map_batches(fp, batch_format="pandas")
+
+
+# -- dedup: minhash LSH / simhash / jaccard / cosine ---------------------------------
+
+
+def _docs_doubled(sf_dir: str) -> pa.Table:
+    """documents ∪ copy with doc_id+1000000 — guaranteed exact dups for dedup demos."""
+    t = pq.read_table(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+    t2 = pa.table({"doc_id": pc.add(t["doc_id"], 1_000_000), "text": t["text"]})
+    return pa.concat_tables([t, t2])
+
+
+@query(
+    "minhash_dup_pairs",
+    """
+    WITH u AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 1000000, text FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM u a JOIN u b ON a.text = b.text AND a.doc_id < b.doc_id
+    """,
+)
+def q_minhash_dup_pairs(sf_dir: str):
+    """Exact dedup at scale via MinHash+LSH prefilter: shingle → minhash → band buckets
+    → candidate pairs → full-text verify. Identical docs always share all bands (recall
+    1.0); the verify step keeps exactly the equal-text pairs — the SQL oracle. (The
+    fuzzy variant — keep Jaccard ≥ τ instead — is the same pipeline with a different
+    verify predicate; ngram_jaccard_pairs covers the fuzzy oracle.)"""
+    docs = _docs_doubled(sf_dir)
+    ds = rd.from_arrow(docs)
+
+    def bands(t: pa.Table) -> pa.Table:
+        ids, bid, bh = [], [], []
+        for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sig = DD.minhash_signature(txt)
+            for b, h in DD.lsh_band_rows(sig):
+                ids.append(i)
+                bid.append(b)
+                bh.append(h)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "band": pa.array(bid, pa.int64()),
+             "bhash": pa.array(bh, pa.int64())}
+        )
+
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    texts_ref = ray.put(texts)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        tx = ray.get(texts_ref)
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if tx[ids[i]] == tx[ids[j]]:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    pairs = (
+        ds.map_batches(bands, batch_format="pyarrow")
+        .groupby(["band", "bhash"])
+        .map_groups(verify, batch_format="pandas")
+    )
+    pdf = pairs.to_pandas().drop_duplicates().astype({"id_a": np.int64, "id_b": np.int64})
+    return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+@query(
+    "simhash_dup_pairs",
+    """
+    WITH u AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 1000000, text FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM u a JOIN u b ON a.text = b.text AND a.doc_id < b.doc_id
+    """,
+)
+def q_simhash_dup_pairs(sf_dir: str):
+    """Exact dedup via SimHash prefilter: 64-bit fingerprint per doc, bucket by
+    fingerprint (a Hamming-radius probe would rotate prefixes the same way), full-text
+    verify within buckets — the verify keeps exactly the equal-text pairs (SQL oracle)."""
+    docs = _docs_doubled(sf_dir)
+    ds = rd.from_arrow(docs)
+
+    def fp(t: pa.Table) -> pa.Table:
+        vals = [DD.simhash64(x) for x in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": t["text"], "sh": pa.array(vals, pa.int64())}
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].tolist()
+        txt = g["text"].tolist()
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if txt[i] == txt[j]:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    out = (
+        ds.map_batches(fp, batch_format="pyarrow").groupby("sh").map_groups(pairs, batch_format="pandas")
+    )
+    pdf = out.to_pandas()
+    if not len(pdf):
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64)})
+    return pdf.astype({"id_a": np.int64, "id_b": np.int64}).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    """
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+    grams AS (
+      SELECT DISTINCT doc_id, substr(text, i, 3) AS g
+      FROM docs, UNNEST(range(1, length(text) - 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
+    """,
+)
+def q_ngram_jaccard_pairs(sf_dir: str):
+    t = pq.read_table(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+    mask = pc.less(t["doc_id"], 40)
+    t = t.filter(mask)
+    ids = t["doc_id"].to_pylist()
+    grams = [
+        {txt[i : i + 3] for i in range(len(txt) - 2)} for txt in t["text"].to_pylist()
+    ]
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            gi, gj = grams[i], grams[j]
+            inter = len(gi & gj)
+            if inter and inter / (len(gi) + len(gj) - inter) >= 0.5:
+                a, b = ids[i], ids[j]
+                rows.append({"id_a": min(a, b), "id_b": max(a, b)})
+    if not rows:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64)})
+    return pa.Table.from_pylist(rows)
+
+
+@query(
+    "cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5)
+    SELECT query_id, vec_id, rank FROM (
+      SELECT q.query_id, e.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) DESC,
+                        e.vec_id) - 1 AS rank
+      FROM embeddings e CROSS JOIN q)
+    WHERE rank < 10
+    """,
+)
+def q_cosine_topk(sf_dir: str):
+    emb = pq.read_table(TP._p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qmask = pc.less(emb["vec_id"], 5)
+    qt = emb.filter(qmask)
+    queries = np.stack([np.asarray(e, np.float64) for e in qt["embedding"].to_pylist()])
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    ds = rd.read_parquet(TP._p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        SIM.TopKSearcher,
+        fn_constructor_args=(queries, qids, 10),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+    parts = pa.concat_tables(
+        [b for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")],
+        promote_options="default",
+    )
+    top = SIM.merge_topk(parts, k=10).to_pandas()
+    return top[["query_id", "vec_id", "rank"]].astype(np.int64)
+
+
+@query(
+    "cosine_neardup_pairs",
+    """
+    WITH u AS (SELECT vec_id, embedding FROM embeddings
+               UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.999
+    """,
+)
+def q_cosine_neardup_pairs(sf_dir: str):
+    emb = pq.read_table(TP._p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.stack([np.asarray(e, np.float64) for e in emb["embedding"].to_pylist()])
+    all_ids = np.concatenate([ids, ids + 1_000_000])
+    all_mat = np.vstack([mat, mat])
+    pairs = DD.cosine_near_dups(all_mat, all_ids, threshold=0.999)
+    rows = [{"id_a": a, "id_b": b} for a, b, _ in pairs]
+    if not rows:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64)})
+    return pa.Table.from_pylist(rows)
+
+
+# -- aggregation with partial pre-aggregation ----------------------------------------
+
+
+@query(
+    "agg_pushdown",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           COUNT(*) AS n,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_pushdown(sf_dir: str):
+    ds = rd.read_parquet(
+        TP._p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    # partial per-batch combine (the at-scale pattern: shuffle only 1 row per key/batch)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            n=("l_quantity", "size"),
+            min_price=("l_extendedprice", "min"),
+            max_price=("l_extendedprice", "max"),
+        )
+        return g.reset_index()
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("n", alias_name="n"),
+            Min("min_price", alias_name="min_price"),
+            Max("max_price", alias_name="max_price"),
+        )
+    )
+    return out
+
+
+@query(
+    "top_customers",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    ORDER BY n_orders DESC, o_custkey
+    LIMIT 10
+    """,
+)
+def q_top_customers(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(TP._p(sf_dir, "orders"), columns=["o_custkey"])
+    agg = ds.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    return agg.sort(["n_orders", "o_custkey"], descending=[True, False]).limit(10)
+
+
+# -- streaming-shaped window aggregate ------------------------------------------------
+
+
+@query(
+    "events_window",
+    """
+    SELECT user_id,
+           CAST(FLOOR(epoch_ms(ts) / 600000) AS BIGINT) AS win,
+           COUNT(*) AS n,
+           MIN(event_id) AS first_event,
+           MAX(event_id) AS last_event
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_window(sf_dir: str):
+    ds = rd.read_parquet(TP._p(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        ms = df["ts"].astype("datetime64[ms]").astype(np.int64)
+        df = df.assign(win=ms // 600_000)
+        g = df.groupby(["user_id", "win"], sort=False).agg(
+            n=("event_id", "size"),
+            first_event=("event_id", "min"),
+            last_event=("event_id", "max"),
+        )
+        return g.reset_index()
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    return (
+        ds.map_batches(win, batch_format="pandas")
+        .groupby(["user_id", "win"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("first_event", alias_name="first_event"),
+            Max("last_event", alias_name="last_event"),
+        )
+    )
+
+
+# -- rows-only (no SQL equivalent) ----------------------------------------------------
+
+
+@query("geometry_functions")
+def q_geometry_functions(sf_dir: str):
+    """ST_Point / ST_AsText / ST_IsValid / ST_Transform over the derived nodes (M6-M8) —
+    WKB/WKT are not SQL-expressible in stock DuckDB; rows-only check."""
+    from ..functions import scalar as SC
+
+    ds = TP.nodes_dataset(sf_dir)
+
+    def geom(t: pa.Table) -> pa.Table:
+        wkbs = SC.st_point(t["lon"], t["lat"])
+        return pa.table(
+            {
+                "id": t["id"],
+                "wkt": pa.array(SC.st_as_text(wkbs), pa.string()),
+                "valid": pa.array(SC.st_is_valid(wkbs)),
+                "empty": pa.array(SC.st_is_empty(wkbs)),
+                "merc_wkb": pa.array(SC.st_transform_point_wkb(wkbs), pa.binary()),
+            }
+        )
+
+    return ds.map_batches(geom, batch_format="pyarrow")
+
+
+@query("embedding_lsh_buckets")
+def q_embedding_lsh_buckets(sf_dir: str):
+    """Sign-LSH bucket assignment (the ANN scale path) — gaussian planes aren't
+    SQL-expressible; rows-only."""
+    ds = rd.read_parquet(TP._p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def buckets(t: pa.Table) -> pa.Table:
+        mat = np.stack([np.asarray(e, np.float32) for e in t["embedding"].to_pylist()])
+        return pa.table(
+            {"vec_id": t["vec_id"], "bucket": pa.array(SIM.random_hyperplane_buckets(mat))}
+        )
+
+    return ds.map_batches(buckets, batch_format="pyarrow")
+
+
+@query("tile_decode_verify")
+def q_tile_decode_verify(sf_dir: str):
+    """Decode every derived tile through the TileDecoder actor pool; verify pixels
+    against the deterministic source (per-row PSNR invariant). Rows-only (decode isn't
+    SQL); the cell/georef arithmetic is covered by tile_georef's oracle."""
+    t = TP.images_from_documents(sf_dir)
+    ds = rd.from_arrow(t)
+    out = ds.map_batches(
+        TILES.TileDecoder,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=1,
+    )
+    return out.select_columns(["image_id", "cell", "decode_ok", "psnr_db"])

@@ -58,16 +58,46 @@ def parts_of_keys(keys: np.ndarray) -> np.ndarray:
 
 
 def write_snapshot(ds: rd.Dataset, root: str, mode: str = "overwrite") -> None:
-    """Sorted, partitioned snapshot write (S5 analogue)."""
+    """Sorted, partitioned snapshot write (S5 analogue).
+
+    Range-partition sort by (part, key), then each sorted block writes its rows into
+    ``part=<p>/keys-<min>-<max>.parquet`` — deterministic names (sorted blocks cover
+    disjoint key ranges) so a re-run overwrites rather than duplicates, and one file per
+    (block, part) keeps the layout resumable. (Ray's ``write_parquet(partition_cols=…)``
+    delegates to pyarrow's dataset writer, which caps a fragment at 1024 partitions —
+    the explicit writer sidesteps that and writes tmp+rename atomically.)
+    """
     ds = ds.map_batches(with_part_and_key, batch_format="pyarrow")
-    # range-partition sort by (part, key): rows land clustered by partition dir and the
-    # within-file key order gives parquet row-group stats for point-read skipping
     ds = ds.sort(["part", "key"])
     if mode == "overwrite" and os.path.isdir(root):
         import shutil
 
         shutil.rmtree(root)
-    ds.write_parquet(root, partition_cols=["part"])
+    os.makedirs(root, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        parts = batch["part"].to_numpy(zero_copy_only=False)
+        keys = batch["key"].to_numpy(zero_copy_only=False)
+        out_parts, out_rows = [], []
+        for p in np.unique(parts):
+            mask = parts == p
+            sub = batch.filter(pa.array(mask)).drop_columns(["part"])
+            kmin, kmax = keys[mask].min(), keys[mask].max()
+            d = Path(root) / f"part={int(p)}"
+            d.mkdir(parents=True, exist_ok=True)
+            tmp = d / f".keys-{kmin}-{kmax}.tmp"
+            pq.write_table(sub, tmp)
+            os.replace(tmp, d / f"keys-{kmin}-{kmax}.parquet")
+            out_parts.append(int(p))
+            out_rows.append(int(mask.sum()))
+        return pa.table({"part": pa.array(out_parts, pa.int64()),
+                         "rows": pa.array(out_rows, pa.int64())})
+
+    # consume the manifest stream (small) to drive execution
+    for _ in ds.map_batches(write_block, batch_format="pyarrow").iter_batches(
+        batch_size=None
+    ):
+        pass
 
 
 def append_rows(table: pa.Table, root: str, batch_seq: int) -> None:

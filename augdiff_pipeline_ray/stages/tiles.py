@@ -240,6 +240,7 @@ def rasterize_geom_on_tile(
 
 def _densify(coords: np.ndarray, step_frac: float = 0.02) -> np.ndarray:
     """Insert intermediate vertices so line rasterization has no gaps."""
+    coords = coords[~np.isnan(coords).any(axis=1)]
     if len(coords) < 2:
         return coords
     segs = [coords[:1]]
