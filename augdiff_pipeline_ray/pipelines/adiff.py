@@ -160,7 +160,7 @@ class AdiffJob:
         drop_tags_on_load: bool = True,
         knn_k: int = 3,
         max_overlay_tiles_per_batch: int = 8,
-        parallel_fetch: bool = True,
+        parallel_fetch: bool | str = "auto",
         distributed_render: bool = True,
     ):
         self.world = Path(world_root)
@@ -256,7 +256,8 @@ class AdiffJob:
             feat_tbl = self._render_local(ctx, ents)
 
         order = np.argsort(feat_tbl["order"].to_numpy(zero_copy_only=False), kind="stable")
-        lines = [feat_tbl["feature"].to_pylist()[i] for i in order]
+        feats_py = feat_tbl["feature"].to_pylist()
+        lines = [feats_py[i] for i in order]
         json_path = GJ.batch_json_path(self.adiff_template, seq)
         nbytes = GJ.write_features(json_path, lines)
 
@@ -303,7 +304,8 @@ class AdiffJob:
                 "id": pa.array([e[1] for e in ents], pa.int64()),
             }
         )
-        ds = rd.from_arrow(ent_tbl)
+        # from_arrow yields ONE block; split so the actor pool actually fans out
+        ds = rd.from_arrow(ent_tbl).repartition(self.render_concurrency * 2)
         out = ds.map_batches(
             RenderWorker,
             fn_constructor_args=(ctx_ref,),
@@ -416,7 +418,19 @@ class AdiffJob:
         imgs = pq.read_table(self.world / "images.parquet")
         sel = np.isin(np.asarray(imgs["image_id"].to_pylist()), tile_ids)
         imgs = imgs.filter(pa.array(sel))
-        geoms = [json.loads(l)["geometry"] for l in lines]
+        # parse geometries + bboxes ONCE per batch; per tile select by vectorized
+        # bbox intersection (far-away geometry costs one comparison, not a rasterize)
+        geoms, bbs = [], []
+        for l in lines:
+            g = _geojson_to_geom(json.loads(l)["geometry"])
+            if g is None:
+                continue
+            bb = G.geom_bbox(g)
+            if bb is None or any(np.isnan(bb)):
+                continue
+            geoms.append(g)
+            bbs.append(bb)
+        bbs_np = np.asarray(bbs, float).reshape(-1, 4)  # (lon0, lat0, lon1, lat1)
         rows = []
         for rec in imgs.to_pylist():
             px, _ = IMG.decode(rec["bytes"])
@@ -424,15 +438,16 @@ class AdiffJob:
                 float(v[0]) for v in georef.footprint([rec["phash"]], [rec["w"]], [rec["h"]])
             )
             changed_total = 0
-            for gj in geoms:
-                geom = _geojson_to_geom(gj)
-                if geom is None:
-                    continue
-                bb = G.geom_bbox(geom)
-                if bb is None or bb[2] < lon0 or bb[0] > lon1 or bb[3] < lat0 or bb[1] > lat1:
-                    continue
-                px, changed = T.rasterize_geom_on_tile(px, (lat0, lat1, lon0, lon1), geom)
-                changed_total += changed
+            if len(bbs_np):
+                hit = ~(
+                    (bbs_np[:, 2] < lon0) | (bbs_np[:, 0] > lon1)
+                    | (bbs_np[:, 3] < lat0) | (bbs_np[:, 1] > lat1)
+                )
+                for gi in np.nonzero(hit)[0][:256]:
+                    px, changed = T.rasterize_geom_on_tile(
+                        px, (lat0, lat1, lon0, lon1), geoms[gi]
+                    )
+                    changed_total += changed
             rows.append(
                 {"batch_seq": seq, "image_id": rec["image_id"],
                  "changed_px": changed_total, "w": rec["w"], "h": rec["h"]}

@@ -22,7 +22,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..sources import snapshot as SNAP
-from ..stages.closure import closure_dataset
+from ..stages.closure import closure_auto, closure_dataset
 from ..stages.edges import edges_from_batch
 from ..stages.tiles import TileDecoder
 from ..state.index_store import IndexStore
@@ -44,9 +44,9 @@ def run_indexer(
     # edges (J1) — vectorized flat-map over Arrow batches
     edges = ds.map_batches(edges_from_batch, batch_format="pyarrow")
 
-    # transitive closure (J2) — log-round doubling joins
-    clo = closure_dataset(edges, num_partitions=num_partitions)
-    clo_table = _collect_pairs(clo)
+    # transitive closure (J2) — size-adaptive: numpy doubling for small edge sets,
+    # log-round distributed doubling joins at scale
+    clo_table = closure_auto(edges, num_partitions=num_partitions)
 
     store = IndexStore(str(out / "index"), num_shards=num_shards)
     store.write_full(clo_table)

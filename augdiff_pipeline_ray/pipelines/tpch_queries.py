@@ -37,7 +37,7 @@ from ..functions import similarity as SIM
 from ..functions import text as TX
 from ..sources import snapshot as SNAP
 from ..stages import tiles as TILES
-from ..stages.closure import closure_dataset
+from ..stages.closure import closure_auto
 from ..stages.edges import edges_from_batch
 from . import tpch as TP
 
@@ -71,13 +71,7 @@ def closure_table(sf_dir: str) -> pa.Table:
         edges = elements_dataset(sf_dir).map_batches(
             edges_from_batch, batch_format="pyarrow"
         )
-        clo = closure_dataset(edges)
-        pdf = clo.to_pandas()
-        pq.write_table(
-            pa.table({"a": pa.array(pdf["a"].to_numpy(), pa.int64()),
-                      "b": pa.array(pdf["b"].to_numpy(), pa.int64())}),
-            f,
-        )
+        pq.write_table(closure_auto(edges), f)
     return pq.read_table(f)
 
 
@@ -637,24 +631,30 @@ def q_minhash_dup_pairs(sf_dir: str):
     texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
     texts_ref = ray.put(texts)
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        tx = ray.get(texts_ref)
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if tx[ids[i]] == tx[ids[j]]:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+    band_rows = ds.map_batches(bands, batch_format="pyarrow").materialize()
+    # candidate generation = hash self-join on (band, bhash) — the shuffle primitive,
+    # no per-group python dispatch (16k tiny buckets would cost ~ms each in map_groups)
+    left = band_rows.rename_columns({"doc_id": "id_a"})
+    right = band_rows.rename_columns({"doc_id": "id_b"})
+    from ..stages.closure import default_join_partitions
 
-    pairs = (
-        ds.map_batches(bands, batch_format="pyarrow")
-        .groupby(["band", "bhash"])
-        .map_groups(verify, batch_format="pandas")
+    joined = left.join(
+        right,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("band", "bhash"),
     )
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        keep = a < b
+        a, b = a[keep], b[keep]
+        tx = ray.get(texts_ref)
+        eq = np.fromiter((tx[x] == tx[y] for x, y in zip(a, b)), bool, len(a))
+        return pa.table({"id_a": pa.array(a[eq]), "id_b": pa.array(b[eq])})
+
+    pairs = joined.map_batches(verify, batch_format="pyarrow")
     pdf = pairs.to_pandas().drop_duplicates().astype({"id_a": np.int64, "id_b": np.int64})
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 

@@ -124,12 +124,15 @@ def list_partitions(root: str) -> set[int]:
     }
 
 
+PARALLEL_LOAD_MIN_BYTES = 64 * 1024 * 1024  # below this, Ray startup dwarfs the read
+
+
 def load_keyed(
     root: str,
     wanted_parts: set[int],
     wanted_keys: set[int],
     drop_tags_on_load: bool = True,
-    parallel: bool = True,
+    parallel: bool | str = "auto",
 ) -> pa.Table:
     """Partition-pruned point read: rows whose packed key ∈ wanted_keys, scanning only
     partition dirs in wanted_parts."""
@@ -157,14 +160,17 @@ def load_keyed(
             out = out.set_column(i, "tags", empty)
         return out
 
+    if parallel == "auto":
+        total = sum(os.path.getsize(f) for f in dirs)
+        parallel = total >= PARALLEL_LOAD_MIN_BYTES
     if parallel:
         ds = rd.read_parquet(dirs)
         ds = ds.map_batches(_filter, batch_format="pyarrow")
         return _collect(ds)
-    pieces = []
-    for f in dirs:
-        t = pq.read_table(f)
-        pieces.append(_filter(t))
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        pieces = list(ex.map(lambda f: _filter(pq.read_table(f)), dirs))
     return pa.concat_tables(pieces, promote_options="default") if pieces else ELEMENT_SCHEMA.empty_table()
 
 

@@ -77,7 +77,7 @@ def augment_rows(
     edges: set[tuple[int, int]],
     snapshot_root: str,
     drop_tags_on_load: bool = True,
-    parallel_fetch: bool = True,
+    parallel_fetch: bool | str = "auto",
 ) -> list[dict]:
     """→ the deduped, provenance-flagged "rows from everywhere" as normalized dicts,
     deterministically ordered (type, id, -timestamp, -version)."""

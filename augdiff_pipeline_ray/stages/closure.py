@@ -107,6 +107,65 @@ def closure_dataset(
     return paths
 
 
+def closure_numpy(a: np.ndarray, b: np.ndarray, max_rounds: int = 40) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized in-memory reachability doubling over int64 pair arrays.
+
+    Same doubling recurrence as :func:`closure_dataset`, but each round is a sorted
+    searchsorted merge-join instead of a Ray shuffle — used by the size-adaptive plan
+    below for edge sets that fit one node comfortably.
+    """
+    pairs = np.unique(np.stack([a, b], axis=1)[a != b], axis=0)
+    for _ in range(max_rounds):
+        pa_, pb_ = pairs[:, 0], pairs[:, 1]
+        order = np.argsort(pa_, kind="stable")
+        sa, sb = pa_[order], pb_[order]
+        lo = np.searchsorted(sa, pb_, side="left")
+        hi = np.searchsorted(sa, pb_, side="right")
+        counts = hi - lo
+        if counts.sum() == 0:
+            break
+        src = np.repeat(np.arange(len(pairs)), counts)
+        # indices into the sorted arrays for each expansion (vectorized ragged ranges)
+        total = int(counts.sum())
+        grp_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        within = np.arange(total) - np.repeat(grp_start, counts)
+        offs = np.repeat(lo, counts) + within
+        ext = np.stack([pa_[src], sb[offs]], axis=1)
+        ext = ext[ext[:, 0] != ext[:, 1]]
+        new = np.unique(np.vstack([pairs, ext]), axis=0)
+        if len(new) == len(pairs):
+            break
+        pairs = new
+    return pairs[:, 0].copy(), pairs[:, 1].copy()
+
+
+def closure_auto(
+    edges: rd.Dataset,
+    small_threshold: int = 5_000_000,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Size-adaptive closure plan: count the direct edges first (cheap — two int64
+    columns); below ``small_threshold`` pairs, collect and run the vectorized numpy
+    doubling (Ray shuffle rounds cost seconds of fixed overhead that dwarf small
+    inputs); above it, run the distributed join rounds. Returns an Arrow (a, b) table
+    (small case) — the distributed case streams through ``closure_dataset`` and is
+    collected by the caller's sink."""
+    slim = edges.select_columns(["a", "b"]).materialize()
+    n = slim.count()
+    if n <= small_threshold:
+        pdf = slim.to_pandas()
+        a, b = closure_numpy(
+            pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64)
+        )
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+    clo = closure_dataset(slim, num_partitions=num_partitions)
+    pdf = clo.to_pandas()
+    return pa.table(
+        {"a": pa.array(pdf["a"].to_numpy(), pa.int64()),
+         "b": pa.array(pdf["b"].to_numpy(), pa.int64())}
+    )
+
+
 # ---------------------------------------------------------------------------
 # local (per-micro-batch) incremental closure — ComputeIndexLocal semantics
 # ---------------------------------------------------------------------------

@@ -196,28 +196,69 @@ def rasterize_geom_on_tile(
     """
     h, w = pixels.shape[:2]
     lat0, lat1, lon0, lon1 = bbox
+    spanx = max(lon1 - lon0, 1e-12)
+    spany = max(lat1 - lat0, 1e-12)
     ys = lat1 - (np.arange(h) + 0.5) / h * (lat1 - lat0)  # row 0 = north
     xs = lon0 + (np.arange(w) + 0.5) / w * (lon1 - lon0)
     mask = np.zeros((h, w), bool)
 
     def _mark_points(coords: np.ndarray, radius: int = 1):
         coords = coords[~np.isnan(coords).any(axis=1)]
+        # only points inside (a slightly padded) tile bbox can paint pixels
+        pad_x, pad_y = spanx * 0.05, spany * 0.05
+        keep = (
+            (coords[:, 0] >= lon0 - pad_x) & (coords[:, 0] <= lon1 + pad_x)
+            & (coords[:, 1] >= lat0 - pad_y) & (coords[:, 1] <= lat1 + pad_y)
+        )
+        coords = coords[keep]
         if not len(coords):
             return
-        px = np.clip(((coords[:, 0] - lon0) / max(lon1 - lon0, 1e-12) * w).astype(int), 0, w - 1)
-        py = np.clip(((lat1 - coords[:, 1]) / max(lat1 - lat0, 1e-12) * h).astype(int), 0, h - 1)
-        for x, y in zip(px, py):
-            mask[max(0, y - radius) : y + radius + 1, max(0, x - radius) : x + radius + 1] = True
+        px = np.clip(((coords[:, 0] - lon0) / spanx * w).astype(np.int64), 0, w - 1)
+        py = np.clip(((lat1 - coords[:, 1]) / spany * h).astype(np.int64), 0, h - 1)
+        for dy in range(-radius, radius + 1):
+            for dx in range(-radius, radius + 1):
+                mask[np.clip(py + dy, 0, h - 1), np.clip(px + dx, 0, w - 1)] = True
+
+    def _mark_line(coords: np.ndarray):
+        coords = coords[~np.isnan(coords).any(axis=1)]
+        if len(coords) < 2:
+            _mark_points(coords)
+            return
+        # keep only segments touching the (padded) tile bbox before densifying —
+        # far-away geometry costs nothing
+        a, b = coords[:-1], coords[1:]
+        pad_x, pad_y = spanx, spany
+        seg_keep = ~(
+            (np.maximum(a[:, 0], b[:, 0]) < lon0 - pad_x)
+            | (np.minimum(a[:, 0], b[:, 0]) > lon1 + pad_x)
+            | (np.maximum(a[:, 1], b[:, 1]) < lat0 - pad_y)
+            | (np.minimum(a[:, 1], b[:, 1]) > lat1 + pad_y)
+        )
+        if not seg_keep.any():
+            return
+        a, b = a[seg_keep], b[seg_keep]
+        step = min(spanx / w, spany / h)
+        n_per = np.clip(
+            (np.hypot(b[:, 0] - a[:, 0], b[:, 1] - a[:, 1]) / step).astype(np.int64) + 1,
+            1, 4 * max(w, h),
+        )
+        total = int(n_per.sum())
+        idx = np.repeat(np.arange(len(a)), n_per)
+        grp_start = np.concatenate([[0], np.cumsum(n_per)[:-1]])
+        within = np.arange(total) - np.repeat(grp_start, n_per)
+        t = (within / np.maximum(np.repeat(n_per, n_per) - 1, 1))[:, None]
+        pts = a[idx] + (b[idx] - a[idx]) * t
+        _mark_points(np.vstack([pts, coords[-1:]]))
 
     def _apply(g):
         kind, payload = g
         if kind == "Point":
             _mark_points(payload.reshape(1, 2))
         elif kind == "LineString":
-            _mark_points(_densify(payload))
+            _mark_line(payload)
         elif kind == "MultiLineString":
             for l in payload:
-                _mark_points(_densify(l))
+                _mark_line(l)
         elif kind == "Polygon":
             gx, gy = np.meshgrid(xs, ys)
             inside = G.points_in_polygon(gx.ravel(), gy.ravel(), payload).reshape(h, w)
@@ -238,16 +279,3 @@ def rasterize_geom_on_tile(
     return pixels, 0
 
 
-def _densify(coords: np.ndarray, step_frac: float = 0.02) -> np.ndarray:
-    """Insert intermediate vertices so line rasterization has no gaps."""
-    coords = coords[~np.isnan(coords).any(axis=1)]
-    if len(coords) < 2:
-        return coords
-    segs = [coords[:1]]
-    for i in range(len(coords) - 1):
-        a, b = coords[i], coords[i + 1]
-        n = max(2, int(np.hypot(*(b - a)) / max(step_frac * 1e-3, 1e-9)))
-        n = min(n, 256)
-        t = np.linspace(0, 1, n)[1:, None]
-        segs.append(a + (b - a) * t)
-    return np.vstack(segs)

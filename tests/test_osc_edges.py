@@ -88,6 +88,17 @@ def test_local_closure_handles_cycles():
     assert alle == closure.brute_force_closure(e)
 
 
+def test_closure_numpy_matches_brute_force():
+    rng = np.random.default_rng(13)
+    n = 80
+    a = rng.integers(0, n - 1, 200)
+    b = a + 1 + rng.integers(0, 6, 200)
+    pairs = {(int(x), int(y)) for x, y in zip(a, b) if x != y}
+    arr = np.array(sorted(pairs), np.int64)
+    ca, cb = closure.closure_numpy(arr[:, 0], arr[:, 1])
+    assert set(zip(ca.tolist(), cb.tolist())) == closure.brute_force_closure(pairs)
+
+
 def test_closure_dataset_matches_brute_force(ray_session):
     import ray.data as rd
 

@@ -1,0 +1,115 @@
+"""Snapshot store: partitioned sorted write, pruned keyed load, tag-drop compat, memory
+append, index store round-trip."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from augdiff_pipeline_ray import keys as K
+from augdiff_pipeline_ray.pipelines import worldgen as W
+from augdiff_pipeline_ray.sources import snapshot as SNAP
+from augdiff_pipeline_ray.state.index_store import GROUP_LIMIT, IndexStore, shard_of
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory, ray_session):
+    cfg = W.WorldConfig(grid=10)
+    snap = W.snapshot_table(cfg)
+    root = tmp_path_factory.mktemp("snapstore")
+    SNAP.write_snapshot(rd.from_arrow(snap), str(root / "store"))
+    return snap, str(root / "store")
+
+
+def test_partition_dirs_match_reference_p(store):
+    snap, root = store
+    parts = SNAP.list_partitions(root)
+    want = set(
+        K.partition_number_typed(
+            snap["id"].to_numpy(zero_copy_only=False),
+            snap["type"].to_numpy(zero_copy_only=False),
+        ).tolist()
+    )
+    assert parts == want
+
+
+def test_files_sorted_by_key(store):
+    _, root = store
+    import glob
+
+    for f in glob.glob(f"{root}/part=*/keys-*.parquet"):
+        keys = pq.read_table(f, columns=["key"])["key"].to_numpy()
+        assert (np.diff(keys) >= 0).all()
+
+
+def test_load_keyed_prunes_and_filters(store):
+    snap, root = store
+    ids = snap["id"].to_numpy(zero_copy_only=False)
+    types = snap["type"].to_numpy(zero_copy_only=False)
+    keys = K.pack_typed(ids, types)
+    wanted = set(keys[:7].tolist()) | {keys[-1]}
+    parts = set(SNAP.parts_of_keys(np.fromiter(wanted, np.int64, len(wanted))).tolist())
+    got = SNAP.load_keyed(root, parts, wanted, drop_tags_on_load=True, parallel=False)
+    assert set(got["key"].to_pylist()) == wanted
+    # reference-compat: tags emptied on load
+    assert all(t == [] for t in got["tags"].to_pylist())
+    got2 = SNAP.load_keyed(root, parts, wanted, drop_tags_on_load=False, parallel=False)
+    orig_tags = {
+        k: t for k, t in zip(keys.tolist(), snap["tags"].to_pylist())
+    }
+    for k, t in zip(got2["key"].to_pylist(), got2["tags"].to_pylist()):
+        assert t == orig_tags[k]
+
+
+def test_load_keyed_parallel_equals_local(store):
+    snap, root = store
+    keys = K.pack_typed(
+        snap["id"].to_numpy(zero_copy_only=False),
+        snap["type"].to_numpy(zero_copy_only=False),
+    )
+    wanted = set(keys[::5].tolist())
+    parts = set(SNAP.parts_of_keys(np.fromiter(wanted, np.int64, len(wanted))).tolist())
+    a = SNAP.load_keyed(root, parts, wanted, parallel=False)
+    b = SNAP.load_keyed(root, parts, wanted, parallel=True)
+    sa = sorted(a["key"].to_pylist())
+    sb = sorted(b["key"].to_pylist())
+    assert sa == sb
+
+
+def test_append_rows_idempotent(store, tmp_path):
+    snap, _ = store
+    root = str(tmp_path / "store2")
+    sub = snap.slice(0, 10)
+    SNAP.append_rows(sub, root, batch_seq=7)
+    SNAP.append_rows(sub, root, batch_seq=7)  # same batch again → same files, no dupes
+    total = sum(
+        len(pq.read_table(f))
+        for f in __import__("glob").glob(f"{root}/part=*/batch-*.parquet")
+    )
+    assert total == 10
+
+
+def test_index_store_incremental_and_2hop(ray_session, tmp_path):
+    store = IndexStore(str(tmp_path / "idx"), num_shards=3)
+    store.write_full(pa.table({"a": pa.array([1, 1, 2], pa.int64()),
+                               "b": pa.array([10, 20, 10], pa.int64())}))
+    store.start_pool()
+    try:
+        assert store.load_edges({1}) == {(1, 10), (1, 20), (2, 10)}
+        # incremental append reaches both the parquet truth and the live shards
+        store.append_batch({(3, 30)}, batch_seq=5)
+        assert store.load_edges({3}) == {(3, 30)}
+        # chunking boundary: > GROUP_LIMIT touched keys
+        touched = set(range(1000, 1000 + GROUP_LIMIT + 10))
+        assert store.load_edges(touched) == set()
+    finally:
+        store.stop_pool()
+
+
+def test_shard_of_spreads():
+    keys = (np.arange(10_000, dtype=np.int64) << 2) | (np.arange(10_000) % 3)
+    s = shard_of(keys, 8)
+    counts = np.bincount(s, minlength=8)
+    assert counts.min() > 500
