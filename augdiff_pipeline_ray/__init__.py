@@ -33,7 +33,7 @@ def _register_pickle_by_value() -> None:
         "functions.similarity", "functions.image",
         "sources", "sources.osc", "sources.snapshot", "sources.geojson",
         "stages", "stages.edges", "stages.closure", "stages.augment",
-        "stages.render", "stages.tiles",
+        "stages.render", "stages.tiles", "stages.shuffle",
         "state", "state.index_store", "state.strtree", "state.lineage",
         "pipelines", "pipelines.worldgen", "pipelines.indexer", "pipelines.adiff",
         "pipelines.tpch", "pipelines.tpch_queries",

@@ -26,8 +26,11 @@ import pyarrow as pa
 RES_SHIFT = 50
 ROW_SHIFT = 25
 ROW_MASK = (1 << 25) - 1
-DEFAULT_RES = 8  # the engine's working resolution ("H3 res-8" analogue)
-MAX_RES = 15
+# The engine's working resolution — the "H3 res-8" analogue BY CELL SIZE: grid res 15
+# gives 0.0055° × 0.0055° cells (~611 m × 611 m at the equator), comparable to H3 res 8
+# (~461 m edge). Grid-res numbers are not H3 res numbers.
+DEFAULT_RES = 15
+MAX_RES = 24
 
 
 def _np(x, dtype=None) -> np.ndarray:

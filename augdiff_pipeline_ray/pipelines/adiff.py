@@ -182,6 +182,8 @@ class AdiffJob:
         self.lineage = Lineage(str(self.out / "lineage"))
         self.store: IndexStore | None = None
         self._tile_index: dict | None = None
+        self._bank: pa.Table | None = None
+        self._bank_loaded = False
 
     # -- bootstrap -----------------------------------------------------------
 
@@ -229,15 +231,24 @@ class AdiffJob:
 
     def run_batch(self, seq: int) -> dict:
         t0 = time.perf_counter()
+        stage_t: dict[str, float] = {}
+
+        def _mark(name, t_start):
+            stage_t[name] = round(time.perf_counter() - t_start, 3)
+            return time.perf_counter()
+
+        ts = time.perf_counter()
         osc_path = str(self.world / "changes" / OSC.sequence_path(seq)) + ".osc"
         update = OSC.read_osc_file(osc_path, batch_seq=seq)
         update_el = update.drop_columns(["batch_seq", "action"])
+        ts = _mark("parse", ts)
 
         # J3/J4: local closure against the shared index (actor pool 2-hop fetch, S11)
         row_edges = edges_from_rows_local(update_el)
         touched = {b for _, b in row_edges}
         existing = self.store.load_edges(touched)
         new_edges, all_edges = local_closure(row_edges, existing)
+        ts = _mark("closure", ts)
 
         # J5: semi-join fetch from memory + storage tiers
         memory = self._read_memory()
@@ -246,27 +257,39 @@ class AdiffJob:
             drop_tags_on_load=self.drop_tags_on_load,
             parallel_fetch=self.parallel_fetch,
         )
+        ts = _mark("augment", ts)
 
         # render (distributed by entity over the broadcast context)
         ctx = RenderContext(rows)
         ents = ctx.entity_list()
-        if self.distributed_render and len(ents) > 0:
+        # adaptive: below ~3k entities the actor-pool spin-up costs more than the
+        # geometry work; render in-process (distributed_render=False forces local,
+        # True forces the pool for tests)
+        use_pool = (
+            self.distributed_render
+            and len(ents) >= (0 if self.distributed_render == "force" else 3000)
+        )
+        if use_pool and len(ents) > 0:
             feat_tbl = self._render_distributed(ctx, ents)
         else:
             feat_tbl = self._render_local(ctx, ents)
 
+        ts = _mark("render", ts)
         order = np.argsort(feat_tbl["order"].to_numpy(zero_copy_only=False), kind="stable")
         feats_py = feat_tbl["feature"].to_pylist()
         lines = [feats_py[i] for i in order]
         json_path = GJ.batch_json_path(self.adiff_template, seq)
         nbytes = GJ.write_features(json_path, lines)
+        ts = _mark("emit", ts)
 
         # assignments + kNN + overlay
         keys_np = feat_tbl["key"].to_numpy(zero_copy_only=False)[order]
         cells_np = feat_tbl["cell"].to_numpy(zero_copy_only=False)[order]
         self._write_assignments(seq, keys_np, cells_np)
         knn_rows = self._knn(seq, feat_tbl, order)
+        ts = _mark("knn", ts)
         overlay_rows = self._overlay(seq, lines, cells_np)
+        ts = _mark("overlay", ts)
 
         # memory tier append (T2 analogue, durable per batch)
         self._write_memory(seq, update_el)
@@ -291,6 +314,7 @@ class AdiffJob:
             "knn": knn_rows,
             "overlay": overlay_rows,
             "wall_ms": wall_ms,
+            "stage_sec": stage_t,
         }
 
     # -- render paths --------------------------------------------------------
@@ -382,7 +406,8 @@ class AdiffJob:
         qlon = np.array([reps[i][0] for i in keep])
         qlat = np.array([reps[i][1] for i in keep])
         knn = T.knn_against_tiles(
-            qlat, qlon, idx["cell"], idx["lat"], idx["lon"], idx["ids"], k=self.knn_k
+            qlat, qlon, idx["cell"], idx["lat"], idx["lon"], idx["ids"],
+            k=self.knn_k, expand=True,
         )
         keys_np = feat_tbl["key"].to_numpy(zero_copy_only=False)[order]
         rows = []
@@ -403,6 +428,15 @@ class AdiffJob:
         os.replace(tmp, d / f"batch-{seq:09d}.parquet")
         return len(rows)
 
+    def _overlay_bank(self) -> pa.Table | None:
+        """Cached overlay sample bank (≤ ~4096 tiles with blobs, written at bootstrap) —
+        the diff-render stage never rescans the full image table."""
+        if not self._bank_loaded:
+            self._bank_loaded = True
+            p = self.out / "overlay_bank.parquet"
+            self._bank = pq.read_table(p) if p.exists() else None
+        return self._bank
+
     def _overlay(self, seq: int, lines: list[str], cells_np) -> int:
         """Raster↔vector overlay: rasterize diff geometries onto tiles in touched cells."""
         idx = self._tile_lookup()
@@ -410,14 +444,28 @@ class AdiffJob:
         if not touched or not len(idx["ids"]):
             self._write_overlay(seq, [])
             return 0
-        mask = np.isin(idx["cell"], np.fromiter(touched, np.int64, len(touched)))
-        tile_ids = [idx["ids"][i] for i in np.nonzero(mask)[0][: self.max_overlay]]
-        if not tile_ids:
-            self._write_overlay(seq, [])
-            return 0
-        imgs = pq.read_table(self.world / "images.parquet")
-        sel = np.isin(np.asarray(imgs["image_id"].to_pylist()), tile_ids)
-        imgs = imgs.filter(pa.array(sel))
+        bank = self._overlay_bank()
+        if bank is not None:
+            bcells = bank["cell"].to_numpy(zero_copy_only=False)
+            mask = np.isin(bcells, np.fromiter(touched, np.int64, len(touched)))
+            sel = np.nonzero(mask)[0][: self.max_overlay]
+            if not len(sel):
+                self._write_overlay(seq, [])
+                return 0
+            imgs = bank.take(pa.array(sel)).rename_columns(
+                ["image_id", "cell", "w", "h", "fmt", "phash", "bytes"]
+            )
+        else:
+            mask = np.isin(idx["cell"], np.fromiter(touched, np.int64, len(touched)))
+            tile_ids = [idx["ids"][i] for i in np.nonzero(mask)[0][: self.max_overlay]]
+            if not tile_ids:
+                self._write_overlay(seq, [])
+                return 0
+            import pyarrow.dataset as pads
+
+            imgs = pads.dataset(str(self.world / "images.parquet")).to_table(
+                filter=pads.field("image_id").isin(tile_ids)
+            )
         # parse geometries + bboxes ONCE per batch; per tile select by vectorized
         # bbox intersection (far-away geometry costs one comparison, not a rasterize)
         geoms, bbs = [], []

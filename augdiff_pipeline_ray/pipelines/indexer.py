@@ -17,6 +17,7 @@ import time
 from pathlib import Path
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data as rd
@@ -95,17 +96,29 @@ def assign_tiles(
     out = Path(out_root)
     out.mkdir(parents=True, exist_ok=True)
     if concurrency is None:
-        concurrency = pool_size()
+        # decode dominates this stage; the feeding read is I/O-light, so the pool takes
+        # most of the node (leaving a slice for the read/collect stages)
+        concurrency = pool_size(frac=0.85, cap=64)
+    import pyarrow.dataset as pads
+
+    n_imgs = pads.dataset(images_parquet).count_rows()
+    bank_rate = max(1, n_imgs // 4096)  # ≤ ~4096 sampled blobs for the overlay bank
     ds = rd.read_parquet(images_parquet)
     decoded = ds.map_batches(
         TileDecoder,
-        fn_constructor_kwargs={"verify": verify},
+        fn_constructor_kwargs={"verify": verify, "bank_rate": bank_rate},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
     )
-    tiles = _collect(decoded)
+    tiles_full = _collect(decoded)
+    bank = tiles_full.filter(pc.is_valid(tiles_full["bank_bytes"]))
+    pq.write_table(
+        bank.select(["image_id", "cell", "w", "h", "fmt", "phash", "bank_bytes"]),
+        out / "overlay_bank.parquet",
+    )
+    tiles = tiles_full.drop_columns(["bank_bytes"])
     assignments = pa.table(
         {
             "batch_seq": pa.array([0] * len(tiles), pa.int64()),

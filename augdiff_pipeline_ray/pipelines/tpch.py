@@ -259,10 +259,12 @@ SQL_NODE_LATLON = f"""
     FROM part
 """
 
+# cell id at the working resolution (grid res 15 ≈ H3 res-8 cell size): 2^15 rows ×
+# 2^16 cols; must mirror cells.cell_of exactly
 SQL_CELL = """
-    (8::BIGINT << 50)
-    + (LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * 256) AS BIGINT), 0), 255) << 25)
-    + (((CAST(FLOOR((lon + 180.0) / 360.0 * 512) AS BIGINT) % 512) + 512) % 512)
+    (15::BIGINT << 50)
+    + (LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * 32768) AS BIGINT), 0), 32767) << 25)
+    + (((CAST(FLOOR((lon + 180.0) / 360.0 * 65536) AS BIGINT) % 65536) + 65536) % 65536)
 """
 
 SQL_TILES = """

@@ -277,8 +277,21 @@ def q_history_top1(sf_dir: str):
             }
         )
 
-    out = ds.groupby("user_id").map_groups(pick, batch_format="pandas")
-    return out
+    out = ds.groupby("user_id").map_groups(pick, batch_format="pandas").to_pandas()
+    # nullable int64 (pandas floats NaN-ify missing ids; the oracle's BIGINT is nullable)
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"].astype(np.int64)),
+            "in_window_event": pa.array(
+                [None if pd.isna(v) else int(v) for v in out["in_window_event"]],
+                pa.int64(),
+            ),
+            "before_event": pa.array(
+                [None if pd.isna(v) else int(v) for v in out["before_event"]],
+                pa.int64(),
+            ),
+        }
+    )
 
 
 # -- A2: latest version per key -------------------------------------------------------
@@ -434,8 +447,8 @@ def q_tiles_per_cell(sf_dir: str):
     f"""
     WITH tiles AS (
       SELECT image_id, lat, lon,
-             LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * 256) AS BIGINT), 0), 255) AS row,
-             ((CAST(FLOOR((lon + 180.0) / 360.0 * 512) AS BIGINT) % 512) + 512) % 512 AS col
+             LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * 32768) AS BIGINT), 0), 32767) AS row,
+             ((CAST(FLOOR((lon + 180.0) / 360.0 * 65536) AS BIGINT) % 65536) + 65536) % 65536 AS col
       FROM ({TP.SQL_TILE_LATLON})
     ),
     q AS (SELECT * FROM tiles WHERE image_id <= 'doc-00000004'),
@@ -445,7 +458,7 @@ def q_tiles_per_cell(sf_dir: str):
                   + pow((t.lon - q.lon) * 111320.0 * cos(radians(q.lat)), 2)) AS dist
       FROM q JOIN tiles t
         ON abs(t.row - q.row) <= 1
-       AND LEAST(((t.col - q.col) % 512 + 512) % 512, ((q.col - t.col) % 512 + 512) % 512) <= 1
+       AND LEAST(((t.col - q.col) % 65536 + 65536) % 65536, ((q.col - t.col) % 65536 + 65536) % 65536) <= 1
     )
     SELECT query_id, neighbor_id, rank FROM (
       SELECT query_id, neighbor_id,

@@ -340,35 +340,53 @@ def _phash_for_position(lat: float, lon: float, flavor: int) -> int:
     return (flavor & 0x7FFF_FFFF) << 31 | (latb << 16) | lonb
 
 
-def images_table(cfg: WorldConfig) -> pa.Table:
+def _image_plan(cfg: WorldConfig) -> dict[str, np.ndarray]:
+    """Deterministic per-image parameters (positions, sizes, formats) — computed once
+    up-front so generation parallelizes without breaking seed determinism."""
     rng = np.random.default_rng(cfg.seed + 1)
     sizes = np.array([64, 128, 256])
     n = cfg.n_images
     n_hot = int(n * cfg.hot_frac)
-    # two hot cells inside the world box
-    hot_centers = [(LAT0 + 0.25, LON0 + 0.25), (LAT0 + 0.75, LON0 + 0.75)]
-
-    ids, blobs, ws, hs, fmts, caps, phs = [], [], [], [], [], [], []
-    for i in range(n):
-        iid = f"img-{i:08d}"
-        w = int(sizes[rng.integers(0, 3)])
-        h = int(sizes[rng.integers(0, 3)])
-        fmt = "rawz" if rng.random() < 0.5 else "qz"
+    # hot centers snapped to working-res cell midpoints so the deliberate skew survives
+    # georef quantization: each cluster lands in exactly one hot cell
+    hot_centers = []
+    for cla, clo in ((LAT0 + 0.25, LON0 + 0.25), (LAT0 + 0.75, LON0 + 0.75)):
+        cell = int(C.cell_of(np.array([cla]), np.array([clo]))[0])
+        b = C.cell_bounds(np.array([cell]))
+        hot_centers.append(((float(b[0]) + float(b[1])) / 2, (float(b[2]) + float(b[3])) / 2))
+    ws = sizes[rng.integers(0, 3, n)]
+    hs = sizes[rng.integers(0, 3, n)]
+    fmt_raw = rng.random(n) < 0.5
+    lat = np.empty(n)
+    lon = np.empty(n)
+    half_lat = 180.0 / (1 << C.DEFAULT_RES) / 2
+    jit = half_lat * 0.45  # stays inside the hot cell after floor-quantization
+    for i in range(n):  # rng call order matters for determinism; cheap scalar draws
         if i < n_hot:
             cla, clo = hot_centers[i % 2]
-            lat = cla + float(rng.uniform(-0.002, 0.002))
-            lon = clo + float(rng.uniform(-0.002, 0.002))
+            lat[i] = cla + rng.uniform(-jit, jit)
+            lon[i] = clo + rng.uniform(-jit, jit)
         else:
-            lat = LAT0 + float(rng.uniform(0.0, 1.0))
-            lon = LON0 + float(rng.uniform(0.0, 1.0))
+            lat[i] = LAT0 + rng.uniform(0.0, 1.0)
+            lon[i] = LON0 + rng.uniform(0.0, 1.0)
+    return {"w": ws, "h": hs, "raw": fmt_raw, "lat": lat, "lon": lon, "n_hot": n_hot}
+
+
+def _build_image_rows(idx: np.ndarray, plan: dict) -> pa.Table:
+    ids, blobs, ws, hs, fmts, caps, phs = [], [], [], [], [], [], []
+    for i in idx:
+        i = int(i)
+        iid = f"img-{i:08d}"
+        w, h = int(plan["w"][i]), int(plan["h"][i])
+        fmt = "rawz" if plan["raw"][i] else "qz"
         px = IMG.synth_pixels(iid, w, h)
-        ph = _phash_for_position(lat, lon, IMG.phash64(px) & 0x7FFF_FFFF)
+        ph = _phash_for_position(plan["lat"][i], plan["lon"][i], IMG.phash64(px) & 0x7FFF_FFFF)
         ids.append(iid)
         blobs.append(IMG.encode(px, fmt))
         ws.append(w)
         hs.append(h)
         fmts.append(fmt)
-        caps.append(f"tile {iid} over {'hot' if i < n_hot else 'cold'} {fmt}")
+        caps.append(f"tile {iid} over {'hot' if i < plan['n_hot'] else 'cold'} {fmt}")
         phs.append(ph)
     return pa.table(
         {
@@ -381,6 +399,74 @@ def images_table(cfg: WorldConfig) -> pa.Table:
             "phash": pa.array(phs, pa.int64()),
         }
     )
+
+
+def images_table(cfg: WorldConfig) -> pa.Table:
+    """Deterministic image table; fans generation out over Ray when the table is large
+    and a Ray session is live (same plan ⇒ identical bytes either way)."""
+    plan = _image_plan(cfg)
+    n = cfg.n_images
+    use_ray = False
+    if n >= 2048:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except Exception:
+            use_ray = False
+    if not use_ray:
+        return _build_image_rows(np.arange(n), plan)
+
+    import ray
+    import ray.data as rd
+
+    plan_ref = ray.put(plan)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        p = ray.get(plan_ref)
+        return _build_image_rows(batch["id"].to_numpy(zero_copy_only=False), p)
+
+    ds = rd.range(n).map_batches(gen, batch_format="pyarrow", batch_size=512)
+    parts = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    tbl = pa.concat_tables(parts, promote_options="default")
+    # iter order isn't guaranteed: restore id order for byte-stable output
+    order = pa.compute.sort_indices(tbl["image_id"])
+    return tbl.take(order)
+
+
+def write_images(cfg: WorldConfig, path: str) -> None:
+    """Write the image table: small → one file; large (with a live Ray session) →
+    streaming Ray generation into a directory of parquet parts named ``path`` —
+    readers use ``pyarrow.dataset`` so file-vs-directory is transparent."""
+    n = cfg.n_images
+    use_ray = False
+    if n >= 16384:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except Exception:
+            use_ray = False
+    if not use_ray:
+        pq.write_table(images_table(cfg), path)
+        return
+
+    import shutil
+
+    import ray
+    import ray.data as rd
+
+    plan_ref = ray.put(_image_plan(cfg))
+
+    def gen(batch: pa.Table) -> pa.Table:
+        p = ray.get(plan_ref)
+        return _build_image_rows(batch["id"].to_numpy(zero_copy_only=False), p)
+
+    shutil.rmtree(path, ignore_errors=True)
+    rd.range(n).map_batches(gen, batch_format="pyarrow", batch_size=1024).write_parquet(path)
 
 
 # ---------------------------------------------------------------------------
@@ -398,8 +484,7 @@ def write_world(root: str, cfg: WorldConfig | None = None) -> dict:
     root_p.mkdir(parents=True, exist_ok=True)
     snap = snapshot_table(cfg)
     pq.write_table(snap, root_p / "snapshot.parquet")
-    imgs = images_table(cfg)
-    pq.write_table(imgs, root_p / "images.parquet")
+    write_images(cfg, str(root_p / "images.parquet"))
     osc_paths = []
     for i, t in enumerate(change_tables(cfg), start=1):
         rel = osc.sequence_path(i)

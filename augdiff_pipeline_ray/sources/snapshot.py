@@ -67,13 +67,39 @@ def write_snapshot(ds: rd.Dataset, root: str, mode: str = "overwrite") -> None:
     delegates to pyarrow's dataset writer, which caps a fragment at 1024 partitions —
     the explicit writer sidesteps that and writes tmp+rename atomically.)
     """
-    ds = ds.map_batches(with_part_and_key, batch_format="pyarrow")
-    ds = ds.sort(["part", "key"])
+    ds = ds.map_batches(with_part_and_key, batch_format="pyarrow").materialize()
     if mode == "overwrite" and os.path.isdir(root):
         import shutil
 
         shutil.rmtree(root)
     os.makedirs(root, exist_ok=True)
+
+    # size-adaptive: a small element table sorts/writes faster in-process than the
+    # distributed range-partition sort can even schedule
+    if ds.count() <= 200_000:
+        tbl = pa.concat_tables(
+            [
+                b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+                for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+            ],
+            promote_options="default",
+        ).sort_by([("part", "ascending"), ("key", "ascending")])
+        parts = tbl["part"].to_numpy(zero_copy_only=False)
+        keys = tbl["key"].to_numpy(zero_copy_only=False)
+        bounds = np.nonzero(np.diff(parts))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(tbl)]])
+        for s, e in zip(starts, ends):
+            p = int(parts[s])
+            sub = tbl.slice(s, e - s).drop_columns(["part"])
+            d = Path(root) / f"part={p}"
+            d.mkdir(parents=True, exist_ok=True)
+            tmp = d / f".keys-{keys[s]}-{keys[e-1]}.tmp"
+            pq.write_table(sub, tmp)
+            os.replace(tmp, d / f"keys-{keys[s]}-{keys[e-1]}.parquet")
+        return
+
+    ds = ds.sort(["part", "key"])
 
     def write_block(batch: pa.Table) -> pa.Table:
         parts = batch["part"].to_numpy(zero_copy_only=False)
@@ -167,11 +193,16 @@ def load_keyed(
         ds = rd.read_parquet(dirs)
         ds = ds.map_batches(_filter, batch_format="pyarrow")
         return _collect(ds)
-    from concurrent.futures import ThreadPoolExecutor
+    # local path: one pyarrow dataset scan — C++-parallel reads + pushed-down key filter
+    import pyarrow.dataset as pads
 
-    with ThreadPoolExecutor(max_workers=8) as ex:
-        pieces = list(ex.map(lambda f: _filter(pq.read_table(f)), dirs))
-    return pa.concat_tables(pieces, promote_options="default") if pieces else ELEMENT_SCHEMA.empty_table()
+    pads_ds = pads.dataset(dirs, format="parquet")
+    tbl = pads_ds.to_table(filter=pads.field("key").isin(keys_arr))
+    if drop_tags_on_load and len(tbl):
+        empty = pa.array([[]] * len(tbl), type=tbl.schema.field("tags").type)
+        i = tbl.schema.get_field_index("tags")
+        tbl = tbl.set_column(i, "tags", empty)
+    return tbl
 
 
 def _collect(ds: rd.Dataset) -> pa.Table:

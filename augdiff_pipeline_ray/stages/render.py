@@ -66,44 +66,51 @@ def rows_from_arrow(table: pa.Table, in_update: np.ndarray | None = None) -> lis
     tags → dict; nds → list[int]; members → list[{'type','ref','role'}];
     timestamp → epoch ms int; plus the ``in_update`` provenance flag.
     """
-    pylist = table.to_pylist()
+    n = len(table)
     flags = (
         in_update
         if in_update is not None
         else (
             table["in_update"].to_numpy(zero_copy_only=False)
             if "in_update" in table.column_names
-            else np.zeros(len(table), bool)
+            else np.zeros(n, bool)
         )
     )
-    out = []
-    for i, r in enumerate(pylist):
-        ts = r["timestamp"]
-        if hasattr(ts, "timestamp"):
-            import calendar
+    # columnar extraction: epoch-ms ints straight from Arrow (no datetime objects),
+    # nested columns via per-column to_pylist (far cheaper than whole-table rows)
+    ids = table["id"].to_pylist()
+    types = table["type"].to_pylist()
+    tags_l = table["tags"].to_pylist()
+    lat_l = table["lat"].to_pylist()
+    lon_l = table["lon"].to_pylist()
+    nds_l = table["nds"].to_pylist()
+    mem_l = table["members"].to_pylist()
+    cs_l = table["changeset"].to_pylist()
+    ts_np = table["timestamp"].combine_chunks().cast(pa.timestamp("ms")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    uid_l = table["uid"].to_pylist()
+    user_l = table["user"].to_pylist()
+    ver_l = table["version"].to_pylist()
+    vis_l = table["visible"].to_pylist()
+    cell_l = table["cell"].to_pylist() if "cell" in table.column_names else [-1] * n
 
-            ms = calendar.timegm(ts.timetuple()) * 1000 + ts.microsecond // 1000
-        else:
-            ms = int(ts)
+    out = []
+    for i in range(n):
         out.append(
             {
-                "id": r["id"],
-                "type": r["type"],
-                "tags": OSM.tags_from_arrow(r.get("tags")),
-                "lat": r.get("lat"),
-                "lon": r.get("lon"),
-                "nds": [nd["ref"] for nd in (r.get("nds") or [])],
-                "members": [
-                    {"type": m["type"], "ref": m["ref"], "role": m["role"]}
-                    for m in (r.get("members") or [])
-                ],
-                "changeset": r.get("changeset"),
-                "timestamp": ms,
-                "uid": r.get("uid"),
-                "user": r.get("user"),
-                "version": r["version"],
-                "visible": bool(r["visible"]),
-                "cell": r.get("cell", -1),
+                "id": ids[i],
+                "type": types[i],
+                "tags": OSM.tags_from_arrow(tags_l[i]),
+                "lat": lat_l[i],
+                "lon": lon_l[i],
+                "nds": [nd["ref"] for nd in (nds_l[i] or [])],
+                "members": mem_l[i] or [],
+                "changeset": cs_l[i],
+                "timestamp": int(ts_np[i]),
+                "uid": uid_l[i],
+                "user": user_l[i],
+                "version": ver_l[i],
+                "visible": bool(vis_l[i]),
+                "cell": cell_l[i],
                 "in_update": bool(flags[i]),
             }
         )

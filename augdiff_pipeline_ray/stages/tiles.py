@@ -34,10 +34,10 @@ class CellAssigner:
     (and what a non-rectangular H3/S2 cell shape would need).
     """
 
-    COARSE_RES = 4  # one STRtree per res-4 parent (≈ 16×32 trees worldwide, built lazily)
-
     def __init__(self, res: int = C.DEFAULT_RES):
         self.res = res
+        # one STRtree per parent 5 levels up ⇒ 32×64 = 2048 child boxes per tree
+        self.COARSE_RES = max(0, res - 5)
         self._trees: dict[int, tuple[STRtree, np.ndarray]] = {}
 
     def _tree_for(self, parent_cell: int) -> tuple[STRtree, np.ndarray]:
@@ -90,9 +90,13 @@ class TileDecoder:
     ever shipping pixel arrays through a shuffle — pixels live only inside the actor.
     """
 
-    def __init__(self, res: int = C.DEFAULT_RES, verify: bool = True):
+    def __init__(self, res: int = C.DEFAULT_RES, verify: bool = True, bank_rate: int = 0):
         self.res = res
         self.verify = verify
+        # bank_rate > 0: every bank_rate-th tile (by deterministic id hash) carries its
+        # encoded bytes through in ``bank_bytes`` — the overlay sample bank, so the
+        # diff-render stage never rescans the full image table
+        self.bank_rate = bank_rate
         self.assigner = CellAssigner(res)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -116,20 +120,29 @@ class TileDecoder:
                 ok[i] = False
         lat, lon = georef.centroid(batch["phash"])
         cell = self.assigner.assign_points(lat, lon)
-        return pa.table(
-            {
-                "image_id": batch["image_id"],
-                "cell": pa.array(cell),
-                "w": batch["w"],
-                "h": batch["h"],
-                "fmt": batch["fmt"],
-                "caption": batch["caption"],
-                "phash": batch["phash"],
-                "decode_ok": pa.array(ok),
-                "psnr_db": pa.array(psnr_db),
-                "mean_lum": pa.array(mean_lum),
-            }
-        )
+        cols = {
+            "image_id": batch["image_id"],
+            "cell": pa.array(cell),
+            "w": batch["w"],
+            "h": batch["h"],
+            "fmt": batch["fmt"],
+            "caption": batch["caption"],
+            "phash": batch["phash"],
+            "decode_ok": pa.array(ok),
+            "psnr_db": pa.array(psnr_db),
+            "mean_lum": pa.array(mean_lum),
+        }
+        if self.bank_rate > 0:
+            import zlib
+
+            cols["bank_bytes"] = pa.array(
+                [
+                    blob if zlib.crc32(iid.encode()) % self.bank_rate == 0 else None
+                    for iid, blob in zip(ids, blobs)
+                ],
+                pa.binary(),
+            )
+        return pa.table(cols)
 
 
 # ---------------------------------------------------------------------------
@@ -147,31 +160,56 @@ def knn_against_tiles(
     k: int = 5,
     ring: int = 1,
     res: int = C.DEFAULT_RES,
+    expand: bool = False,
 ) -> list[list[tuple[str, float]]]:
     """For each query point: the k nearest tiles among those whose cell lies in the
     query cell's (2·ring+1)² k-ring — the cell index prunes the candidate set.
 
-    Distance: equirectangular meters-ish (adequate within a k-ring neighborhood).
+    ``expand=True`` doubles the ring (up to 64×) until ≥k candidates appear — the
+    sparse-region ANN behavior; fixed-ring keeps the SQL-expressible semantics for the
+    conformance oracle. Distance: equirectangular meters-ish (adequate in-ring).
     """
     order = np.argsort(tile_cells, kind="stable")
     sc = tile_cells[order]
     out: list[list[tuple[str, float]]] = []
     qcells = C.cell_of(query_lat, query_lon, res)
+    cand_cache: dict[int, np.ndarray] = {}  # many queries share a cell — gather once
+
+    def _gather(qc: int, r: int) -> np.ndarray:
+        cand_cells = C.k_ring(qc, r)
+        lo = np.searchsorted(sc, cand_cells, side="left")
+        hi = np.searchsorted(sc, cand_cells, side="right")
+        if not (hi > lo).any():
+            return np.empty(0, np.int64)
+        return np.concatenate([order[l:h] for l, h in zip(lo, hi) if h > l])
+
+    def _candidates(qc: int) -> np.ndarray:
+        hit = cand_cache.get(qc)
+        if hit is None:
+            r = ring
+            hit = _gather(qc, r)
+            while expand and len(hit) < k and r < 64:
+                r *= 2
+                hit = _gather(qc, r)
+            cand_cache[qc] = hit
+        return hit
+
     for qla, qlo, qc in zip(query_lat, query_lon, qcells):
         if qc < 0:  # unassignable query point (NaN coords, e.g. tombstone-backed geometry)
             out.append([])
             continue
-        cand_cells = C.k_ring(int(qc), ring)
-        lo = np.searchsorted(sc, cand_cells, side="left")
-        hi = np.searchsorted(sc, cand_cells, side="right")
-        idxs = np.concatenate([order[l:h] for l, h in zip(lo, hi)]) if len(cand_cells) else np.empty(0, int)
+        idxs = _candidates(int(qc))
         if len(idxs) == 0:
             out.append([])
             continue
         dlat = (tile_lat[idxs] - qla) * 111_320.0
         dlon = (tile_lon[idxs] - qlo) * 111_320.0 * np.cos(np.radians(qla))
         dist = np.hypot(dlat, dlon)
-        top = np.argsort(dist, kind="stable")[:k]
+        if k < len(dist):
+            part = np.argpartition(dist, k - 1)[:k]  # O(n) top-k, then sort just k
+            top = part[np.argsort(dist[part], kind="stable")]
+        else:
+            top = np.argsort(dist, kind="stable")
         out.append([(tile_ids[idxs[t]], float(dist[t])) for t in top])
     return out
 

@@ -27,7 +27,9 @@ def world(tmp_path_factory, ray_session):
 @pytest.fixture(scope="module")
 def full_run(world, tmp_path_factory):
     out = tmp_path_factory.mktemp("out_full")
-    stats = AD.run_stream(str(world), str(out), num_shards=2, render_concurrency=2)
+    # "force" keeps the distributed render pool exercised even at tiny entity counts
+    stats = AD.run_stream(str(world), str(out), num_shards=2, render_concurrency=2,
+                          distributed_render="force")
     return out, stats
 
 

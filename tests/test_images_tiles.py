@@ -83,8 +83,10 @@ def test_worldgen_images_deterministic_and_verifiable():
     # hot cells: ~30% of images in 2 cells
     cells = georef.cell_of_image(t1["phash"])
     _, counts = np.unique(cells, return_counts=True)
-    top2 = np.sort(counts)[-2:].sum()
-    assert top2 >= 0.25 * len(t1)
+    # the 2 hot clusters may straddle up to 4 fine-res cells; skew must still be visible
+    top4 = np.sort(counts)[-4:].sum()
+    assert top4 >= 0.2 * len(t1)
+    assert counts.max() >= 4 * np.median(counts)
 
 
 def test_knn_against_tiles():

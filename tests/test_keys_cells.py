@@ -85,4 +85,4 @@ def test_georef_deterministic_and_in_bounds():
     lat0, lat1, lon0, lon1 = georef.footprint(ph, np.full(4, 256), np.full(4, 128))
     assert ((lat1 - lat0) > 0).all() and ((lon1 - lon0) > 0).all()
     cells = georef.cell_of_image(ph)
-    assert (C.cell_res(cells) == 8).all()
+    assert (C.cell_res(cells) == C.DEFAULT_RES).all()
