@@ -60,44 +60,53 @@ from . import indexer as IDX
 SAVE_INTERVAL = 5  # parity: AugmentedDiff.scala:216
 
 
-class RenderWorker:
-    """Actor-pool render stage: holds the broadcast per-batch context; per batch of
-    entity keys, builds geometries, encodes features, and PIP-assigns cells."""
+def render_entities(
+    ctx: RenderContext, assigner, orders, types, ids
+) -> pa.Table:
+    """Geometry build + JSON encode + PIP cell assignment for a chunk of entities —
+    shared by the local path and the persistent render actor pool."""
+    out_order, out_json, out_key, out_cell = [], [], [], []
+    for order, tipe, id_ in zip(orders, types, ids):
+        feats = ctx.features_for(tipe, id_)
+        key = (id_ << 2) | {"node": 0, "way": 1, "relation": 2}[tipe]
+        for j, f in enumerate(feats):
+            rep = _rep_point(f["geometry"])
+            if rep is not None:
+                cell = int(
+                    assigner.assign_points(np.array([rep[1]]), np.array([rep[0]]))[0]
+                )
+            else:
+                cell = -1
+            out_order.append(order * 4 + j)
+            out_json.append(json.dumps(f, separators=(",", ":")))
+            out_key.append(key)
+            out_cell.append(cell)
+    return pa.table(
+        {
+            "order": pa.array(out_order, pa.int64()),
+            "feature": pa.array(out_json, pa.string()),
+            "key": pa.array(out_key, pa.int64()),
+            "cell": pa.array(out_cell, pa.int64()),
+        }
+    )
 
-    def __init__(self, ctx_ref):
-        self.ctx: RenderContext = ray.get(ctx_ref)
+
+@ray.remote(num_cpus=1)
+class RenderShard:
+    """Persistent render actor: lives across micro-batches (the per-batch actor-pool
+    spin-up was the dominant stream cost). Per batch, the broadcast row list arrives
+    once (ObjectRef auto-deref) and the context is rebuilt only when ``seq`` advances."""
+
+    def __init__(self):
+        self._seq = None
+        self._ctx: RenderContext | None = None
         self.assigner = T.CellAssigner()
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        types = batch["tipe"].to_pylist()
-        ids = batch["id"].to_pylist()
-        orders = batch["order"].to_pylist()
-        out_order, out_json, out_key, out_cell = [], [], [], []
-        for order, tipe, id_ in zip(orders, types, ids):
-            feats = self.ctx.features_for(tipe, id_)
-            key = (id_ << 2) | {"node": 0, "way": 1, "relation": 2}[tipe]
-            for j, f in enumerate(feats):
-                rep = _rep_point(f["geometry"])
-                if rep is not None:
-                    cell = int(
-                        self.assigner.assign_points(
-                            np.array([rep[1]]), np.array([rep[0]])
-                        )[0]
-                    )
-                else:
-                    cell = -1
-                out_order.append(order * 4 + j)
-                out_json.append(json.dumps(f, separators=(",", ":")))
-                out_key.append(key)
-                out_cell.append(cell)
-        return pa.table(
-            {
-                "order": pa.array(out_order, pa.int64()),
-                "feature": pa.array(out_json, pa.string()),
-                "key": pa.array(out_key, pa.int64()),
-                "cell": pa.array(out_cell, pa.int64()),
-            }
-        )
+    def render(self, seq: int, rows: list, orders, types, ids) -> pa.Table:
+        if self._seq != seq:
+            self._ctx = RenderContext(rows)
+            self._seq = seq
+        return render_entities(self._ctx, self.assigner, orders, types, ids)
 
 
 def _geojson_to_geom(gj: dict):
@@ -155,7 +164,7 @@ class AdiffJob:
         world_root: str,
         out_root: str,
         num_shards: int = 4,
-        render_concurrency: int = 2,
+        render_concurrency: int | None = None,
         save_interval: int = SAVE_INTERVAL,
         drop_tags_on_load: bool = True,
         knn_k: int = 3,
@@ -167,6 +176,10 @@ class AdiffJob:
         self.out = Path(out_root)
         self.out.mkdir(parents=True, exist_ok=True)
         self.num_shards = num_shards
+        if render_concurrency is None:
+            from .indexer import pool_size
+
+            render_concurrency = max(2, pool_size(frac=0.25, cap=16))
         self.render_concurrency = render_concurrency
         self.save_interval = save_interval
         self.drop_tags_on_load = drop_tags_on_load
@@ -270,7 +283,7 @@ class AdiffJob:
             and len(ents) >= (0 if self.distributed_render == "force" else 3000)
         )
         if use_pool and len(ents) > 0:
-            feat_tbl = self._render_distributed(ctx, ents)
+            feat_tbl = self._render_distributed(ctx, ents, seq)
         else:
             feat_tbl = self._render_local(ctx, ents)
 
@@ -319,39 +332,32 @@ class AdiffJob:
 
     # -- render paths --------------------------------------------------------
 
-    def _render_distributed(self, ctx: RenderContext, ents) -> pa.Table:
-        ctx_ref = ray.put(ctx)
-        ent_tbl = pa.table(
-            {
-                "order": pa.array(range(len(ents)), pa.int64()),
-                "tipe": pa.array([e[0] for e in ents], pa.string()),
-                "id": pa.array([e[1] for e in ents], pa.int64()),
-            }
-        )
-        # from_arrow yields ONE block; split so the actor pool actually fans out
-        ds = rd.from_arrow(ent_tbl).repartition(self.render_concurrency * 2)
-        out = ds.map_batches(
-            RenderWorker,
-            fn_constructor_args=(ctx_ref,),
-            batch_format="pyarrow",
-            batch_size=max(8, len(ents) // (self.render_concurrency * 2) or 8),
-            concurrency=self.render_concurrency,
-            num_cpus=1,
-        )
-        return IDX._collect(out)
+    def _render_pool(self) -> list:
+        if getattr(self, "_pool_actors", None) is None:
+            self._pool_actors = [RenderShard.remote() for _ in range(self.render_concurrency)]
+        return self._pool_actors
+
+    def _render_distributed(self, ctx: RenderContext, ents, seq: int) -> pa.Table:
+        """Persistent actor pool: broadcast the (small) row list once, split the entity
+        work-list across the pool; each actor rebuilds its context only when seq moves."""
+        pool = self._render_pool()
+        rows_ref = ray.put(ctx.rows)
+        orders = list(range(len(ents)))
+        types = [e[0] for e in ents]
+        ids = [e[1] for e in ents]
+        n = len(pool)
+        futs = []
+        for i in range(n):
+            sl = slice(i, None, n)  # strided split: balances heavy relations
+            futs.append(pool[i].render.remote(seq, rows_ref, orders[sl], types[sl], ids[sl]))
+        parts = ray.get(futs)
+        return pa.concat_tables(parts, promote_options="default")
 
     def _render_local(self, ctx: RenderContext, ents) -> pa.Table:
-        worker = RenderWorker.__new__(RenderWorker)
-        worker.ctx = ctx
-        worker.assigner = T.CellAssigner()
-        tbl = pa.table(
-            {
-                "order": pa.array(range(len(ents)), pa.int64()),
-                "tipe": pa.array([e[0] for e in ents], pa.string()),
-                "id": pa.array([e[1] for e in ents], pa.int64()),
-            }
+        return render_entities(
+            ctx, T.CellAssigner(),
+            list(range(len(ents))), [e[0] for e in ents], [e[1] for e in ents],
         )
-        return worker(tbl)
 
     # -- memory tier ---------------------------------------------------------
 
@@ -374,6 +380,7 @@ class AdiffJob:
             bseq = int(f.stem.split("-")[1])
             SNAP.append_rows(pq.read_table(f), self.snapshot_store, bseq)
             f.unlink()
+        SNAP.invalidate_pads_cache(self.snapshot_store)
 
     # -- graft outputs -------------------------------------------------------
 
@@ -552,6 +559,10 @@ class AdiffJob:
         if self.store is not None:
             self.store.stop_pool()
             self.store = None
+        if getattr(self, "_pool_actors", None):
+            for a in self._pool_actors:
+                ray.kill(a)
+            self._pool_actors = None
 
 
 def run_stream(world_root: str, out_root: str, **kwargs) -> dict:

@@ -119,6 +119,19 @@ def assign_tiles(
         out / "overlay_bank.parquet",
     )
     tiles = tiles_full.drop_columns(["bank_bytes"])
+
+    # per-cell tile counts via the salted skew-splitting shuffle — hot cells (the dense
+    # metro analogue) split across reducers, exact merge; feeds hot-cell stats/lineage
+    from ..stages.shuffle import salted_group_count
+
+    cell_counts = salted_group_count(
+        rd.from_arrow(tiles.select(["cell"])), "cell",
+        hot_threshold=max(1000, len(tiles) // 50), k=8,
+    )
+    pq.write_table(
+        pa.Table.from_pandas(cell_counts.to_pandas(), preserve_index=False),
+        out / "cell_counts.parquet",
+    )
     assignments = pa.table(
         {
             "batch_seq": pa.array([0] * len(tiles), pa.int64()),

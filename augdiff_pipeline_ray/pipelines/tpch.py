@@ -191,6 +191,22 @@ def image_params(doc_ids: np.ndarray) -> dict[str, np.ndarray]:
 
 
 def images_from_documents(sf_dir: str) -> pa.Table:
+    """Derived image table (cached on disk — encoding thousands of tiles costs seconds)."""
+    cache = Path("/tmp/augdiff_tpch_cache") / (
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    )
+    cache.mkdir(parents=True, exist_ok=True)
+    f = cache / "images_derived.parquet"
+    if f.exists():
+        return pq.read_table(f)
+    t = _images_from_documents_build(sf_dir)
+    tmp = f.with_suffix(".tmp")
+    pq.write_table(t, tmp)
+    os.replace(tmp, f)
+    return t
+
+
+def _images_from_documents_build(sf_dir: str) -> pa.Table:
     docs = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     d = docs["doc_id"].to_numpy(zero_copy_only=False)
     pr = image_params(d)

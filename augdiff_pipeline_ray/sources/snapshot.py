@@ -152,6 +152,16 @@ def list_partitions(root: str) -> set[int]:
 
 PARALLEL_LOAD_MIN_BYTES = 64 * 1024 * 1024  # below this, Ray startup dwarfs the read
 
+_PADS_CACHE: dict = {}
+_TABLE_CACHE: dict = {}
+TABLE_CACHE_MAX_BYTES = 128 * 1024 * 1024
+
+
+def invalidate_pads_cache(root: str) -> None:
+    """Drop cached handles/tables for ``root`` (call after appending files)."""
+    _PADS_CACHE.pop(root, None)
+    _TABLE_CACHE.pop(root, None)
+
 
 def load_keyed(
     root: str,
@@ -193,11 +203,33 @@ def load_keyed(
         ds = rd.read_parquet(dirs)
         ds = ds.map_batches(_filter, batch_format="pyarrow")
         return _collect(ds)
-    # local path: one pyarrow dataset scan — C++-parallel reads + pushed-down key filter
+    # local path. A small store (sandbox scale: thousands of ~100-row part files) pays
+    # more in per-file footer reads than the data is worth — cache the WHOLE store in
+    # memory once (the hot-snapshot-cache tier; invalidated on flush) and serve point
+    # reads with a vectorized is_in. Bigger stores use one pyarrow dataset scan with
+    # hive-partition pruning + row-group stats pruning on the sorted key.
     import pyarrow.dataset as pads
 
-    pads_ds = pads.dataset(dirs, format="parquet")
-    tbl = pads_ds.to_table(filter=pads.field("key").isin(keys_arr))
+    cached = _TABLE_CACHE.get(root)
+    if cached is None:
+        all_files = sorted(glob.glob(os.path.join(root, "part=*", "*.parquet")))
+        total_bytes = sum(os.path.getsize(f) for f in all_files)
+        if total_bytes <= TABLE_CACHE_MAX_BYTES:
+            whole = pads.dataset(root, format="parquet", partitioning="hive").to_table()
+            if "part" in whole.column_names:
+                whole = whole.drop_columns(["part"])
+            cached = _TABLE_CACHE[root] = whole
+    if cached is not None:
+        tbl = cached.filter(pc.is_in(cached["key"], value_set=keys_arr))
+    else:
+        pads_ds = _PADS_CACHE.get(root)
+        if pads_ds is None:
+            pads_ds = pads.dataset(root, format="parquet", partitioning="hive")
+            _PADS_CACHE[root] = pads_ds
+        flt = pads.field("part").isin(list(scan)) & pads.field("key").isin(keys_arr)
+        tbl = pads_ds.to_table(filter=flt)
+        if "part" in tbl.column_names:
+            tbl = tbl.drop_columns(["part"])
     if drop_tags_on_load and len(tbl):
         empty = pa.array([[]] * len(tbl), type=tbl.schema.field("tags").type)
         i = tbl.schema.get_field_index("tags")

@@ -167,8 +167,13 @@ def knn_against_tiles(
 
     ``expand=True`` doubles the ring (up to 64×) until ≥k candidates appear — the
     sparse-region ANN behavior; fixed-ring keeps the SQL-expressible semantics for the
-    conformance oracle. Distance: equirectangular meters-ish (adequate in-ring).
+    conformance oracle. When the tile set is small (≤ ``brute_threshold``) and expansion
+    is on, a vectorized brute-force pass beats the ring machinery — the same
+    plan-by-size adaptivity as the closure. Distance: equirect meters-ish (in-ring OK).
     """
+    brute_threshold = 20_000
+    if expand and len(tile_ids) <= brute_threshold:
+        return _knn_brute(query_lat, query_lon, tile_lat, tile_lon, tile_ids, k)
     order = np.argsort(tile_cells, kind="stable")
     sc = tile_cells[order]
     out: list[list[tuple[str, float]]] = []
@@ -211,6 +216,40 @@ def knn_against_tiles(
         else:
             top = np.argsort(dist, kind="stable")
         out.append([(tile_ids[idxs[t]], float(dist[t])) for t in top])
+    return out
+
+
+def _knn_brute(
+    query_lat: np.ndarray,
+    query_lon: np.ndarray,
+    tile_lat: np.ndarray,
+    tile_lon: np.ndarray,
+    tile_ids: list[str],
+    k: int,
+    chunk: int = 1024,
+) -> list[list[tuple[str, float]]]:
+    """Vectorized all-pairs top-k, chunked over queries (small tile sets)."""
+    out: list[list[tuple[str, float]]] = []
+    n = len(tile_ids)
+    kk = min(k, n)
+    for s in range(0, len(query_lat), chunk):
+        qla = query_lat[s : s + chunk, None]
+        qlo = query_lon[s : s + chunk, None]
+        bad = np.isnan(qla[:, 0]) | np.isnan(qlo[:, 0])
+        dlat = (tile_lat[None, :] - qla) * 111_320.0
+        dlon = (tile_lon[None, :] - qlo) * 111_320.0 * np.cos(np.radians(np.nan_to_num(qla)))
+        dist = np.hypot(dlat, dlon)
+        if kk < n:
+            part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+        else:
+            part = np.tile(np.arange(n), (dist.shape[0], 1))
+        for i in range(dist.shape[0]):
+            if bad[i]:
+                out.append([])
+                continue
+            sel = part[i]
+            orderd = sel[np.argsort(dist[i, sel], kind="stable")]
+            out.append([(tile_ids[t], float(dist[i, t])) for t in orderd])
     return out
 
 
