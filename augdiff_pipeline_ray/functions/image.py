@@ -31,20 +31,20 @@ FMT_NAMES = {0: "rawz", 1: "qz"}
 
 
 def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
-    """Deterministic (h, w, 3) uint8 pixels for an image id: smooth gradient + low noise."""
+    """Deterministic (h, w, 3) uint8 pixels for an image id: smooth gradient + low noise.
+
+    float32 single-pass on purpose: this kernel runs twice per tile (generate + verify)
+    across every decode actor; float64 multi-pass versions saturate node memory
+    bandwidth and cap actor-pool scaling.
+    """
     seed = zlib.crc32(image_id.encode()) & 0xFFFFFFFF
     rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = (
-        (xx * 255.0 / max(1, w - 1)) * 0.5
-        + (yy * 255.0 / max(1, h - 1)) * 0.3
-        + (seed % 64)
-    )
-    px = np.empty((h, w, 3), np.uint8)
-    for c in range(3):
-        chan = base + rng.normal(0.0, 2.0, size=(h, w)) + c * 17.0
-        px[:, :, c] = np.clip(chan, 0, 255).astype(np.uint8)
-    return px
+    xs = (np.arange(w, dtype=np.float32) * (255.0 / max(1, w - 1)) * 0.5)[None, :, None]
+    ys = (np.arange(h, dtype=np.float32) * (255.0 / max(1, h - 1)) * 0.3)[:, None, None]
+    chan = np.array([seed % 64, seed % 64 + 17.0, seed % 64 + 34.0], np.float32)[None, None, :]
+    noise = rng.standard_normal((h, w, 3), dtype=np.float32)
+    out = xs + ys + chan + noise * np.float32(2.0)
+    return np.clip(out, 0, 255, out=out).astype(np.uint8)
 
 
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
@@ -68,17 +68,63 @@ def decode(data: bytes) -> tuple[np.ndarray, str]:
     arr = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
     fmt = FMT_NAMES[code]
     if fmt == "qz":
-        arr = ((arr.astype(np.uint16) << 2) | 2).clip(0, 255).astype(np.uint8)  # dequant to bin center
+        arr = (arr << 2) | 2  # dequant to bin center; 63<<2|2 = 254, stays in uint8
     return arr.copy(), fmt
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    """Peak signal-to-noise ratio in dB between two uint8 images (inf when identical)."""
-    diff = a.astype(np.float64) - b.astype(np.float64)
-    mse = float((diff * diff).mean())
+    """Peak signal-to-noise ratio in dB between two uint8 images (inf when identical).
+
+    float32 pipeline (bandwidth, see synth_pixels); max per-pixel error 255 ⇒ squared
+    sums stay well within float32-accumulated-in-float64 mean precision for dB checks.
+    """
+    diff = a.astype(np.float32) - b.astype(np.float32)
+    mse = float(np.mean(diff * diff, dtype=np.float64))
     if mse == 0:
         return float("inf")
     return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
+
+
+def tile_features(pixels: np.ndarray, passes: int = 32) -> np.ndarray:
+    """Per-tile feature vector (8 float32): iterated 3×3 box-blur pyramid statistics +
+    gradient energy — the multimodal "feature-extract" stage of the ingest pipeline.
+
+    Deliberately cache-resident compute (the grayscale plane of a ≤256² tile fits L2):
+    the decode stage's heavy step is arithmetic, not another pass over DRAM, which is
+    what lets a node's full core count contribute (and mirrors real featurizers, which
+    are model-compute-bound).
+    """
+    g = pixels.mean(axis=2, dtype=np.float32)
+    # bulk compute runs on a ≤128² plane (64 KB — L2-resident even at high core counts)
+    while g.shape[0] > 128 or g.shape[1] > 128:
+        g = g[::2, ::2]
+    acc_mean = np.empty(passes, np.float32)
+    work = g.copy()
+    for p in range(passes):
+        # 3×3 box blur via shifted adds (no allocation churn beyond two planes)
+        b = work.copy()
+        b[1:, :] += work[:-1, :]
+        b[:-1, :] += work[1:, :]
+        c = b.copy()
+        c[:, 1:] += b[:, :-1]
+        c[:, :-1] += b[:, 1:]
+        work = c * np.float32(1.0 / 9.0)
+        acc_mean[p] = work.mean(dtype=np.float32)
+    gx = np.diff(g, axis=1)
+    gy = np.diff(g, axis=0)
+    return np.array(
+        [
+            g.mean(dtype=np.float32),
+            g.std(),
+            work.mean(dtype=np.float32),
+            work.std(),
+            np.abs(gx).mean(dtype=np.float32),
+            np.abs(gy).mean(dtype=np.float32),
+            acc_mean[: passes // 2].mean(),
+            acc_mean[passes // 2 :].mean(),
+        ],
+        np.float32,
+    )
 
 
 def phash64(pixels: np.ndarray) -> int:

@@ -13,6 +13,7 @@ The graft adds the image side at bootstrap: the hinted image table streams throu
 
 from __future__ import annotations
 
+import os
 import time
 from pathlib import Path
 
@@ -25,7 +26,7 @@ import ray.data as rd
 from ..sources import snapshot as SNAP
 from ..stages.closure import closure_auto, closure_dataset
 from ..stages.edges import edges_from_batch
-from ..stages.tiles import TileDecoder
+from ..stages.tiles import TileDecoder, TileDecoderFiles
 from ..state.index_store import IndexStore
 
 
@@ -103,15 +104,34 @@ def assign_tiles(
 
     n_imgs = pads.dataset(images_parquet).count_rows()
     bank_rate = max(1, n_imgs // 4096)  # ≤ ~4096 sampled blobs for the overlay bank
-    ds = rd.read_parquet(images_parquet)
-    decoded = ds.map_batches(
-        TileDecoder,
-        fn_constructor_kwargs={"verify": verify, "bank_rate": bank_rate},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
+    kwargs = {"verify": verify, "bank_rate": bank_rate}
+    files = (
+        sorted(str(p) for p in Path(images_parquet).glob("*.parquet"))
+        if os.path.isdir(images_parquet)
+        else []
     )
+    if len(files) >= 4 * concurrency:
+        # direct-read ingest: actors read their files themselves (no object-store hop
+        # for the blob bytes — see TileDecoderFiles)
+        ds = rd.from_items([{"path": f} for f in files])
+        decoded = ds.map_batches(
+            TileDecoderFiles,
+            fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    else:
+        ds = rd.read_parquet(images_parquet)
+        decoded = ds.map_batches(
+            TileDecoder,
+            fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
     tiles_full = _collect(decoded)
     bank = tiles_full.filter(pc.is_valid(tiles_full["bank_bytes"]))
     pq.write_table(
@@ -120,18 +140,27 @@ def assign_tiles(
     )
     tiles = tiles_full.drop_columns(["bank_bytes"])
 
-    # per-cell tile counts via the salted skew-splitting shuffle — hot cells (the dense
-    # metro analogue) split across reducers, exact merge; feeds hot-cell stats/lineage
-    from ..stages.shuffle import salted_group_count
+    # per-cell tile counts (hot-cell stats for lineage/salting). Plan by size: above
+    # ~1M tiles the salted skew-splitting shuffle (stages/shuffle.py) does it without a
+    # hot reducer; below, the already-collected column counts faster in-process than
+    # three shuffle rounds can schedule.
+    if len(tiles) > 1_000_000:
+        from ..stages.shuffle import salted_group_count
 
-    cell_counts = salted_group_count(
-        rd.from_arrow(tiles.select(["cell"])), "cell",
-        hot_threshold=max(1000, len(tiles) // 50), k=8,
-    )
-    pq.write_table(
-        pa.Table.from_pandas(cell_counts.to_pandas(), preserve_index=False),
-        out / "cell_counts.parquet",
-    )
+        cell_counts = pa.Table.from_pandas(
+            salted_group_count(
+                rd.from_arrow(tiles.select(["cell"])), "cell",
+                hot_threshold=max(1000, len(tiles) // 50), k=8,
+            ).to_pandas(),
+            preserve_index=False,
+        )
+    else:
+        import numpy as np
+
+        cells_np = tiles["cell"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(cells_np, return_counts=True)
+        cell_counts = pa.table({"cell": pa.array(u), "n": pa.array(c.astype("int64"))})
+    pq.write_table(cell_counts, out / "cell_counts.parquet")
     assignments = pa.table(
         {
             "batch_seq": pa.array([0] * len(tiles), pa.int64()),

@@ -917,6 +917,70 @@ def q_events_window(sf_dir: str):
     )
 
 
+# -- composed training-data curation pipeline ----------------------------------------
+
+
+@query(
+    "curation_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, text, lang,
+             length(text) AS n_chars2,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_words,
+             length(regexp_replace(text, '[\\w\\s]', '', 'g'))::DOUBLE
+               / GREATEST(length(text), 1) AS punct_ratio
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, {_sql_lang_hits('en')} AS h_en FROM documents
+    ),
+    kept AS (
+      SELECT s.doc_id, s.text, s.n_words
+      FROM scored s JOIN hits h ON s.doc_id = h.doc_id
+      WHERE s.n_chars2 >= 100 AND s.n_words >= 20 AND s.punct_ratio < 0.1
+        AND s.lang = 'en' AND h.h_en > 0
+    ),
+    deduped AS (
+      SELECT MIN(doc_id) AS doc_id, text, MIN(n_words) AS n_tokens FROM kept GROUP BY text
+    )
+    SELECT doc_id, n_tokens::BIGINT AS n_tokens FROM deduped
+    """,
+)
+def q_curation_pipeline(sf_dir: str):
+    """The composed training-data curation flow, end to end on Ray Data: quality
+    scoring → language filter (declared ∧ detected-en evidence) → exact dedup by
+    content hash → token counting. One streaming pipeline; only (hash, doc_id, tokens)
+    shuffle."""
+    ds = rd.read_parquet(TP._p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+
+    def score_and_filter(df: pd.DataFrame) -> pd.DataFrame:
+        q = TX.quality_scores(df["text"])
+        en_hits = df["text"].str.lower().str.split().map(
+            lambda ws: sum(1 for w in ws if w in TX.STOPWORDS["en"]) if isinstance(ws, list) else 0
+        )
+        keep = (
+            (q["n_chars"].to_numpy() >= 100)
+            & (q["n_words"].to_numpy() >= 20)
+            & (q["punct_ratio"].to_numpy() < 0.1)
+            & (df["lang"].to_numpy() == "en")
+            & (en_hits.to_numpy() > 0)
+        )
+        out = df.loc[keep, ["doc_id", "text"]].copy()
+        out["n_tokens"] = q.loc[keep, "n_words"].to_numpy(np.int64)
+        out["h"] = DD.content_hash(out["text"].tolist())
+        return out
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").head(1)
+        return g[["doc_id", "n_tokens"]]
+
+    return (
+        ds.map_batches(score_and_filter, batch_format="pandas")
+        .groupby("h")
+        .map_groups(first, batch_format="pandas")
+    )
+
+
 # -- rows-only (no SQL equivalent) ----------------------------------------------------
 
 

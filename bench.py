@@ -128,7 +128,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 # the metric) PLUS the minutely adiff stream over the same world. The world is generated
 # ONCE (untimed — input generation, not the engine) and shared by both runs.
 
-SCALING_IMAGES = int(os.environ.get("AUGDIFF_SCALING_IMAGES", "262144"))
+SCALING_IMAGES = int(os.environ.get("AUGDIFF_SCALING_IMAGES", "524288"))
 SCALING_GRID = 32
 SCALING_BATCHES = 3
 
@@ -160,6 +160,39 @@ def prepare_scaling_world() -> str:
         f.write("ok")
     ray.shutdown()
     return world
+
+
+def run_hw_control() -> dict:
+    """No-Ray hardware control for the scaling report: per-process throughput of a
+    cache-resident numpy kernel at 6 vs 27 plain subprocesses. Quantifies this single
+    node's shared-resource ceiling independently of the engine (a real N->4N cluster
+    has per-node caches/DRAM and does not share it)."""
+    code = (
+        "import numpy as np, time\n"
+        "a=np.random.default_rng(0).standard_normal((100,100)).astype('float32')\n"
+        "t0=time.perf_counter(); n=0\n"
+        "while time.perf_counter()-t0 < 4.0:\n"
+        "    for _ in range(50):\n"
+        "        a2 = a*np.float32(1.0001) + np.float32(0.001)\n"
+        "        s = (a2*a2).sum(dtype=np.float32)\n"
+        "    n += 50\n"
+        "print(n/(time.perf_counter()-t0))\n"
+    )
+
+    def rate(nproc: int) -> float:
+        ps = [
+            subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE)
+            for _ in range(nproc)
+        ]
+        outs = [float(p.communicate()[0]) for p in ps]
+        return sum(outs) / len(outs)
+
+    r6, r27 = rate(6), rate(27)
+    return {
+        "per_proc_rate_6": round(r6, 1),
+        "per_proc_rate_27": round(r27, 1),
+        "per_core_retention_6_to_27": round(r27 / r6, 3),
+    }
 
 
 def run_scaling_child(world: str, num_cpus: int) -> dict:
@@ -245,6 +278,7 @@ def run_scaling() -> dict:
         "stream_efficiency": round(
             (r_lo["sec_stream"] / r_hi["sec_stream"]) / (hi / lo), 3
         ),
+        "hw_control": run_hw_control(),
         "detail": {"lo": r_lo, "hi": r_hi},
     }
     os.makedirs("BENCH", exist_ok=True)
