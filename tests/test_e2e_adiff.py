@@ -178,6 +178,32 @@ def test_resume_skips_committed_and_is_byte_identical(world, full_run, tmp_path_
     assert asg_a == asg_b
 
 
+def test_mid_batch_kill_recomputes_cleanly(world, full_run, tmp_path_factory):
+    """A kill MID-batch leaves partial outputs but no lineage commit — the resumed run
+    must recompute that batch and still produce byte-identical results."""
+    out_full, _ = full_run
+    out = tmp_path_factory.mktemp("out_midkill")
+    job = AD.AdiffJob(str(world), str(out), num_shards=2)
+    job.run_stream(start=1, end=2)
+    job.close()
+    # simulate a crash during batch 3: partial (garbage) ndjson + a stray tmp file,
+    # but NO lineage commit for batch 3
+    p3 = Path(GJ.batch_json_path(str(out / "adiff" / "AAA" / "BBB" / "CCC.ndjson"), 3))
+    p3.parent.mkdir(parents=True, exist_ok=True)
+    p3.write_text('{"type":"Feature","TRUNCATED')
+    (out / "assignments").mkdir(exist_ok=True)
+    (out / "assignments" / "batch-000000003.tmp").write_bytes(b"partial")
+    job2 = AD.AdiffJob(str(world), str(out), num_shards=2)
+    stats = job2.run_stream()
+    job2.close()
+    assert stats["skipped"] == [1, 2]
+    assert [b["seq"] for b in stats["batches"]] == [3, 4, 5, 6]
+    assert _read_all_ndjson(out_full) == _read_all_ndjson(out)
+    asg_a = pq.read_table(out_full / "assignments").to_pylist()
+    asg_b = pq.read_table(out / "assignments").to_pylist()
+    assert asg_a == asg_b
+
+
 def test_distributed_render_equals_local(world, full_run, tmp_path_factory):
     out_full, _ = full_run
     out = tmp_path_factory.mktemp("out_local")
