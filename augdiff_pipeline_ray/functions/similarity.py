@@ -63,6 +63,49 @@ def merge_topk(partials: pa.Table, k: int) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def ivf_build(embs: np.ndarray, n_lists: int = 16, iters: int = 8, seed: int = 7):
+    """IVF coarse quantizer: k-means centroids over normalized vectors (deterministic).
+
+    Returns (centroids, assignments). The scale path: build on a sample, broadcast
+    centroids, assign per batch; search probes the closest ``n_probe`` lists only.
+    """
+    x = normalize(np.asarray(embs, np.float32))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)].copy()
+    assign = np.zeros(len(x), np.int64)
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = normalize(members.mean(axis=0, keepdims=True))[0]
+    return cent, assign
+
+
+def ivf_search(
+    queries: np.ndarray,
+    embs: np.ndarray,
+    ids: np.ndarray,
+    cent: np.ndarray,
+    assign: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+) -> list[list[tuple[int, float]]]:
+    """Probe the n_probe nearest lists per query; exact cosine within probed lists."""
+    q = normalize(np.asarray(queries, np.float32))
+    x = normalize(np.asarray(embs, np.float32))
+    out = []
+    probe = (q @ cent.T).argsort(axis=1)[:, ::-1][:, :n_probe]
+    for qi in range(len(q)):
+        mask = np.isin(assign, probe[qi])
+        cand = np.nonzero(mask)[0]
+        sims = x[cand] @ q[qi]
+        top = cand[np.argsort(-sims, kind="stable")[:k]]
+        out.append([(int(ids[t]), float(x[t] @ q[qi])) for t in top])
+    return out
+
+
 def random_hyperplane_buckets(embs: np.ndarray, n_planes: int = 12) -> np.ndarray:
     """Sign-LSH bucket id per row (int64): bit b = sign(x · h_b). Deterministic planes."""
     dim = embs.shape[1]

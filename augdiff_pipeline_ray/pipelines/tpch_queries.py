@@ -981,7 +981,212 @@ def q_curation_pipeline(sf_dir: str):
     )
 
 
+# -- joins, windows, groups ----------------------------------------------------------
+
+
+@query(
+    "broadcast_join",
+    """
+    SELECT n.n_name, COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_broadcast_join(sf_dir: str):
+    """Small-side broadcast join: customer→nation maps ship once via ray.put; the fact
+    table streams through map_batches with dict lookups — no shuffle for the dims."""
+    cu = pq.read_table(TP._p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    na = pq.read_table(TP._p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    cust_to_nation = dict(zip(cu["c_custkey"].to_pylist(), cu["c_nationkey"].to_pylist()))
+    nation_name = dict(zip(na["n_nationkey"].to_pylist(), na["n_name"].to_pylist()))
+    ref = ray.put((cust_to_nation, nation_name))
+
+    def lookup(t: pa.Table) -> pa.Table:
+        c2n, names = ray.get(ref)
+        ck = t["o_custkey"].to_pylist()
+        return pa.table({"n_name": pa.array([names[c2n[c]] for c in ck], pa.string())})
+
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(TP._p(sf_dir, "orders"), columns=["o_custkey"])
+    return (
+        ds.map_batches(lookup, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+@query(
+    "hash_join",
+    """
+    SELECT o.o_orderkey, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 100000
+    """,
+)
+def q_hash_join(sf_dir: str):
+    """Both-sides-large join via Dataset.join (hash-partitioned on the key)."""
+    from ..stages.closure import default_join_partitions
+
+    orders = rd.read_parquet(
+        TP._p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 100000.0)).select(
+            ["o_orderkey", "o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    cust = rd.read_parquet(TP._p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust.rename_columns({"c_custkey": "o_custkey"}),
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("o_custkey",),
+    )
+    return joined.select_columns(["o_orderkey", "c_mktsegment"])
+
+
+@query(
+    "topk_per_user",
+    """
+    SELECT user_id, event_id, rnk FROM (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) - 1 AS rnk
+      FROM events)
+    WHERE rnk < 3
+    """,
+)
+def q_topk_per_user(sf_dir: str):
+    ds = rd.read_parquet(TP._p(sf_dir, "events"), columns=["user_id", "event_id", "value"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {"user_id": g["user_id"], "event_id": g["event_id"],
+             "rnk": np.arange(len(g), dtype=np.int64)}
+        )
+
+    return ds.groupby("user_id").map_groups(topk, batch_format="pandas")
+
+
+@query(
+    "sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+      FROM marked
+    )
+    SELECT user_id, session_no::BIGINT AS session_no, COUNT(*) AS n_events,
+           MIN(event_id) AS first_event
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def q_sessionize(sf_dir: str):
+    """Sessionization (30-min gap): the stream-shaped pattern — partition by key, sort
+    by ts within the group, cut sessions with a vectorized gap test."""
+    ds = rd.read_parquet(TP._p(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ms = g["ts"].astype("datetime64[ms]").astype(np.int64).to_numpy()
+        new = np.ones(len(g), np.int64)
+        if len(g) > 1:
+            new[1:] = (np.diff(ms) > 1_800_000).astype(np.int64)
+        sess_no = np.cumsum(new)
+        out = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(), "session_no": sess_no,
+             "event_id": g["event_id"].to_numpy()}
+        )
+        agg = out.groupby("session_no", sort=True).agg(
+            n_events=("event_id", "size"), first_event=("event_id", "min")
+        ).reset_index()
+        agg["user_id"] = g["user_id"].iloc[0]
+        return agg[["user_id", "session_no", "n_events", "first_event"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+@query(
+    "dup_groups",
+    """
+    WITH u AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 1000000, text FROM documents)
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS group_id FROM u
+    """,
+)
+def q_dup_groups(sf_dir: str):
+    """Duplicate-group assignment (connected components over dup pairs): candidate
+    pairs from content-hash buckets → min-label propagation within groups. The general
+    iterative-propagation loop degenerates to one round here because exact-dup relations
+    are transitive within a hash bucket."""
+    docs = _docs_doubled(sf_dir)
+    ds = rd.from_arrow(docs)
+
+    def hash_label(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": t["text"],
+             "h": pa.array(DD.content_hash(t["text"].to_pylist()))}
+        )
+
+    def assign_group(g: pd.DataFrame) -> pd.DataFrame:
+        # within a hash bucket, verify by exact text then label with the min doc_id
+        out = g.copy()
+        out["group_id"] = out.groupby("text")["doc_id"].transform("min")
+        return out[["doc_id", "group_id"]]
+
+    return (
+        ds.map_batches(hash_label, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(assign_group, batch_format="pandas")
+    )
+
+
+@query(
+    "token_bpe",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z]+(?:''[a-z]+)?|\\d{1,3}|[^\\sA-Za-z\\d]+'))::BIGINT AS n_bpe
+    FROM documents
+    """,
+)
+def q_token_bpe(sf_dir: str):
+    ds = rd.read_parquet(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"], "n_bpe": TX.token_count_bpe(df["text"])})
+
+    return ds.map_batches(tok, batch_format="pandas")
+
+
 # -- rows-only (no SQL equivalent) ----------------------------------------------------
+
+
+@query("ivf_ann")
+def q_ivf_ann(sf_dir: str):
+    """IVF approximate nearest neighbor (the ANN scale path): k-means coarse lists,
+    probe the 4 nearest lists per query. Rows-only (k-means isn't SQL); recall vs the
+    brute-force oracle is asserted in tests."""
+    emb = pq.read_table(TP._p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.stack([np.asarray(e, np.float32) for e in emb["embedding"].to_pylist()])
+    cent, assign = SIM.ivf_build(mat)
+    res = SIM.ivf_search(mat[:5], mat, ids, cent, assign, k=10)
+    rows = [
+        {"query_id": int(ids[qi]), "vec_id": vid, "rank": r}
+        for qi, hits in enumerate(res)
+        for r, (vid, _) in enumerate(hits)
+    ]
+    return pa.Table.from_pylist(rows)
 
 
 @query("geometry_functions")

@@ -122,6 +122,26 @@ def test_topk_searcher_and_merge(ray_session):
         assert got == want
 
 
+def test_ivf_recall_vs_brute_force():
+    rng = np.random.default_rng(23)
+    embs = rng.standard_normal((400, 32)).astype(np.float32)
+    ids = np.arange(400)
+    cent, assign = S.ivf_build(embs, n_lists=16)
+    # determinism
+    cent2, assign2 = S.ivf_build(embs, n_lists=16)
+    assert np.allclose(cent, cent2) and (assign == assign2).all()
+    res = S.ivf_search(embs[:10], embs, ids, cent, assign, k=10, n_probe=4)
+    normed = S.normalize(embs.astype(np.float64))
+    sims = normed @ normed[:10].T
+    recalls = []
+    for q in range(10):
+        want = set(np.argsort(-sims[:, q], kind="stable")[:10].tolist())
+        got = {v for v, _ in res[q]}
+        assert ids[q] in got  # the query vector itself is always found
+        recalls.append(len(got & want) / 10)
+    assert sum(recalls) / len(recalls) >= 0.5  # 4/16 lists probed → decent recall
+
+
 def test_hyperplane_buckets_deterministic():
     rng = np.random.default_rng(1)
     embs = rng.standard_normal((50, 8)).astype(np.float32)
