@@ -35,6 +35,7 @@ def _register_pickle_by_value() -> None:
         "stages", "stages.edges", "stages.closure", "stages.augment",
         "stages.render", "stages.tiles", "stages.shuffle",
         "state", "state.index_store", "state.strtree", "state.lineage",
+        "state.tile_pool",
         "pipelines", "pipelines.worldgen", "pipelines.indexer", "pipelines.adiff",
         "pipelines.tpch", "pipelines.tpch_queries",
     ]

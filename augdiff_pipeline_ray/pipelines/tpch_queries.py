@@ -71,7 +71,11 @@ def closure_table(sf_dir: str) -> pa.Table:
         edges = elements_dataset(sf_dir).map_batches(
             edges_from_batch, batch_format="pyarrow"
         )
-        pq.write_table(closure_auto(edges), f)
+        clo = closure_auto(edges)
+        if isinstance(clo, pa.Table):
+            pq.write_table(clo, f)
+        else:  # large case: distributed write, then point the cache at the directory
+            clo.write_parquet(str(f))
     return pq.read_table(f)
 
 

@@ -143,13 +143,13 @@ def closure_auto(
     edges: rd.Dataset,
     small_threshold: int = 5_000_000,
     num_partitions: int | None = None,
-) -> pa.Table:
+) -> pa.Table | rd.Dataset:
     """Size-adaptive closure plan: count the direct edges first (cheap — two int64
     columns); below ``small_threshold`` pairs, collect and run the vectorized numpy
     doubling (Ray shuffle rounds cost seconds of fixed overhead that dwarf small
-    inputs); above it, run the distributed join rounds. Returns an Arrow (a, b) table
-    (small case) — the distributed case streams through ``closure_dataset`` and is
-    collected by the caller's sink."""
+    inputs) and return an Arrow table; above it, run the distributed join rounds and
+    return the (materialized-in-object-store) **Dataset** — the closure is the biggest
+    table in the system and must stream to its sink, never through the driver."""
     slim = edges.select_columns(["a", "b"]).materialize()
     n = slim.count()
     if n <= small_threshold:
@@ -158,12 +158,7 @@ def closure_auto(
             pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64)
         )
         return pa.table({"a": pa.array(a), "b": pa.array(b)})
-    clo = closure_dataset(slim, num_partitions=num_partitions)
-    pdf = clo.to_pandas()
-    return pa.table(
-        {"a": pa.array(pdf["a"].to_numpy(), pa.int64()),
-         "b": pa.array(pdf["b"].to_numpy(), pa.int64())}
-    )
+    return closure_dataset(slim, num_partitions=num_partitions)
 
 
 # ---------------------------------------------------------------------------

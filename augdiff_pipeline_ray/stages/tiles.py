@@ -56,24 +56,42 @@ class CellAssigner:
         return hit
 
     def assign_points(self, lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+        """Vectorized: arithmetic candidate cell for every point, then ONE batched
+        ring-PIP per unique candidate cell confirms the assignment (the PIP machinery
+        the north star names, amortized over the group instead of per point). The rare
+        points whose candidate PIP fails (boundary sitters) fall back to the exact
+        STRtree walk so the half-open convention matches the per-point path bit-for-bit.
+        """
         out = np.full(len(lat), -1, dtype=np.int64)
         ok = ~(np.isnan(lat) | np.isnan(lon))
         if not ok.any():
             return out
-        parents = C.cell_of(lat[ok], lon[ok], self.COARSE_RES)
         idx = np.nonzero(ok)[0]
-        for p in np.unique(parents):
-            tree, kids = self._tree_for(int(p))
-            sel = parents == p
-            for i, la, lo in zip(idx[sel], lat[idx[sel]], lon[idx[sel]]):
-                cand = tree.query_point(lo, la)
-                for ci in cand:
-                    ring = C.cell_polygon(int(kids[ci]))
-                    if G.points_in_ring(np.array([lo]), np.array([la]), ring)[0]:
-                        out[i] = kids[ci]
-                        break
-                if out[i] == -1 and len(cand):  # boundary point: half-open convention
-                    out[i] = kids[cand[0]]
+        la, lo = lat[idx], lon[idx]
+        cand = C.cell_of(la, lo, self.res)
+        confirmed = np.zeros(len(idx), bool)
+        order = np.argsort(cand, kind="stable")
+        sc = cand[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(sc))[0] + 1, [len(sc)]])
+        for s, e in zip(starts[:-1], starts[1:]):
+            grp = order[s:e]
+            ring = C.cell_polygon(int(sc[s]))
+            confirmed[grp] = G.points_in_ring(lo[grp], la[grp], ring)
+        out[idx[confirmed]] = cand[confirmed]
+
+        # boundary fallback: the original per-point STRtree + PIP walk
+        for j in np.nonzero(~confirmed)[0]:
+            i, plat, plon = idx[j], la[j], lo[j]
+            parent = int(C.cell_of(np.array([plat]), np.array([plon]), self.COARSE_RES)[0])
+            tree, kids = self._tree_for(parent)
+            cands = tree.query_point(plon, plat)
+            for ci in cands:
+                ring = C.cell_polygon(int(kids[ci]))
+                if G.points_in_ring(np.array([plon]), np.array([plat]), ring)[0]:
+                    out[i] = kids[ci]
+                    break
+            if out[i] == -1 and len(cands):  # boundary point: half-open convention
+                out[i] = kids[cands[0]]
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -152,6 +152,36 @@ class IndexStore:
                 existing_data_behavior="delete_matching",
             )
 
+    def write_full_dataset(self, clo) -> int:
+        """Streaming bulk write of the full closure (S9) from a Ray Dataset: stamp the
+        shard per batch and write both layouts with distributed dataset writes — the
+        closure (the biggest table in the system) never lands on the driver. Returns
+        the edge count (from the write pass, no extra scan)."""
+        import shutil
+
+        import ray.data as rd  # noqa: F401  (documents the expected input type)
+
+        total = 0
+        for side, col in (("by_a", "a"), ("by_b", "b")):
+            root = Path(self.root) / side
+            if root.exists():
+                shutil.rmtree(root)
+
+            def _stamp(t: pa.Table, col=col) -> pa.Table:
+                keys = t[col].to_numpy(zero_copy_only=False)
+                sh = shard_of(keys, self.num_shards)
+                out = t.select(["a", "b"]).append_column("shard", pa.array(sh))
+                return out
+
+            stamped = clo.map_batches(_stamp, batch_format="pyarrow")
+            stamped.write_parquet(str(root), partition_cols=["shard"])
+            if side == "by_a":
+                total = sum(
+                    f.metadata.num_rows
+                    for f in [pq.ParquetFile(p) for p in root.rglob("*.parquet")]
+                )
+        return total
+
     def append_batch(self, new_edges: set[tuple[int, int]], batch_seq: int) -> None:
         """Incremental append (S10): one idempotent file per (side, batch_seq)."""
         if not new_edges:
