@@ -211,9 +211,17 @@ class AdiffJob:
             )
         return self._tiles
 
-    # -- one micro-batch -----------------------------------------------------
+    # -- one micro-batch (head → async tail → finish) ------------------------
+    #
+    # The batch splits into a HEAD (parse → closure → augment → render → emit +
+    # durable per-batch state: assignments, memory tier, index append) and a TAIL
+    # (kNN + overlay scatter-gathers over the tile pool). The tail runs as actor
+    # futures, so ``run_stream`` overlaps batch k's tail with batch k+1's head —
+    # the r1 driver-serial Amdahl term becomes pipelined work. The lineage commit
+    # for k happens only in ``_finish_batch`` after k's tail is durable; a kill in
+    # between recomputes k (idempotent writes → byte-identical, tested).
 
-    def run_batch(self, seq: int) -> dict:
+    def _run_head(self, seq: int) -> dict:
         t0 = time.perf_counter()
         stage_t: dict[str, float] = {}
 
@@ -264,42 +272,110 @@ class AdiffJob:
         lines = [feats_py[i] for i in order]
         json_path = GJ.batch_json_path(self.adiff_template, seq)
         nbytes = GJ.write_features(json_path, lines)
-        ts = _mark("emit", ts)
 
-        # assignments + kNN + overlay
         keys_np = feat_tbl["key"].to_numpy(zero_copy_only=False)[order]
         cells_np = feat_tbl["cell"].to_numpy(zero_copy_only=False)[order]
         self._write_assignments(seq, keys_np, cells_np)
-        knn_rows = self._knn(seq, feat_tbl, order)
-        ts = _mark("knn", ts)
-        overlay_rows = self._overlay(seq, lines, cells_np)
-        ts = _mark("overlay", ts)
 
         # memory tier append (T2 analogue, durable per batch)
         self._write_memory(seq, update_el)
-
-        # index incremental append (S10)
+        # index incremental append (S10) — must land before the NEXT batch's closure
         self.store.append_batch(new_edges, seq)
-
         # flush every save_interval batches (reference parity)
         if seq % self.save_interval == 0:
             self._flush_memory(seq)
+        ts = _mark("emit", ts)
+
+        return {
+            "seq": seq, "t0": t0, "stage_t": stage_t,
+            "feat_tbl": feat_tbl, "order": order, "lines": lines,
+            "keys_np": keys_np, "cells_np": cells_np, "nbytes": nbytes,
+            "update_el": update_el, "n_aug": len(rows), "n_new_edges": len(new_edges),
+        }
+
+    def _launch_tail(self, head: dict) -> dict:
+        """Scatter the kNN + overlay phase-1 calls; return the in-flight futures."""
+        feat_tbl, order = head["feat_tbl"], head["order"]
+        tail: dict = {"knn_futs": None, "keep": None, "sel_futs": None}
+        if len(feat_tbl):
+            rlat = feat_tbl["rep_lat"].to_numpy(zero_copy_only=False)[order]
+            rlon = feat_tbl["rep_lon"].to_numpy(zero_copy_only=False)[order]
+            keep = np.nonzero(~(np.isnan(rlat) | np.isnan(rlon)))[0]
+            if len(keep):
+                tail["knn_futs"] = self._tile_pool().knn_scatter(
+                    rlat[keep], rlon[keep], self.knn_k
+                )
+                tail["keep"] = keep
+        touched = np.unique(np.asarray(head["cells_np"], np.int64))
+        touched = touched[touched >= 0]
+        if len(touched):
+            tail["sel_futs"] = self._tile_pool().overlay_select_scatter(touched)
+        return tail
+
+    def _finish_batch(self, head: dict, tail: dict) -> dict:
+        seq = head["seq"]
+        stage_t = head["stage_t"]
+        ts = time.perf_counter()
+
+        # kNN gather + merge + idempotent write
+        knn_rows = 0
+        if tail["knn_futs"] is not None:
+            keep = tail["keep"]
+            parts = ray.get(tail["knn_futs"])
+            knn = TilePool.knn_merge(parts, len(keep), self.knn_k)
+            lens = np.fromiter((len(n) for n in knn), np.int64, len(knn))
+            q_idx = np.repeat(keep, lens)
+            t = pa.table(
+                {
+                    "batch_seq": pa.array(np.full(len(q_idx), seq, np.int64)),
+                    "key": pa.array(head["keys_np"][q_idx], pa.int64()),
+                    "rank": pa.array(
+                        np.concatenate([np.arange(l, dtype=np.int64) for l in lens])
+                        if len(lens) else np.empty(0, np.int64)
+                    ),
+                    "image_id": pa.array([iid for n in knn for iid, _ in n], pa.string()),
+                    "dist_m": pa.array([d for n in knn for _, d in n], pa.float64()),
+                }
+            )
+            self._write_knn(seq, t)
+            knn_rows = len(t)
+        else:
+            self._write_knn(seq, None)
+        ts2 = time.perf_counter()
+        stage_t["knn"] = round(ts2 - ts, 3)
+
+        # overlay phase 2 + idempotent write
+        if tail["sel_futs"] is not None:
+            sels = ray.get(tail["sel_futs"])
+            rows = self._tile_pool().overlay_finish(
+                seq, sels, head["lines"], self.max_overlay
+            )
+        else:
+            rows = []
+        self._write_overlay(seq, rows)
+        stage_t["overlay"] = round(time.perf_counter() - ts2, 3)
 
         # lineage commit — marks the batch done
-        wall_ms = (time.perf_counter() - t0) * 1000.0
-        cell_rows = self._lineage_rows(seq, update_el, cells_np, nbytes, wall_ms)
+        wall_ms = (time.perf_counter() - head["t0"]) * 1000.0
+        cell_rows = self._lineage_rows(
+            seq, head["update_el"], head["cells_np"], head["nbytes"], wall_ms
+        )
         self.lineage.commit(seq, cell_rows)
         return {
             "seq": seq,
-            "update_rows": len(update_el),
-            "aug_rows": len(rows),
-            "features": len(lines),
-            "new_edges": len(new_edges),
+            "update_rows": len(head["update_el"]),
+            "aug_rows": head["n_aug"],
+            "features": len(head["lines"]),
+            "new_edges": head["n_new_edges"],
             "knn": knn_rows,
-            "overlay": overlay_rows,
+            "overlay": len(rows),
             "wall_ms": wall_ms,
             "stage_sec": stage_t,
         }
+
+    def run_batch(self, seq: int) -> dict:
+        head = self._run_head(seq)
+        return self._finish_batch(head, self._launch_tail(head))
 
     # -- render paths --------------------------------------------------------
 
@@ -371,37 +447,6 @@ class AdiffJob:
         pq.write_table(t, tmp)
         os.replace(tmp, d / f"batch-{seq:09d}.parquet")
 
-    def _knn(self, seq: int, feat_tbl: pa.Table, order) -> int:
-        """k nearest tiles per rendered geometry — scatter-gather over the cell-sharded
-        tile pool; rep points come straight from the render output (no JSON re-parse)."""
-        if len(feat_tbl) == 0:
-            self._write_knn(seq, None)
-            return 0
-        rlat = feat_tbl["rep_lat"].to_numpy(zero_copy_only=False)[order]
-        rlon = feat_tbl["rep_lon"].to_numpy(zero_copy_only=False)[order]
-        keep = np.nonzero(~(np.isnan(rlat) | np.isnan(rlon)))[0]
-        if not len(keep):
-            self._write_knn(seq, None)
-            return 0
-        knn = self._tile_pool().knn(rlat[keep], rlon[keep], self.knn_k)
-        keys_np = feat_tbl["key"].to_numpy(zero_copy_only=False)[order]
-        lens = np.fromiter((len(n) for n in knn), np.int64, len(knn))
-        q_idx = np.repeat(keep, lens)
-        t = pa.table(
-            {
-                "batch_seq": pa.array(np.full(len(q_idx), seq, np.int64)),
-                "key": pa.array(keys_np[q_idx], pa.int64()),
-                "rank": pa.array(
-                    np.concatenate([np.arange(l, dtype=np.int64) for l in lens])
-                    if len(lens) else np.empty(0, np.int64)
-                ),
-                "image_id": pa.array([iid for n in knn for iid, _ in n], pa.string()),
-                "dist_m": pa.array([d for n in knn for _, d in n], pa.float64()),
-            }
-        )
-        self._write_knn(seq, t)
-        return len(t)
-
     def _write_knn(self, seq: int, t: pa.Table | None) -> None:
         if t is None:
             t = pa.table(
@@ -413,19 +458,6 @@ class AdiffJob:
         tmp = d / f"batch-{seq:09d}.tmp"
         pq.write_table(t, tmp)
         os.replace(tmp, d / f"batch-{seq:09d}.parquet")
-
-    def _overlay(self, seq: int, lines: list[str], cells_np) -> int:
-        """Raster↔vector overlay, fanned across the tile pool: shards list their bank
-        tiles in touched cells, the driver picks a deterministic global sample, the
-        owning shards decode + rasterize (pixels never touch the driver)."""
-        touched = np.unique(np.asarray(cells_np, np.int64))
-        touched = touched[touched >= 0]
-        if not len(touched):
-            self._write_overlay(seq, [])
-            return 0
-        rows = self._tile_pool().overlay(seq, touched, lines, self.max_overlay)
-        self._write_overlay(seq, rows)
-        return len(rows)
 
     def _write_overlay(self, seq: int, rows: list[dict]) -> None:
         d = self.out / "overlay"
@@ -461,15 +493,27 @@ class AdiffJob:
             osc_files = sorted((self.world / "changes").rglob("*.osc"))
             end = len(osc_files)
         self.bootstrap()
+        self._tile_pool()  # pre-spawn: shard loads overlap the first batch's head
         if self.store is None:
             self.store = IndexStore(self.index_root, num_shards=self.num_shards)
             self.store.start_pool()
         done = self.lineage.completed()
         stats = []
+        # software-pipelined loop: batch k's tail (kNN/overlay scatter-gather futures)
+        # runs while batch k+1's head executes on the driver. Correctness: k+1's
+        # closure/augment read only the index + memory tier, which k's HEAD already
+        # committed; k's lineage commit stays ordered after k's tail is durable.
+        pending: tuple[dict, dict] | None = None
         for seq in range(start, end + 1):
             if seq in done:
                 continue
-            stats.append(self.run_batch(seq))
+            head = self._run_head(seq)
+            tail = self._launch_tail(head)
+            if pending is not None:
+                stats.append(self._finish_batch(*pending))
+            pending = (head, tail)
+        if pending is not None:
+            stats.append(self._finish_batch(*pending))
         return {"batches": stats, "skipped": sorted(done - {0}), "end": end}
 
     def close(self) -> None:

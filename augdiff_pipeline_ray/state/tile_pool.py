@@ -172,31 +172,45 @@ class TilePool:
 
     def __init__(self, tiles_path: str, bank_path: str | None, num_shards: int):
         self.num_shards = num_shards
+        # no startup barrier: method calls queue until each actor finishes loading, so
+        # shard loads overlap whatever the driver does next (e.g. the first batch head)
         self._actors = [
             TileShard.remote(tiles_path, bank_path, s, num_shards)
             for s in range(num_shards)
         ]
-        ray.get([a.count.remote() for a in self._actors])  # barrier: loaded
 
     def close(self) -> None:
         for a in self._actors:
             ray.kill(a)
         self._actors = []
 
-    def knn(self, qlat: np.ndarray, qlon: np.ndarray, k: int) -> list[list[tuple[str, float]]]:
+    # -- kNN: scatter / merge split so callers can overlap the gather ---------
+
+    def knn_scatter(self, qlat: np.ndarray, qlon: np.ndarray, k: int) -> list:
+        return [a.knn.remote(qlat, qlon, k) for a in self._actors]
+
+    @staticmethod
+    def knn_merge(parts: list, n_queries: int, k: int) -> list[list[tuple[str, float]]]:
         """Exact global top-k: merge each shard's local top-k by (dist, image_id)."""
-        parts = ray.get([a.knn.remote(qlat, qlon, k) for a in self._actors])
         out = []
-        for qi in range(len(qlat)):
+        for qi in range(n_queries):
             cand = [p for part in parts for p in part[qi]]
             cand.sort(key=lambda p: (p[1], p[0]))
             out.append(cand[:k])
         return out
 
-    def overlay(self, seq: int, touched: np.ndarray, lines: list[str],
-                max_tiles: int) -> list[dict]:
-        """Two-phase deterministic overlay sample + distributed rasterize."""
-        sels = ray.get([a.overlay_select.remote(touched) for a in self._actors])
+    def knn(self, qlat: np.ndarray, qlon: np.ndarray, k: int) -> list[list[tuple[str, float]]]:
+        return self.knn_merge(ray.get(self.knn_scatter(qlat, qlon, k)), len(qlat), k)
+
+    # -- overlay: two-phase, with the select scatter exposed for overlap ------
+
+    def overlay_select_scatter(self, touched: np.ndarray) -> list:
+        return [a.overlay_select.remote(touched) for a in self._actors]
+
+    def overlay_finish(self, seq: int, sels: list, lines: list[str],
+                       max_tiles: int) -> list[dict]:
+        """Pick the deterministic global sample from phase-1 results, rasterize on the
+        owning shards."""
         chosen = set(sorted([i for s in sels for i in s])[:max_tiles])
         if not chosen:
             return []
@@ -209,3 +223,8 @@ class TilePool:
         rows = [r for part in ray.get(futs) for r in part]
         rows.sort(key=lambda r: r["image_id"])
         return rows
+
+    def overlay(self, seq: int, touched: np.ndarray, lines: list[str],
+                max_tiles: int) -> list[dict]:
+        sels = ray.get(self.overlay_select_scatter(touched))
+        return self.overlay_finish(seq, sels, lines, max_tiles)
