@@ -106,6 +106,65 @@ def ivf_search(
     return out
 
 
+class IVFSearcher:
+    """map_batches actor — the distributed IVF probe search (the ANN scale path):
+    centroids + the query matrix broadcast once per actor (``__init__``); per batch,
+    one matmul assigns the batch's vectors to coarse lists, and each query scores only
+    the rows landing in its ``n_probe`` nearest lists. Emits per-batch partial top-k
+    rows; ``merge_topk`` finishes. No driver-side matrix, single pass over the table."""
+
+    def __init__(self, cent: np.ndarray, queries: np.ndarray, query_ids: np.ndarray,
+                 k: int = 10, n_probe: int = 4):
+        self.cent = normalize(np.asarray(cent, np.float32))
+        self.q = normalize(np.asarray(queries, np.float32))
+        self.qids = np.asarray(query_ids, np.int64)
+        self.k = k
+        self.probe = (self.q @ self.cent.T).argsort(axis=1)[:, ::-1][:, :n_probe]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = np.stack(
+            [np.asarray(e, np.float32) for e in batch["embedding"].to_pylist()]
+        )
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        x = normalize(embs)
+        assign = (x @ self.cent.T).argmax(axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.q)):
+            mask = np.isin(assign, self.probe[qi])
+            cand = np.nonzero(mask)[0]
+            if not len(cand):
+                continue
+            sims = x[cand] @ self.q[qi]
+            k = min(self.k, len(cand))
+            top = cand[np.argpartition(-sims, k - 1)[:k]] if k < len(cand) else cand
+            out_q.extend([int(self.qids[qi])] * len(top))
+            out_v.extend(ids[top].tolist())
+            out_s.extend((x[top] @ self.q[qi]).astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def hyperplane_band_hashes(
+    embs: np.ndarray, n_bands: int = 16, band_bits: int = 8, seed: int = 0xC052
+) -> np.ndarray:
+    """(n, n_bands) int64 sign-LSH band hashes (deterministic planes): band b matches
+    iff all ``band_bits`` hyperplane signs agree. For cosine ≥ 0.999 (angle ≤ 2.6°)
+    the per-band match probability is ≈ (1 - θ/π)^bits ≈ 0.89, so 16 bands miss a true
+    near-dup with probability ≈ 1e-16 — and identical vectors always collide."""
+    dim = embs.shape[1]
+    planes = np.random.default_rng(seed).standard_normal(
+        (n_bands * band_bits, dim)
+    ).astype(np.float32)
+    signs = (np.asarray(embs, np.float32) @ planes.T) > 0  # (n, n_bands*band_bits)
+    weights = (1 << np.arange(band_bits)).astype(np.int64)
+    return signs.reshape(len(embs), n_bands, band_bits) @ weights
+
+
 def random_hyperplane_buckets(embs: np.ndarray, n_planes: int = 12) -> np.ndarray:
     """Sign-LSH bucket id per row (int64): bit b = sign(x · h_b). Deterministic planes."""
     dim = embs.shape[1]

@@ -48,19 +48,62 @@ def _decompress(data: bytes, name: str) -> bytes:
     return data
 
 
-def read_osc_file(path: str, batch_seq: int, max_retries: int = 8) -> pa.Table:
-    """Read + parse one OSC file with exponential-backoff retry (×2, capped 2^8 s total cap
-    mirrored from the reference; retries only fire on IO errors, never on clean parses)."""
+def _fetch_uri(uri: str) -> bytes:
+    """Resolve the four URI schemes the reference's fetch supports
+    (AugmentedDiff.scala:106-156: file, hdfs, s3, http(s)) and read the bytes.
+
+    * plain path / ``file://`` → local read
+    * ``http(s)://`` → stdlib urllib (URLError subclasses OSError, so the retry loop
+      in :func:`read_osc_file` covers flaky fetches)
+    * ``s3://`` / ``hdfs://`` → ``pyarrow.fs.FileSystem.from_uri`` (the public Arrow
+      filesystem layer; raises cleanly when the scheme's driver isn't available in the
+      environment — this sandbox has neither network nor HDFS)
+    """
+    from urllib.parse import urlparse
+
+    scheme = urlparse(uri).scheme
+    if scheme in ("http", "https"):
+        import urllib.request
+
+        with urllib.request.urlopen(uri, timeout=30) as r:
+            return r.read()
+    if scheme == "file":
+        with open(urlparse(uri).path, "rb") as f:
+            return f.read()
+    if scheme in ("s3", "hdfs"):
+        import pyarrow.fs as pafs
+
+        fs, p = pafs.FileSystem.from_uri(uri)
+        with fs.open_input_stream(p) as f:
+            return f.read()
+    with open(uri, "rb") as f:
+        return f.read()
+
+
+def read_osc_file(
+    path: str,
+    batch_seq: int,
+    max_retries: int = 8,
+    backoff_base_s: float | None = None,
+) -> pa.Table:
+    """Fetch (any supported URI scheme) + parse one OSC file with exponential-backoff
+    retry (×2, capped at 2^8 s, mirroring AugmentedDiff.scala:148-156; retries fire
+    only on IO/HTTP errors, never on clean parses). Remote schemes back off in real
+    seconds; local reads keep a 10 ms-scaled backoff so resume tests stay fast."""
+    from urllib.parse import urlparse
+
+    remote = urlparse(path).scheme in ("http", "https", "s3", "hdfs")
+    if backoff_base_s is None:
+        backoff_base_s = 1.0 if remote else 0.01
     delay = 1
     while True:
         try:
-            with open(path, "rb") as f:
-                data = f.read()
+            data = _fetch_uri(path)
             return parse_osc(_decompress(data, path), batch_seq)
-        except OSError:
+        except OSError:  # covers URLError/HTTPError (urllib) and local IO errors
             if delay > (1 << 8) // 2 or max_retries <= 0:
                 raise
-            time.sleep(min(delay, 4) * 0.01)  # scaled down: sandbox has no real remote fetch
+            time.sleep(min(delay, 4) * backoff_base_s)
             delay *= 2
             max_retries -= 1
 

@@ -121,3 +121,76 @@ def test_closure_dataset_matches_brute_force(ray_session):
     pdf = out.to_pandas()
     got = set(zip(pdf["a"].tolist(), pdf["b"].tolist()))
     assert got == closure.brute_force_closure(pairs)
+
+
+def test_remote_osc_fetch_with_flaky_http_server(tmp_path):
+    """S6 parity: http URI resolution + exponential-backoff retry — a local server
+    fails the first two requests (HTTP 500), the third serves the gzipped OSC body;
+    read_osc_file must come back with the parsed table (AugmentedDiff.scala:106-156)."""
+    import gzip
+    import http.server
+    import threading
+
+    from augdiff_pipeline_ray.sources import osc as OSC
+
+    body = gzip.compress(
+        b'<osmChange version="0.6"><create>'
+        b'<node id="7" version="1" timestamp="2024-01-01T00:00:00Z" changeset="1" '
+        b'uid="1" user="u" lat="1.5" lon="2.5"/>'
+        b"</create></osmChange>"
+    )
+    fails = {"left": 2}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if fails["left"] > 0:
+                fails["left"] -= 1
+                self.send_response(500)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/001/002/003.osc.gz"
+        tbl = OSC.read_osc_file(url, batch_seq=3, backoff_base_s=0.01)
+        assert len(tbl) == 1
+        assert tbl["id"].to_pylist() == [7]
+        assert tbl["type"].to_pylist() == ["node"]
+        assert fails["left"] == 0
+    finally:
+        srv.shutdown()
+
+
+def test_remote_osc_fetch_exhausts_retries(tmp_path):
+    import http.server
+    import threading
+
+    import pytest
+
+    from augdiff_pipeline_ray.sources import osc as OSC
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(503)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/x.osc"
+        with pytest.raises(OSError):
+            OSC.read_osc_file(url, batch_seq=1, max_retries=2, backoff_base_s=0.001)
+    finally:
+        srv.shutdown()

@@ -152,3 +152,44 @@ def test_hyperplane_buckets_deterministic():
     dup = np.vstack([embs[0], embs[0]])
     bd = S.random_hyperplane_buckets(dup)
     assert bd[0] == bd[1]
+
+
+def test_ivf_searcher_pipeline_matches_ivf_search(ray_session):
+    """The distributed IVFSearcher (centroids broadcast, per-batch assign + probe,
+    partial top-k merge) must reproduce the in-memory ivf_search kernel when the
+    per-batch assignment equals the build assignment (fresh centroids, same data)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    embs = rng.standard_normal((400, 32)).astype(np.float32)
+    ids = np.arange(400)
+    cent, _ = S.ivf_build(embs, n_lists=16)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(embs), pa.list_(pa.float32(), 32)),
+        }
+    )
+    partials = rd.from_arrow(t).map_batches(
+        S.IVFSearcher,
+        fn_constructor_args=(cent, embs[:5], ids[:5], 10, 4),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=1,
+    )
+    parts = pa.concat_tables(
+        list(partials.iter_batches(batch_size=None, batch_format="pyarrow")),
+        promote_options="default",
+    )
+    got = S.merge_topk(parts, k=10).to_pandas()
+    # reference: the kernel with assignment recomputed from the final centroids
+    # (exactly what the per-batch argmax does)
+    x = S.normalize(embs)
+    assign = (x @ S.normalize(cent).T).argmax(axis=1)
+    want = S.ivf_search(embs[:5], embs, ids, cent, assign, k=10, n_probe=4)
+    for q in range(5):
+        got_ids = got[got.query_id == q].sort_values("rank")["vec_id"].tolist()
+        want_ids = [v for v, _ in want[q]]
+        assert set(got_ids) == set(want_ids)
