@@ -28,6 +28,8 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
+from .. import sources as SRC
+
 from .. import cells as C
 from .. import georef
 from .. import keys as K
@@ -59,7 +61,7 @@ def node_latlon(partkeys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def nodes_dataset(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(_p(sf_dir, "part"), columns=["p_partkey", "p_type", "p_size", "p_brand"])
+    ds = SRC.read_parquet_clean(_p(sf_dir, "part"), columns=["p_partkey", "p_type", "p_size", "p_brand"])
 
     def build(t: pa.Table) -> pa.Table:
         pk = t["p_partkey"].to_numpy(zero_copy_only=False)
