@@ -149,6 +149,27 @@ def wkb_to_geom(wkb: bytes | None):
     return geom
 
 
+def geojson_to_geom(gj: dict | None):
+    """GeoJSON geometry dict → the engine's tagged-tuple geometry model."""
+    if gj is None:
+        return None
+    t = gj["type"]
+    if t == "Point":
+        return ("Point", np.asarray(gj["coordinates"], float))
+    if t == "LineString":
+        return ("LineString", np.asarray(gj["coordinates"], float))
+    if t == "Polygon":
+        return ("Polygon", [np.asarray(r, float) for r in gj["coordinates"]])
+    if t == "MultiLineString":
+        return ("MultiLineString", [np.asarray(l, float) for l in gj["coordinates"]])
+    if t == "MultiPolygon":
+        return ("MultiPolygon", [[np.asarray(r, float) for r in p] for p in gj["coordinates"]])
+    if t == "GeometryCollection":
+        subs = [geojson_to_geom(g) for g in gj["geometries"]]
+        return ("GeometryCollection", [s for s in subs if s is not None])
+    return None
+
+
 # ---------------------------------------------------------------------------
 # WKT (for ST_AsText parity)
 # ---------------------------------------------------------------------------

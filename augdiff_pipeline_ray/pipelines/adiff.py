@@ -41,11 +41,13 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from .. import keys as K
+from ..functions import geom as G
 from ..sources import geojson as GJ
 from ..sources import osc as OSC
 from ..sources import snapshot as SNAP
 from ..stages import tiles as T
-from ..stages.augment import augment_rows
+from ..stages.augment import augment_table
 from ..stages.closure import local_closure
 from ..stages.edges import edges_from_rows_local
 from ..stages.render import RenderContext, rows_from_arrow
@@ -64,6 +66,7 @@ def render_entities(
     shared by the local path and the persistent render actor pool."""
     out_order, out_json, out_key = [], [], []
     rep_lon, rep_lat = [], []
+    out_wkb, out_bb = [], []
     for order, tipe, id_ in zip(orders, types, ids):
         feats = ctx.features_for(tipe, id_)
         key = (id_ << 2) | {"node": 0, "way": 1, "relation": 2}[tipe]
@@ -74,10 +77,19 @@ def render_entities(
             out_order.append(order * 4 + j)
             out_json.append(json.dumps(f, separators=(",", ":")))
             out_key.append(key)
+            # compact geometry for the overlay tail: WKB + bbox, built HERE in the
+            # distributed render — downstream never re-parses the feature JSON
+            g = G.geojson_to_geom(f["geometry"])
+            out_wkb.append(G.geom_to_wkb(g) if g is not None else None)
+            bb = G.geom_bbox(g) if g is not None else None
+            out_bb.append(
+                (np.nan, np.nan, np.nan, np.nan) if bb is None else tuple(float(v) for v in bb)
+            )
     # one vectorized PIP assignment for the whole chunk (NaN rep → cell -1)
     rlon = np.asarray(rep_lon, float)
     rlat = np.asarray(rep_lat, float)
     cells = assigner.assign_points(rlat, rlon)
+    bb_flat = np.asarray(out_bb, np.float64).reshape(-1)
     return pa.table(
         {
             "order": pa.array(out_order, pa.int64()),
@@ -86,6 +98,8 @@ def render_entities(
             "cell": pa.array(cells, pa.int64()),
             "rep_lon": pa.array(rlon, pa.float64()),
             "rep_lat": pa.array(rlat, pa.float64()),
+            "wkb": pa.array(out_wkb, pa.binary()),
+            "bbox": pa.FixedSizeListArray.from_arrays(pa.array(bb_flat, pa.float64()), 4),
         }
     )
 
@@ -106,6 +120,12 @@ class RenderShard:
             self._ctx = RenderContext(rows)
             self._seq = seq
         return render_entities(self._ctx, self.assigner, orders, types, ids)
+
+    def render_part(self, seq: int, tbl: pa.Table, orders, types, ids) -> pa.Table:
+        """Dependency-partitioned variant: the shard's row SUBSET arrives as Arrow;
+        dict conversion + context build happen here, on the actor, over O(rows/N)."""
+        ctx = RenderContext(rows_from_arrow(tbl))
+        return render_entities(ctx, self.assigner, orders, types, ids)
 
 
 def _rep_point(geom_json: dict) -> tuple[float, float] | None:
@@ -136,6 +156,11 @@ def _rep_point(geom_json: dict) -> tuple[float, float] | None:
     return float(m[0]), float(m[1])
 
 
+@ray.remote(num_cpus=0)
+def _parse_osc_task(path: str, seq: int) -> pa.Table:
+    return OSC.read_osc_file(path, batch_seq=seq)
+
+
 class AdiffJob:
     """Driver-side handle for one stream run over a world (resumable)."""
 
@@ -148,7 +173,7 @@ class AdiffJob:
         save_interval: int = SAVE_INTERVAL,
         drop_tags_on_load: bool = True,
         knn_k: int = 3,
-        max_overlay_tiles_per_batch: int = 8,
+        max_overlay_tiles_per_batch: int = 64,
         parallel_fetch: bool | str = "auto",
         distributed_render: bool = True,
     ):
@@ -175,6 +200,19 @@ class AdiffJob:
         self.lineage = Lineage(str(self.out / "lineage"))
         self.store: IndexStore | None = None
         self._tiles: TilePool | None = None
+        self._parse_futs: dict[int, "ray.ObjectRef"] = {}
+
+    def _osc_path(self, seq: int) -> str:
+        return str(self.world / "changes" / OSC.sequence_path(seq)) + ".osc"
+
+    def _prefetch_parse(self, seq: int) -> None:
+        """Parse batch ``seq``'s OSC XML in a Ray task while earlier batches run —
+        takes the XML decode off the driver's serial critical path."""
+        if seq in self._parse_futs:
+            return
+        path = self._osc_path(seq)
+        if os.path.exists(path):
+            self._parse_futs[seq] = _parse_osc_task.remote(path, seq)
 
     # -- bootstrap -----------------------------------------------------------
 
@@ -198,6 +236,15 @@ class AdiffJob:
                  "status": "committed"}
             ])
         return stats
+
+    def warm(self) -> None:
+        """Build the serving state once, before the first batch: tile-pool shard loads
+        (blocking), snapshot hot-cache tier, render actor pool. Idempotent — belongs to
+        startup, not to the first request's latency."""
+        self._tile_pool().warm()
+        SNAP.warm_cache(self.snapshot_store)
+        if self.distributed_render:
+            self._render_pool()
 
     def _tile_pool(self) -> TilePool:
         """Cell-sharded tile index + overlay bank actor pool (persistent across batches):
@@ -230,8 +277,12 @@ class AdiffJob:
             return time.perf_counter()
 
         ts = time.perf_counter()
-        osc_path = str(self.world / "changes" / OSC.sequence_path(seq)) + ".osc"
-        update = OSC.read_osc_file(osc_path, batch_seq=seq)
+        fut = self._parse_futs.pop(seq, None)
+        ready = fut is not None and bool(ray.wait([fut], timeout=0)[0])
+        if ready:
+            update = ray.get(fut)  # prefetched by run_stream while batch seq-1 rendered
+        else:  # cold prefetch worker (first batch): parsing locally is cheaper than waiting
+            update = OSC.read_osc_file(self._osc_path(seq), batch_seq=seq)
         update_el = update.drop_columns(["batch_seq", "action"])
         ts = _mark("parse", ts)
 
@@ -242,28 +293,38 @@ class AdiffJob:
         new_edges, all_edges = local_closure(row_edges, existing)
         ts = _mark("closure", ts)
 
-        # J5: semi-join fetch from memory + storage tiers
+        # J5: semi-join fetch from memory + storage tiers — stays Arrow end-to-end
         memory = self._read_memory()
-        rows = augment_rows(
+        aug_tbl = augment_table(
             update_el, memory, all_edges, self.snapshot_store,
             drop_tags_on_load=self.drop_tags_on_load,
             parallel_fetch=self.parallel_fetch,
         )
+        # entity work-list, vectorized: unique packed keys ordered (type rank, id)
+        row_keys = K.pack_typed(
+            aug_tbl["id"].to_numpy(zero_copy_only=False),
+            aug_tbl["type"].to_numpy(zero_copy_only=False),
+        )
+        ents_sorted = np.unique(row_keys)
+        ents_sorted = ents_sorted[np.lexsort((ents_sorted >> 2, ents_sorted & 3))]
+        n_aug = len(aug_tbl)
         ts = _mark("augment", ts)
 
-        # render (distributed by entity over the broadcast context)
-        ctx = RenderContext(rows)
-        ents = ctx.entity_list()
-        # adaptive: below ~3k entities the actor-pool spin-up costs more than the
-        # geometry work; render in-process (distributed_render=False forces local,
-        # True forces the pool for tests)
+        # render: dependency-partitioned actor fan-out — each shard receives ONLY its
+        # entities' rows plus their closure-dependency rows, so per-actor context
+        # build scales down with the pool (no whole-context rebuild per actor).
+        # Below ~3k entities the scatter costs more than the geometry work → local.
         use_pool = (
             self.distributed_render
-            and len(ents) >= (0 if self.distributed_render == "force" else 3000)
+            and len(ents_sorted) >= (0 if self.distributed_render == "force" else 3000)
         )
-        if use_pool and len(ents) > 0:
-            feat_tbl = self._render_distributed(ctx, ents, seq)
+        if use_pool and len(ents_sorted) > 0:
+            feat_tbl = self._render_partitioned(
+                aug_tbl, row_keys, ents_sorted, all_edges, seq
+            )
         else:
+            ents = [(K.TYPE_NAMES[int(k) & 3], int(k) >> 2) for k in ents_sorted]
+            ctx = RenderContext(rows_from_arrow(aug_tbl))
             feat_tbl = self._render_local(ctx, ents)
 
         ts = _mark("render", ts)
@@ -290,7 +351,7 @@ class AdiffJob:
             "seq": seq, "t0": t0, "stage_t": stage_t,
             "feat_tbl": feat_tbl, "order": order, "lines": lines,
             "keys_np": keys_np, "cells_np": cells_np, "nbytes": nbytes,
-            "update_el": update_el, "n_aug": len(rows), "n_new_edges": len(new_edges),
+            "update_el": update_el, "n_aug": n_aug, "n_new_edges": len(new_edges),
         }
 
     def _launch_tail(self, head: dict) -> dict:
@@ -321,20 +382,15 @@ class AdiffJob:
         knn_rows = 0
         if tail["knn_futs"] is not None:
             keep = tail["keep"]
-            parts = ray.get(tail["knn_futs"])
-            knn = TilePool.knn_merge(parts, len(keep), self.knn_k)
-            lens = np.fromiter((len(n) for n in knn), np.int64, len(knn))
-            q_idx = np.repeat(keep, lens)
+            ids, dist = self._tile_pool().knn_finish(tail["knn_futs"])
+            qrow, rank = np.nonzero(np.isfinite(dist))  # top-k packs left → col == rank
             t = pa.table(
                 {
-                    "batch_seq": pa.array(np.full(len(q_idx), seq, np.int64)),
-                    "key": pa.array(head["keys_np"][q_idx], pa.int64()),
-                    "rank": pa.array(
-                        np.concatenate([np.arange(l, dtype=np.int64) for l in lens])
-                        if len(lens) else np.empty(0, np.int64)
-                    ),
-                    "image_id": pa.array([iid for n in knn for iid, _ in n], pa.string()),
-                    "dist_m": pa.array([d for n in knn for _, d in n], pa.float64()),
+                    "batch_seq": pa.array(np.full(len(qrow), seq, np.int64)),
+                    "key": pa.array(head["keys_np"][keep[qrow]], pa.int64()),
+                    "rank": pa.array(rank.astype(np.int64)),
+                    "image_id": pa.array(ids[qrow, rank]),
+                    "dist_m": pa.array(dist[qrow, rank]),
                 }
             )
             self._write_knn(seq, t)
@@ -347,8 +403,14 @@ class AdiffJob:
         # overlay phase 2 + idempotent write
         if tail["sel_futs"] is not None:
             sels = ray.get(tail["sel_futs"])
+            ft, order = head["feat_tbl"], head["order"]
+            wkbs_l = ft["wkb"].to_pylist()
+            bbs = (
+                ft["bbox"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+                .reshape(-1, 4)[order]
+            )
             rows = self._tile_pool().overlay_finish(
-                seq, sels, head["lines"], self.max_overlay
+                seq, sels, [wkbs_l[i] for i in order], bbs, self.max_overlay
             )
         else:
             rows = []
@@ -384,19 +446,68 @@ class AdiffJob:
             self._pool_actors = [RenderShard.remote() for _ in range(self.render_concurrency)]
         return self._pool_actors
 
-    def _render_distributed(self, ctx: RenderContext, ents, seq: int) -> pa.Table:
-        """Persistent actor pool: broadcast the (small) row list once, split the entity
-        work-list across the pool; each actor rebuilds its context only when seq moves."""
+    def _render_partitioned(
+        self, tbl: pa.Table, row_keys: np.ndarray, ents_sorted: np.ndarray,
+        all_edges: set, seq: int,
+    ) -> pa.Table:
+        """Dependency-partitioned render over the persistent actor pool.
+
+        Entities split strided across N shards (balances heavy relations); shard ``s``
+        receives the Arrow sub-table of rows whose key is one of its entities OR a
+        closure-dependency of one (edge ``(a, b)`` = "b depends on a", so a shard
+        rendering parent ``b`` needs ``a``'s rows). Each actor builds a context over
+        ONLY that subset — per-actor cost is O(rows/N · dup), not O(rows), which is what
+        makes the render stage actually scale with pool size. Partitioning assumption:
+        the transitive closure is complete (local_closure), so a shard's subset always
+        contains every row its predicates may touch."""
         pool = self._render_pool()
-        rows_ref = ray.put(ctx.rows)
-        orders = list(range(len(ents)))
-        types = [e[0] for e in ents]
-        ids = [e[1] for e in ents]
-        n = len(pool)
+        N = len(pool)
+        n_ents = len(ents_sorted)
+        ent_shard = np.arange(n_ents) % N  # strided split, same balance as r1
+
+        # shard of each edge's PARENT (b), dependency key = child (a)
+        ek_order = np.argsort(ents_sorted, kind="stable")
+        ek_sorted = ents_sorted[ek_order]
+        shard_by_ek = ent_shard[ek_order]
+        if all_edges:
+            e = np.fromiter(
+                (v for ab in all_edges for v in ab), np.int64, 2 * len(all_edges)
+            ).reshape(-1, 2)
+            pos = np.searchsorted(ek_sorted, e[:, 1])
+            ok = (pos < len(ek_sorted)) & (ek_sorted[np.minimum(pos, len(ek_sorted) - 1)] == e[:, 1])
+            dem_shard = np.concatenate([ent_shard, shard_by_ek[pos[ok]]])
+            dem_key = np.concatenate([ents_sorted, e[ok, 0]])
+        else:
+            dem_shard, dem_key = ent_shard, ents_sorted
+        # unique (shard, key) demands
+        o = np.lexsort((dem_key, dem_shard))
+        ds, dk = dem_shard[o], dem_key[o]
+        keep = np.r_[True, (ds[1:] != ds[:-1]) | (dk[1:] != dk[:-1])]
+        ds, dk = ds[keep], dk[keep]
+
+        rk_order = np.argsort(row_keys, kind="stable")
+        rk_sorted = row_keys[rk_order]
         futs = []
-        for i in range(n):
-            sl = slice(i, None, n)  # strided split: balances heavy relations
-            futs.append(pool[i].render.remote(seq, rows_ref, orders[sl], types[sl], ids[sl]))
+        for s in range(N):
+            keys_s = dk[ds == s]
+            lo = np.searchsorted(rk_sorted, keys_s, side="left")
+            hi = np.searchsorted(rk_sorted, keys_s, side="right")
+            lens = hi - lo
+            tot = int(lens.sum())
+            flat = rk_order[
+                np.repeat(lo, lens) + (np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens))
+            ]
+            flat.sort()  # preserve the table's deterministic row order in the subset
+            sub = tbl.take(pa.array(flat))
+            mine = np.flatnonzero(ent_shard == s)  # == these entities' order indices
+            mk = ents_sorted[mine]
+            futs.append(
+                pool[s].render_part.remote(
+                    seq, sub, mine.tolist(),
+                    [K.TYPE_NAMES[c] for c in (mk & 3).tolist()],
+                    (mk >> 2).tolist(),
+                )
+            )
         parts = ray.get(futs)
         return pa.concat_tables(parts, promote_options="default")
 
@@ -472,17 +583,19 @@ class AdiffJob:
 
     def _lineage_rows(self, seq, update_el, cells_np, nbytes, wall_ms) -> list[dict]:
         cells_in = update_el["cell"].to_numpy(zero_copy_only=False) if len(update_el) else np.empty(0, np.int64)
-        all_cells = set(int(c) for c in cells_in) | set(int(c) for c in cells_np)
-        rows = []
-        for c in sorted(all_cells):
-            rows.append(
-                {"batch_seq": seq, "cell": int(c),
-                 "rows_in": int((cells_in == c).sum()),
-                 "rows_out": int((cells_np == c).sum()),
-                 "bytes": int(nbytes), "wall_ms": float(wall_ms),
-                 "status": "committed"}
-            )
-        return rows
+        cells_out = np.asarray(cells_np, np.int64)
+        all_cells = np.union1d(cells_in, cells_out)  # sorted unique
+        in_counts = np.zeros(len(all_cells), np.int64)
+        uc, cnt = np.unique(cells_in, return_counts=True)
+        in_counts[np.searchsorted(all_cells, uc)] = cnt
+        out_counts = np.zeros(len(all_cells), np.int64)
+        uc, cnt = np.unique(cells_out, return_counts=True)
+        out_counts[np.searchsorted(all_cells, uc)] = cnt
+        return [
+            {"batch_seq": seq, "cell": int(c), "rows_in": int(i), "rows_out": int(o),
+             "bytes": int(nbytes), "wall_ms": float(wall_ms), "status": "committed"}
+            for c, i, o in zip(all_cells, in_counts, out_counts)
+        ]
 
     # -- stream --------------------------------------------------------------
 
@@ -493,7 +606,7 @@ class AdiffJob:
             osc_files = sorted((self.world / "changes").rglob("*.osc"))
             end = len(osc_files)
         self.bootstrap()
-        self._tile_pool()  # pre-spawn: shard loads overlap the first batch's head
+        self.warm()
         if self.store is None:
             self.store = IndexStore(self.index_root, num_shards=self.num_shards)
             self.store.start_pool()
@@ -504,9 +617,12 @@ class AdiffJob:
         # closure/augment read only the index + memory tier, which k's HEAD already
         # committed; k's lineage commit stays ordered after k's tail is durable.
         pending: tuple[dict, dict] | None = None
-        for seq in range(start, end + 1):
-            if seq in done:
-                continue
+        todo = [s for s in range(start, end + 1) if s not in done]
+        for s in todo[:2]:
+            self._prefetch_parse(s)
+        for i, seq in enumerate(todo):
+            if i + 2 < len(todo):
+                self._prefetch_parse(todo[i + 2])
             head = self._run_head(seq)
             tail = self._launch_tail(head)
             if pending is not None:

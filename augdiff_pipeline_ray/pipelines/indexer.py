@@ -150,7 +150,10 @@ def assign_tiles(
         columns=["image_id", "cell", "w", "h", "fmt", "phash", "bank_bytes"],
         filter=~pads2.field("bank_bytes").is_null(),
     )
-    pq.write_table(bank, out / "overlay_bank.parquet")
+    # sorted by image_id with small row groups: TileShard fetches blobs lazily per
+    # selected id via row-group-stat pruning, so shards never read the blob column whole
+    pq.write_table(bank.sort_by("image_id"), out / "overlay_bank.parquet",
+                   row_group_size=32)
 
     # base tile assignments: a 2-column projection of the decoded table, written as a
     # distributed dataset (no driver materialization)

@@ -163,6 +163,28 @@ def invalidate_pads_cache(root: str) -> None:
     _TABLE_CACHE.pop(root, None)
 
 
+def warm_cache(root: str) -> None:
+    """Pre-build the hot-snapshot cache tier (whole-table cache under the size cap,
+    else the pyarrow dataset handle) so the first stream batch's point-read doesn't
+    pay the store scan. Driver-process-local, idempotent."""
+    import glob
+
+    import pyarrow.dataset as pads
+
+    if root in _TABLE_CACHE or root in _PADS_CACHE or not os.path.isdir(root):
+        return
+    all_files = glob.glob(os.path.join(root, "part=*", "*.parquet"))
+    if not all_files:
+        return
+    if sum(os.path.getsize(f) for f in all_files) <= TABLE_CACHE_MAX_BYTES:
+        whole = pads.dataset(root, format="parquet", partitioning="hive").to_table()
+        if "part" in whole.column_names:
+            whole = whole.drop_columns(["part"])
+        _TABLE_CACHE[root] = whole
+    else:
+        _PADS_CACHE[root] = pads.dataset(root, format="parquet", partitioning="hive")
+
+
 def load_keyed(
     root: str,
     wanted_parts: set[int],

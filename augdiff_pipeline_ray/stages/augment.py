@@ -53,7 +53,9 @@ def needed_keys(
 
 
 def _row_identity(r: dict) -> tuple:
-    """Canonical full-row identity for exact dedup (A3) — everything except provenance."""
+    """Canonical full-row identity for exact dedup (A3) — everything except provenance.
+    (Reference semantics; kept for tests — the hot path uses the vectorized
+    :func:`dedup_flag_table`, equivalence asserted in tests.)"""
     return (
         r["type"],
         r["id"],
@@ -71,44 +73,95 @@ def _row_identity(r: dict) -> tuple:
     )
 
 
-def augment_rows(
+IDENT_COLS = [
+    "type", "id", "version", "timestamp", "visible", "changeset", "uid", "user",
+    "lat", "lon", "tags", "nds", "members",
+]
+
+
+def dedup_flag_table(tbl: pa.Table, in_update: np.ndarray) -> tuple[pa.Table, np.ndarray]:
+    """Vectorized full-row dedup (A3) + OR'd ``in_update`` provenance (A4): rows equal on
+    every non-provenance column collapse to their FIRST occurrence (callers concat in
+    update→memory→storage priority order). Identity = a 128-bit polars row hash over
+    the identity columns (two independent seeds) — no per-row Python."""
+    import polars as pl
+
+    n = len(tbl)
+    if n == 0:
+        return tbl, np.zeros(0, bool)
+    tbl = tbl.combine_chunks()  # filter/concat inputs arrive heavily chunked; polars
+    df = pl.from_arrow(tbl.select(IDENT_COLS))  # (and take) degrade per-chunk
+    h1 = df.hash_rows(seed=1).to_numpy()
+    h2 = df.hash_rows(seed=2).to_numpy()
+    order = np.lexsort((h2, h1))
+    s1, s2 = h1[order], h2[order]
+    new_grp = np.r_[True, (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])]
+    gid = np.empty(n, np.int64)
+    gid[order] = np.cumsum(new_grp) - 1
+    n_grp = int(new_grp.sum())
+    rep = np.full(n_grp, n, np.int64)
+    np.minimum.at(rep, gid, np.arange(n))
+    flag = np.zeros(n_grp, bool)
+    np.logical_or.at(flag, gid, np.asarray(in_update, bool))
+    return tbl.take(pa.array(rep)), flag
+
+
+def augment_table(
     update: pa.Table,
     memory: pa.Table,
     edges: set[tuple[int, int]],
     snapshot_root: str,
     drop_tags_on_load: bool = True,
     parallel_fetch: bool | str = "auto",
-) -> list[dict]:
-    """→ the deduped, provenance-flagged "rows from everywhere" as normalized dicts,
-    deterministically ordered (type, id, -timestamp, -version)."""
+) -> pa.Table:
+    """→ the deduped, provenance-flagged "rows from everywhere" as ONE Arrow table
+    (``in_update`` column carries A4 provenance), deterministically ordered
+    (type, id, -timestamp, -version)."""
     ks, parts = needed_keys(update, edges)
 
-    from_update = rows_from_arrow(update, in_update=np.ones(len(update), bool))
+    parts_list: list[pa.Table] = []
+    flags_list: list[np.ndarray] = []
+    cols = update.column_names
 
-    mem_rows: list[dict] = []
+    parts_list.append(update)
+    flags_list.append(np.ones(len(update), bool))
+
     if memory is not None and len(memory):
         mk = K.pack_typed(
             memory["id"].to_numpy(zero_copy_only=False),
             memory["type"].to_numpy(zero_copy_only=False),
         )
         mask = np.isin(mk, np.fromiter(ks, np.int64, len(ks))) if ks else np.zeros(len(memory), bool)
-        mem_rows = rows_from_arrow(memory.filter(pa.array(mask)))
+        mem_f = memory.filter(pa.array(mask)).select(cols)
+        parts_list.append(mem_f)
+        flags_list.append(np.zeros(len(mem_f), bool))
 
     storage = SNAP.load_keyed(
         snapshot_root, parts, ks,
         drop_tags_on_load=drop_tags_on_load,
         parallel=parallel_fetch,
     )
-    stor_rows = rows_from_arrow(storage) if len(storage) else []
+    if len(storage):
+        storage = storage.select(cols)
+        parts_list.append(storage)
+        flags_list.append(np.zeros(len(storage), bool))
 
-    seen: dict[tuple, dict] = {}
-    for r in from_update + mem_rows + stor_rows:
-        ident = _row_identity(r)
-        cur = seen.get(ident)
-        if cur is None:
-            seen[ident] = r
-        elif r["in_update"] and not cur["in_update"]:
-            cur["in_update"] = True
-    out = list(seen.values())
-    out.sort(key=lambda r: ({"node": 0, "way": 1, "relation": 2}[r["type"]], r["id"], -r["timestamp"], -r["version"]))
-    return out
+    big = pa.concat_tables(parts_list, promote_options="default")
+    dedup, flag = dedup_flag_table(big, np.concatenate(flags_list))
+
+    # deterministic order (type rank, id, -timestamp, -version; stable on source
+    # priority) — vectorized; ``in_update`` travels as a column so downstream stages
+    # can stay Arrow (the distributed render ships sub-tables, not dict rows)
+    types = dedup["type"].to_numpy(zero_copy_only=False)
+    trank = K.type_code(types)
+    ids = dedup["id"].to_numpy(zero_copy_only=False)
+    ts = dedup["timestamp"].combine_chunks().cast(pa.timestamp("ms")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ver = dedup["version"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((np.arange(len(dedup)), -ver, -ts, ids, trank))
+    dedup = dedup.take(pa.array(order))
+    return dedup.append_column("in_update", pa.array(flag[order]))
+
+
+def augment_rows(*args, **kwargs) -> list[dict]:
+    """Dict-row view of :func:`augment_table` (local render path + tests)."""
+    return rows_from_arrow(augment_table(*args, **kwargs))

@@ -207,6 +207,216 @@ class TileDecoderFiles(TileDecoder):
 # ---------------------------------------------------------------------------
 
 
+def topk_per_query(
+    qidx: np.ndarray, dist: np.ndarray, ids: np.ndarray, n_queries: int, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Flat (query_idx, dist, id) candidate triples → dense (Q, k) top-k arrays,
+    inf/''-padded, ties broken by id. One lexsort — no per-query Python loop. The
+    shared segment-top-k kernel for the ring path, the brute path and the shard merge."""
+    width = ids.dtype if ids.dtype.kind == "U" else np.dtype("U32")
+    out_ids = np.full((n_queries, k), "", dtype=width)
+    out_dist = np.full((n_queries, k), np.inf)
+    if len(qidx) == 0:
+        return out_ids, out_dist
+    o = np.lexsort((ids, dist, qidx))
+    qs = qidx[o]
+    first = np.r_[True, qs[1:] != qs[:-1]]
+    starts = np.flatnonzero(first)
+    lens = np.diff(np.r_[starts, len(qs)])
+    pos = np.arange(len(qs)) - np.repeat(starts, lens)
+    m = (pos < k) & np.isfinite(dist[o])
+    out_ids[qs[m], pos[m]] = ids[o][m]
+    out_dist[qs[m], pos[m]] = dist[o][m]
+    return out_ids, out_dist
+
+
+def _ring_candidates(
+    qrow: np.ndarray, qcol: np.ndarray, sc: np.ndarray, order: np.ndarray,
+    r: int, res: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized (2r+1)²-ring candidate gather for A queries against cell-sorted tiles:
+    returns (flat tile indices, per-query candidate counts, flat query positions).
+
+    Enumerates ROW STRIPS, not cells: within one row the ring's columns are a contiguous
+    cell-id range, so each strip costs two searchsorteds — (2r+1) strips per query
+    instead of (2r+1)² cells (the difference between 129 and 16k probes at r=64).
+    Column wraparound adds a second strip set; out-of-range rows are masked out.
+    """
+    nrows, ncols = C.grid_shape(res)
+    A = len(qrow)
+    offs = np.arange(-r, r + 1)
+    rows = qrow[:, None] + offs[None, :]                     # (A, S)
+    row_ok = (rows >= 0) & (rows < nrows)
+    c_lo, c_hi = qcol - r, qcol + r                          # may under/overflow
+    full_span = (c_hi - c_lo + 1) >= ncols
+
+    def _strip(lo_col: np.ndarray, hi_col: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Inclusive column range per query → (lo, hi) flat searchsorted bounds (A·S)."""
+        ok = row_ok & (hi_col >= lo_col)[:, None]
+        base = C.make_cell(np.int64(res), np.where(row_ok, rows, 0), 0)
+        lo = np.where(ok, base + lo_col[:, None], np.int64(-2))
+        hi = np.where(ok, base + hi_col[:, None], np.int64(-3))
+        return (
+            np.searchsorted(sc, lo.ravel(), side="left"),
+            np.searchsorted(sc, hi.ravel(), side="right"),
+        )
+
+    # main strip: [max(c_lo,0) .. min(c_hi, ncols-1)]; wrap strips for the overflow
+    m_lo = np.where(full_span, 0, np.maximum(c_lo, 0))
+    m_hi = np.where(full_span, ncols - 1, np.minimum(c_hi, ncols - 1))
+    strips = [_strip(m_lo, m_hi)]
+    if (c_lo < 0).any() and not full_span.all():
+        w_lo = np.where((c_lo < 0) & ~full_span, c_lo + ncols, 1)
+        w_hi = np.where((c_lo < 0) & ~full_span, ncols - 1, 0)
+        strips.append(_strip(w_lo, w_hi))
+    if (c_hi >= ncols).any() and not full_span.all():
+        w_lo = np.where((c_hi >= ncols) & ~full_span, 0, 1)
+        w_hi = np.where((c_hi >= ncols) & ~full_span, c_hi - ncols, 0)
+        strips.append(_strip(w_lo, w_hi))
+
+    lo = np.concatenate([s[0].reshape(A, -1) for s in strips], axis=1)
+    hi = np.concatenate([s[1].reshape(A, -1) for s in strips], axis=1)
+    lens = np.maximum(hi - lo, 0)
+    counts = lens.sum(axis=1)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), counts, np.empty(0, np.int64)
+    lens_f = lens.ravel()
+    rep_start = np.repeat(lo.ravel(), lens_f)
+    within = np.arange(total) - np.repeat(np.cumsum(lens_f) - lens_f, lens_f)
+    cand = order[rep_start + within]
+    qpos = np.repeat(np.arange(A), counts)
+    return cand, counts, qpos
+
+
+def knn_arrays(
+    query_lat: np.ndarray,
+    query_lon: np.ndarray,
+    tile_cells: np.ndarray,
+    tile_lat: np.ndarray,
+    tile_lon: np.ndarray,
+    tile_ids: np.ndarray,
+    k: int = 5,
+    ring: int = 1,
+    res: int = C.DEFAULT_RES,
+    expand: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """For each query point: the k nearest tiles among those whose cell lies in the
+    query cell's (2·ring+1)² k-ring — the cell index prunes the candidate set.
+
+    ``expand=True`` doubles the ring (up to 64×) until ≥k candidates appear — the
+    sparse-region ANN behavior; fixed-ring keeps the SQL-expressible semantics for the
+    conformance oracle. When the tile set is small (≤ ``brute_threshold``) and expansion
+    is on, a vectorized brute-force pass beats the ring machinery — the same
+    plan-by-size adaptivity as the closure. Distance: equirect meters-ish (in-ring OK).
+
+    Returns dense (Q, k) arrays (image_id ''-padded, dist inf-padded), ties by id —
+    the whole path is numpy; nothing iterates queries in Python.
+
+    With ``expand=True`` the result is EXACT kNN: a query is only resolved once its
+    k-th candidate distance fits inside the ring's guaranteed coverage radius
+    (r × min cell dimension), so no closer tile can exist outside the examined ring.
+    The brute path is therefore a pure work heuristic (Q·n small), never a semantics
+    switch.
+    """
+    tile_ids = np.asarray(tile_ids)
+    Q, n = len(query_lat), len(tile_ids)
+    kk = max(1, min(k, n)) if n else 1
+    if n == 0:
+        return topk_per_query(np.empty(0, np.int64), np.empty(0), tile_ids[:0], Q, kk)
+    if expand and Q * n <= 1 << 22:  # ≤ ~4M pairwise dists: one matmul-ish pass wins
+        return _knn_brute_arrays(query_lat, query_lon, tile_lat, tile_lon, tile_ids, k)
+    order = np.argsort(tile_cells, kind="stable")
+    sc = tile_cells[order]
+    qcells = C.cell_of(query_lat, query_lon, res)
+    qrow_all, qcol_all = C.cell_row(qcells), C.cell_col(qcells)
+    nrows, ncols = C.grid_shape(res)
+    cell_h_m = 180.0 / nrows * 111_320.0
+    cos_lat = np.cos(np.radians(np.nan_to_num(query_lat)))
+    cell_min_m = np.minimum(cell_h_m, 360.0 / ncols * 111_320.0 * cos_lat)
+
+    out_ids = np.full((Q, kk), "", dtype=tile_ids.dtype)
+    out_dist = np.full((Q, kk), np.inf)
+    active = np.flatnonzero(qcells >= 0)
+    r = ring
+    if expand:
+        # density-informed start: at expected density d (tiles per cell over the
+        # occupied bbox) a ring needs (2r+1)² · d ≳ 4k candidates — starting there
+        # skips the guaranteed-empty first doublings in sparse shards
+        rows_span = int(C.cell_row(sc[-1]) - C.cell_row(sc[0]) + 1) if n else 1
+        occ = np.unique(sc)
+        cols_span = max(
+            1, int(np.ptp(C.cell_col(occ)) + 1) if len(occ) else 1
+        )
+        dens = n / max(rows_span * cols_span, 1)
+        r = max(ring, int(np.ceil((np.sqrt(4.0 * k / max(dens, 1e-9)) - 1) / 2)))
+        r = min(r, 64)
+    while len(active):
+        cand, counts, qpos = _ring_candidates(
+            qrow_all[active], qcol_all[active], sc, order, r, res
+        )
+        aq = active[qpos]
+        dlat = (tile_lat[cand] - query_lat[aq]) * 111_320.0
+        dlon = (tile_lon[cand] - query_lon[aq]) * 111_320.0 * cos_lat[aq]
+        ids_a, dist_a = topk_per_query(
+            qpos, np.hypot(dlat, dlon), tile_ids[cand], len(active), kk
+        )
+        if not expand or r >= 64:
+            done = np.ones(len(active), bool)
+        else:
+            kth = dist_a[:, kk - 1]
+            done = ((counts >= kk) & (kth <= r * cell_min_m[active])) | (counts >= n)
+        da = np.flatnonzero(done)
+        out_ids[active[da]] = ids_a[da]
+        out_dist[active[da]] = dist_a[da]
+        active = active[~done]
+        r *= 2
+    return out_ids, out_dist
+
+
+def _knn_brute_arrays(
+    query_lat: np.ndarray,
+    query_lon: np.ndarray,
+    tile_lat: np.ndarray,
+    tile_lon: np.ndarray,
+    tile_ids: np.ndarray,
+    k: int,
+    chunk: int = 1024,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized all-pairs top-k, chunked over queries (small tile sets). Partitions
+    on SQUARED distance (monotone — saves the hypot pass over Q×n), sqrt only the
+    selected k; small chunks keep the distance matrix L2-resident."""
+    Q, n = len(query_lat), len(tile_ids)
+    kk = max(1, min(k, n)) if n else 1
+    if n == 0 or Q == 0:
+        return topk_per_query(np.empty(0, np.int64), np.empty(0), tile_ids[:1], Q, kk)
+    qs: list[np.ndarray] = []
+    ds: list[np.ndarray] = []
+    cs: list[np.ndarray] = []
+    for s in range(0, Q, chunk):
+        qla = query_lat[s : s + chunk, None]
+        qlo = query_lon[s : s + chunk, None]
+        good = ~(np.isnan(qla[:, 0]) | np.isnan(qlo[:, 0]))
+        dlat = (tile_lat[None, :] - qla) * 111_320.0
+        dlon = (tile_lon[None, :] - qlo) * (111_320.0 * np.cos(np.radians(np.nan_to_num(qla))))
+        dlat *= dlat
+        dlon *= dlon
+        dlat += dlon
+        d2 = dlat
+        if kk < n:
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        else:
+            part = np.broadcast_to(np.arange(n), (d2.shape[0], n))
+        m = d2.shape[0]
+        qs.append((np.repeat(np.arange(m) + s, part.shape[1]))[np.repeat(good, part.shape[1])])
+        ds.append(np.sqrt(np.take_along_axis(d2, part, axis=1)[good].ravel()))
+        cs.append(part[good].ravel())
+    qidx = np.concatenate(qs)
+    return topk_per_query(
+        qidx, np.concatenate(ds), tile_ids[np.concatenate(cs)], Q, kk
+    )
+
+
 def knn_against_tiles(
     query_lat: np.ndarray,
     query_lon: np.ndarray,
@@ -219,95 +429,17 @@ def knn_against_tiles(
     res: int = C.DEFAULT_RES,
     expand: bool = False,
 ) -> list[list[tuple[str, float]]]:
-    """For each query point: the k nearest tiles among those whose cell lies in the
-    query cell's (2·ring+1)² k-ring — the cell index prunes the candidate set.
-
-    ``expand=True`` doubles the ring (up to 64×) until ≥k candidates appear — the
-    sparse-region ANN behavior; fixed-ring keeps the SQL-expressible semantics for the
-    conformance oracle. When the tile set is small (≤ ``brute_threshold``) and expansion
-    is on, a vectorized brute-force pass beats the ring machinery — the same
-    plan-by-size adaptivity as the closure. Distance: equirect meters-ish (in-ring OK).
-    """
-    brute_threshold = 20_000
-    if expand and len(tile_ids) <= brute_threshold:
-        return _knn_brute(query_lat, query_lon, tile_lat, tile_lon, tile_ids, k)
-    order = np.argsort(tile_cells, kind="stable")
-    sc = tile_cells[order]
-    out: list[list[tuple[str, float]]] = []
-    qcells = C.cell_of(query_lat, query_lon, res)
-    cand_cache: dict[int, np.ndarray] = {}  # many queries share a cell — gather once
-
-    def _gather(qc: int, r: int) -> np.ndarray:
-        cand_cells = C.k_ring(qc, r)
-        lo = np.searchsorted(sc, cand_cells, side="left")
-        hi = np.searchsorted(sc, cand_cells, side="right")
-        if not (hi > lo).any():
-            return np.empty(0, np.int64)
-        return np.concatenate([order[l:h] for l, h in zip(lo, hi) if h > l])
-
-    def _candidates(qc: int) -> np.ndarray:
-        hit = cand_cache.get(qc)
-        if hit is None:
-            r = ring
-            hit = _gather(qc, r)
-            while expand and len(hit) < k and r < 64:
-                r *= 2
-                hit = _gather(qc, r)
-            cand_cache[qc] = hit
-        return hit
-
-    for qla, qlo, qc in zip(query_lat, query_lon, qcells):
-        if qc < 0:  # unassignable query point (NaN coords, e.g. tombstone-backed geometry)
-            out.append([])
-            continue
-        idxs = _candidates(int(qc))
-        if len(idxs) == 0:
-            out.append([])
-            continue
-        dlat = (tile_lat[idxs] - qla) * 111_320.0
-        dlon = (tile_lon[idxs] - qlo) * 111_320.0 * np.cos(np.radians(qla))
-        dist = np.hypot(dlat, dlon)
-        if k < len(dist):
-            part = np.argpartition(dist, k - 1)[:k]  # O(n) top-k, then sort just k
-            top = part[np.argsort(dist[part], kind="stable")]
-        else:
-            top = np.argsort(dist, kind="stable")
-        out.append([(tile_ids[idxs[t]], float(dist[t])) for t in top])
-    return out
-
-
-def _knn_brute(
-    query_lat: np.ndarray,
-    query_lon: np.ndarray,
-    tile_lat: np.ndarray,
-    tile_lon: np.ndarray,
-    tile_ids: list[str],
-    k: int,
-    chunk: int = 1024,
-) -> list[list[tuple[str, float]]]:
-    """Vectorized all-pairs top-k, chunked over queries (small tile sets)."""
-    out: list[list[tuple[str, float]]] = []
-    n = len(tile_ids)
-    kk = min(k, n)
-    for s in range(0, len(query_lat), chunk):
-        qla = query_lat[s : s + chunk, None]
-        qlo = query_lon[s : s + chunk, None]
-        bad = np.isnan(qla[:, 0]) | np.isnan(qlo[:, 0])
-        dlat = (tile_lat[None, :] - qla) * 111_320.0
-        dlon = (tile_lon[None, :] - qlo) * 111_320.0 * np.cos(np.radians(np.nan_to_num(qla)))
-        dist = np.hypot(dlat, dlon)
-        if kk < n:
-            part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
-        else:
-            part = np.tile(np.arange(n), (dist.shape[0], 1))
-        for i in range(dist.shape[0]):
-            if bad[i]:
-                out.append([])
-                continue
-            sel = part[i]
-            orderd = sel[np.argsort(dist[i, sel], kind="stable")]
-            out.append([(tile_ids[t], float(dist[i, t])) for t in orderd])
-    return out
+    """List-of-tuples view of :func:`knn_arrays` (tests + SQL-oracle paths; the stream
+    uses the array form end-to-end)."""
+    ids, dist = knn_arrays(
+        query_lat, query_lon, tile_cells, tile_lat, tile_lon,
+        np.asarray(tile_ids), k=k, ring=ring, res=res, expand=expand,
+    )
+    fin = np.isfinite(dist)
+    return [
+        [(str(ids[i, j]), float(dist[i, j])) for j in np.flatnonzero(fin[i])]
+        for i in range(len(ids))
+    ]
 
 
 # ---------------------------------------------------------------------------

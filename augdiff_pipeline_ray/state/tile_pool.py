@@ -33,6 +33,7 @@ import pyarrow.parquet as pq
 
 import ray
 
+from .. import cells as C
 from .. import georef
 from ..functions import geom as G
 from ..functions import image as IMG
@@ -81,21 +82,39 @@ def parse_diff_geoms(lines: list[str]) -> tuple[list, np.ndarray]:
 
 @ray.remote(num_cpus=0)
 class TileShard:
-    """One cell-hash shard of the tile index (centroids) + overlay bank (blobs)."""
+    """One cell-RANGE shard of the tile index (centroids) + overlay bank (blobs).
+
+    Tiles shard by contiguous cell-id range (``bounds[s] ≤ cell < bounds[s+1]``, quantile
+    cuts → equal tile counts): a kNN ring maps to ONE contiguous cell-id interval, so the
+    pool routes each query to just the 1–2 shards its ring intersects instead of
+    broadcasting every query to every shard (per-query work now divides by the pool).
+    The overlay bank stays modulo-sharded — its queries are per-cell membership tests."""
 
     def __init__(self, tiles_path: str, bank_path: str | None,
-                 shard_id: int, num_shards: int):
+                 shard_id: int, num_shards: int, bounds=None):
         self.shard_id = shard_id
         self.num_shards = num_shards
         t = pq.read_table(tiles_path, columns=["image_id", "cell", "phash"])
         cells = t["cell"].to_numpy(zero_copy_only=False)
-        sub = t.filter(pa.array(shard_of_cell(cells, num_shards) == shard_id))
+        if bounds is not None:
+            lo = bounds[shard_id] if shard_id > 0 else np.iinfo(np.int64).min
+            hi = bounds[shard_id + 1] if shard_id + 1 < len(bounds) else np.iinfo(np.int64).max
+            sub = t.filter(pa.array((cells >= lo) & (cells < hi)))
+        else:
+            sub = t.filter(pa.array(shard_of_cell(cells, num_shards) == shard_id))
         self.cells = sub["cell"].to_numpy(zero_copy_only=False)
         self.lat, self.lon = georef.centroid(sub["phash"])
         self.ids = sub["image_id"].to_pylist()
+        self._ids_np = np.asarray(self.ids)
+        # Bank: load only the tiny metadata columns eagerly (the blob column is the
+        # file's bulk — reading it S× across shards was the r2 stream's warm-up wall);
+        # blobs come lazily per selected image_id via a row-group-pruned filter read
+        # (the bank is written sorted by image_id with small row groups) + LRU cache.
         self.bank: pa.Table | None = None
+        self._bank_path = bank_path
+        self._blob_cache: dict[str, bytes] = {}
         if bank_path and os.path.exists(bank_path):
-            b = pq.read_table(bank_path)
+            b = pq.read_table(bank_path, columns=["image_id", "cell", "w", "h", "phash"])
             bc = b["cell"].to_numpy(zero_copy_only=False)
             mine = b.filter(pa.array(shard_of_cell(bc, num_shards) == shard_id))
             self.bank = mine.sort_by("image_id")
@@ -110,12 +129,26 @@ class TileShard:
 
     # -- kNN ------------------------------------------------------------------
 
-    def knn(self, qlat: np.ndarray, qlon: np.ndarray, k: int) -> list:
-        """Local top-k per query (expanding-ring / brute under threshold)."""
+    def knn(self, qlat: np.ndarray, qlon: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Local top-k per query (expanding-ring / brute under threshold) as dense
+        (Q, k) id/dist arrays — numpy end-to-end, cheap to ship and to merge."""
         if not self.ids:
-            return [[] for _ in range(len(qlat))]
-        return T.knn_against_tiles(
-            qlat, qlon, self.cells, self.lat, self.lon, self.ids, k=k, expand=True
+            return (np.full((len(qlat), 1), "", dtype="U1"),
+                    np.full((len(qlat), 1), np.inf))
+        return T.knn_arrays(
+            qlat, qlon, self.cells, self.lat, self.lon, self._ids_np,
+            k=k, expand=True,
+        )
+
+    def knn_ring(self, qlat: np.ndarray, qlon: np.ndarray, k: int, r: int
+                 ) -> tuple[np.ndarray, np.ndarray]:
+        """Fixed-ring local top-k (one round of the pool's routed exact expansion)."""
+        if not self.ids:
+            return (np.full((len(qlat), 1), "", dtype="U1"),
+                    np.full((len(qlat), 1), np.inf))
+        return T.knn_arrays(
+            qlat, qlon, self.cells, self.lat, self.lon, self._ids_np,
+            k=k, ring=r, expand=False,
         )
 
     # -- overlay --------------------------------------------------------------
@@ -133,18 +166,76 @@ class TileShard:
             self._geom_seq = seq
         return self._geoms, self._bbs
 
-    def overlay_render(self, seq: int, image_ids: list[str], lines: list[str]) -> list[dict]:
+    def _geom_at(self, seq: int, wkbs: list, idx: int):
+        """Lazily decode feature ``idx``'s WKB (cached per seq) — a shard only ever
+        decodes the few geoms whose bbox hits one of ITS tiles, so per-shard work stays
+        O(its tiles), not O(all features)."""
+        if self._geom_seq != seq:
+            self._geom_cache: dict[int, object] = {}
+            self._geom_seq = seq
+        g = self._geom_cache.get(idx)
+        if g is None:
+            g = self._geom_cache[idx] = G.wkb_to_geom(wkbs[idx])
+        return g
+
+    def _bank_file(self):
+        """Open parquet handle + (sorted file ids, row-group boundary) index, built once.
+        The bank is written sorted by image_id with small row groups, so an id maps to
+        its row group by searchsorted — a blob read touches ONLY that group."""
+        if getattr(self, "_pf", None) is None:
+            self._pf = pq.ParquetFile(self._bank_path)
+            self._pf_ids = np.asarray(
+                self._pf.read(columns=["image_id"])["image_id"].to_pylist()
+            )
+            sizes = [self._pf.metadata.row_group(i).num_rows
+                     for i in range(self._pf.num_row_groups)]
+            self._pf_bounds = np.cumsum([0] + sizes)
+        return self._pf
+
+    def _blobs_for(self, image_ids: list[str]) -> dict[str, bytes]:
+        """Selected ids → encoded bytes: LRU cache, else direct row-group reads of only
+        the groups holding the missing ids (no dataset-filter scan of the blob column)."""
+        missing = [i for i in image_ids if i not in self._blob_cache]
+        if missing and self._bank_path:
+            pf = self._bank_file()
+            want = np.asarray(missing)
+            pos = np.searchsorted(self._pf_ids, want)
+            ok = (pos < len(self._pf_ids)) & (self._pf_ids[np.minimum(pos, len(self._pf_ids) - 1)] == want)
+            groups = np.unique(np.searchsorted(self._pf_bounds, pos[ok], side="right") - 1)
+            for g in groups.tolist():
+                t = pf.read_row_group(g, columns=["image_id", "bank_bytes"])
+                for iid, bb in zip(t["image_id"].to_pylist(), t["bank_bytes"].to_pylist()):
+                    self._blob_cache[iid] = bb
+            while len(self._blob_cache) > 512:  # ~20 MB cap at 40 KB blobs
+                self._blob_cache.pop(next(iter(self._blob_cache)))
+        return {i: self._blob_cache[i] for i in image_ids if i in self._blob_cache}
+
+    def overlay_render(
+        self, seq: int, image_ids: list[str], wkbs: list, bbs: np.ndarray
+    ) -> list[dict]:
         """Phase 2: decode + rasterize the selected bank tiles against the batch's diff
-        geometries (bbox-pruned: far-away geometry costs one comparison)."""
+        geometries. Geometry arrives as (WKB list, (F,4) bbox array) built by the render
+        stage — the bbox prune runs BEFORE any decode, so far-away geometry costs one
+        float comparison and zero parsing."""
         if self.bank is None or not image_ids:
             return []
-        geoms, bbs = self._geoms_for(seq, lines)
-        want = set(image_ids)
+        import time as _time
+        _t0 = _time.perf_counter()
+        blobs = self._blobs_for(sorted(set(image_ids)))
+        _t_blob = _time.perf_counter() - _t0
+        idx_by_id = {i: j for j, i in enumerate(self._bank_ids)}
         rows = []
-        for rec in self.bank.to_pylist():
-            if rec["image_id"] not in want:
+        for iid in sorted(blobs):
+            j = idx_by_id.get(iid)
+            if j is None:
                 continue
-            px, _ = IMG.decode(rec["bank_bytes"])
+            rec = {
+                "image_id": iid,
+                "phash": self.bank["phash"][j].as_py(),
+                "w": self.bank["w"][j].as_py(),
+                "h": self.bank["h"][j].as_py(),
+            }
+            px, _ = IMG.decode(blobs[iid])
             lat0, lat1, lon0, lon1 = (
                 float(v[0])
                 for v in georef.footprint([rec["phash"]], [rec["w"]], [rec["h"]])
@@ -156,67 +247,185 @@ class TileShard:
                     | (bbs[:, 3] < lat0) | (bbs[:, 1] > lat1)
                 )
                 for gi in np.nonzero(hit)[0][:256]:
+                    g = self._geom_at(seq, wkbs, int(gi))
+                    if g is None:
+                        continue
                     px, changed = T.rasterize_geom_on_tile(
-                        px, (lat0, lat1, lon0, lon1), geoms[gi]
+                        px, (lat0, lat1, lon0, lon1), g
                     )
                     changed_total += changed
             rows.append(
                 {"batch_seq": seq, "image_id": rec["image_id"],
                  "changed_px": changed_total, "w": rec["w"], "h": rec["h"]}
             )
+        import os as _os
+        if _os.environ.get("AUGDIFF_OVERLAY_DEBUG"):
+            print(f"[shard {self.shard_id}] tiles={len(rows)} blob={_t_blob:.3f} "
+                  f"total={_time.perf_counter()-_t0:.3f}", flush=True)
         return rows
 
 
 class TilePool:
-    """Driver-side handle: spawn/kill the shard actors, run the scatter-gather ops."""
+    """Driver-side handle: spawn/kill the shard actors, run the scatter-gather ops.
+
+    The driver reads ONE int64 column (cell) of the tile table to compute quantile
+    shard bounds + the global density estimate — never ids/centroids/blobs. kNN is a
+    routed, driver-coordinated exact expansion: round 1 sends each query to the 1–2
+    shards its density-sized ring intersects; queries whose k-th hit isn't coverage-
+    guaranteed (k-th distance > r × min cell dimension) escalate with a doubled ring.
+    At cluster scale this is the "send set narrows to shards(k_ring)" story made real."""
 
     def __init__(self, tiles_path: str, bank_path: str | None, num_shards: int):
         self.num_shards = num_shards
+        cells = pq.read_table(tiles_path, columns=["cell"])["cell"].to_numpy(
+            zero_copy_only=False
+        )
+        cells = np.sort(cells[cells >= 0])
+        self._n_tiles = int(len(cells))
+        if self._n_tiles:
+            cuts = cells[
+                np.minimum(
+                    (np.arange(1, num_shards) * self._n_tiles) // num_shards,
+                    self._n_tiles - 1,
+                )
+            ]
+            self._bounds = np.concatenate(
+                [[cells[0]], cuts, [cells[-1] + 1]]
+            ).astype(np.int64)
+            rows_span = int(C.cell_row(cells[-1]) - C.cell_row(cells[0]) + 1)
+            occ = np.unique(cells)
+            cols_span = max(1, int(np.ptp(C.cell_col(occ)) + 1))
+            self._density = self._n_tiles / max(rows_span * cols_span, 1)
+            self._res = int(C.cell_res(cells[:1])[0])
+        else:
+            self._bounds = np.zeros(num_shards + 1, np.int64)
+            self._density = 0.0
+            self._res = C.DEFAULT_RES
         # no startup barrier: method calls queue until each actor finishes loading, so
         # shard loads overlap whatever the driver does next (e.g. the first batch head)
         self._actors = [
-            TileShard.remote(tiles_path, bank_path, s, num_shards)
+            TileShard.remote(tiles_path, bank_path, s, num_shards, self._bounds)
             for s in range(num_shards)
         ]
+
+    def warm(self) -> int:
+        """Block until every shard finished loading (serving-index build — call from
+        bootstrap so the first stream batch doesn't pay the load)."""
+        return int(sum(ray.get([a.count.remote() for a in self._actors])))
 
     def close(self) -> None:
         for a in self._actors:
             ray.kill(a)
         self._actors = []
 
-    # -- kNN: scatter / merge split so callers can overlap the gather ---------
+    # -- kNN: routed scatter / finish split so callers can overlap the gather --
 
-    def knn_scatter(self, qlat: np.ndarray, qlon: np.ndarray, k: int) -> list:
-        return [a.knn.remote(qlat, qlon, k) for a in self._actors]
+    def _r0(self, k: int) -> int:
+        """Density-informed first ring (same formula as the shard kernel)."""
+        r = int(np.ceil((np.sqrt(4.0 * k / max(self._density, 1e-9)) - 1) / 2))
+        return int(min(max(1, r), 64))
 
-    @staticmethod
-    def knn_merge(parts: list, n_queries: int, k: int) -> list[list[tuple[str, float]]]:
-        """Exact global top-k: merge each shard's local top-k by (dist, image_id)."""
-        out = []
-        for qi in range(n_queries):
-            cand = [p for part in parts for p in part[qi]]
-            cand.sort(key=lambda p: (p[1], p[0]))
-            out.append(cand[:k])
-        return out
+    def _scatter_round(self, qlat, qlon, qrow, active, k: int, r: int) -> list:
+        """One expansion round: each active query goes ONLY to shards whose cell range
+        intersects its ring's contiguous cell-id interval [row-r..row+r] × all cols."""
+        nrows, ncols = C.grid_shape(self._res)
+        lo_id = C.make_cell(np.int64(self._res), np.maximum(qrow[active] - r, 0), 0)
+        hi_id = C.make_cell(
+            np.int64(self._res), np.minimum(qrow[active] + r, nrows - 1), ncols - 1
+        )
+        s_lo = np.clip(np.searchsorted(self._bounds, lo_id, side="right") - 1,
+                       0, self.num_shards - 1)
+        s_hi = np.clip(np.searchsorted(self._bounds, hi_id, side="right") - 1,
+                       0, self.num_shards - 1)
+        futs = []
+        for s in range(self.num_shards):
+            idx = active[(s_lo <= s) & (s <= s_hi)]
+            if len(idx):
+                futs.append(
+                    (idx, self._actors[s].knn_ring.remote(qlat[idx], qlon[idx], k, r))
+                )
+        return futs
 
-    def knn(self, qlat: np.ndarray, qlon: np.ndarray, k: int) -> list[list[tuple[str, float]]]:
-        return self.knn_merge(ray.get(self.knn_scatter(qlat, qlon, k)), len(qlat), k)
+    def knn_scatter(self, qlat: np.ndarray, qlon: np.ndarray, k: int) -> dict:
+        """Fire round 1; returns the in-flight state for :meth:`knn_finish`."""
+        qlat = np.asarray(qlat, np.float64)
+        qlon = np.asarray(qlon, np.float64)
+        qcells = C.cell_of(qlat, qlon, self._res)
+        state = {
+            "qlat": qlat, "qlon": qlon, "k": int(k),
+            "qrow": C.cell_row(qcells),
+            "active": np.flatnonzero(qcells >= 0),
+            "r": self._r0(k),
+        }
+        state["futs"] = self._scatter_round(
+            qlat, qlon, state["qrow"], state["active"], k, state["r"]
+        )
+        return state
+
+    def knn_finish(self, state: dict) -> tuple[np.ndarray, np.ndarray]:
+        """Gather + exact-coverage escalation loop. A query resolves once its k-th
+        candidate lies within r × (min cell dimension) — no closer tile can exist
+        outside the fully-searched ring — or the ring is grid-sized."""
+        Q, k = len(state["qlat"]), state["k"]
+        kk = max(1, min(k, max(self._n_tiles, 1)))
+        out_ids = np.full((Q, kk), "", dtype="U32")
+        out_dist = np.full((Q, kk), np.inf)
+        nrows, ncols = C.grid_shape(self._res)
+        cell_min_m = np.minimum(
+            180.0 / nrows * 111_320.0,
+            360.0 / ncols * 111_320.0 * np.cos(np.radians(np.nan_to_num(state["qlat"]))),
+        )
+        active, r, futs = state["active"], state["r"], state["futs"]
+        while len(active):
+            qs, ds, cs = [], [], []
+            for idx, fut in futs:
+                ids_p, dist_p = ray.get(fut)
+                w = ids_p.shape[1]
+                qs.append(np.repeat(idx, w))
+                ds.append(dist_p.ravel())
+                cs.append(ids_p.astype("U32").ravel())
+            pos_of = np.full(Q, -1, np.int64)
+            pos_of[active] = np.arange(len(active))
+            qidx = pos_of[np.concatenate(qs)] if qs else np.empty(0, np.int64)
+            ids_a, dist_a = T.topk_per_query(
+                qidx,
+                np.concatenate(ds) if ds else np.empty(0),
+                np.concatenate(cs) if cs else np.empty(0, "U32"),
+                len(active), kk,
+            )
+            kth = dist_a[:, kk - 1]
+            done = (np.isfinite(kth) & (kth <= r * cell_min_m[active])) | (r >= 64)
+            da = np.flatnonzero(done)
+            out_ids[active[da]] = ids_a[da]
+            out_dist[active[da]] = dist_a[da]
+            active = active[~done]
+            r *= 2
+            if len(active):
+                futs = self._scatter_round(
+                    state["qlat"], state["qlon"], state["qrow"], active, k, r
+                )
+        return out_ids, out_dist
+
+    def knn(self, qlat: np.ndarray, qlon: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        return self.knn_finish(self.knn_scatter(qlat, qlon, k))
 
     # -- overlay: two-phase, with the select scatter exposed for overlap ------
 
     def overlay_select_scatter(self, touched: np.ndarray) -> list:
         return [a.overlay_select.remote(touched) for a in self._actors]
 
-    def overlay_finish(self, seq: int, sels: list, lines: list[str],
+    def overlay_finish(self, seq: int, sels: list, wkbs: list, bbs: np.ndarray,
                        max_tiles: int) -> list[dict]:
         """Pick the deterministic global sample from phase-1 results, rasterize on the
-        owning shards."""
+        owning shards. Geometry ships ONCE per batch (ray.put of WKB list + bbox
+        array); shards decode only bbox-hit features."""
         chosen = set(sorted([i for s in sels for i in s])[:max_tiles])
         if not chosen:
             return []
-        lines_ref = ray.put(lines)
+        wkbs_ref = ray.put(wkbs)
+        bbs_ref = ray.put(np.ascontiguousarray(bbs, np.float64))
         futs = [
-            a.overlay_render.remote(seq, [i for i in s if i in chosen], lines_ref)
+            a.overlay_render.remote(seq, [i for i in s if i in chosen], wkbs_ref, bbs_ref)
             for a, s in zip(self._actors, sels)
             if any(i in chosen for i in s)
         ]
@@ -224,7 +433,7 @@ class TilePool:
         rows.sort(key=lambda r: r["image_id"])
         return rows
 
-    def overlay(self, seq: int, touched: np.ndarray, lines: list[str],
+    def overlay(self, seq: int, touched: np.ndarray, wkbs: list, bbs: np.ndarray,
                 max_tiles: int) -> list[dict]:
         sels = ray.get(self.overlay_select_scatter(touched))
-        return self.overlay_finish(seq, sels, lines, max_tiles)
+        return self.overlay_finish(seq, sels, wkbs, bbs, max_tiles)

@@ -223,6 +223,7 @@ def run_scaling_child(world: str, num_cpus: int) -> dict:
     job = AD.AdiffJob(world, out)
     t0 = time.perf_counter()
     job.bootstrap()
+    job.warm()  # serving-state build (tile-pool shard loads, snapshot hot cache)
     t_boot = time.perf_counter() - t0
     t0 = time.perf_counter()
     stats = job.run_stream()
