@@ -60,7 +60,12 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
 
 
 def decode(data: bytes) -> tuple[np.ndarray, str]:
-    """encoded bytes → ((h, w, 3) uint8 pixels, fmt)."""
+    """encoded bytes → ((h, w, 3) uint8 pixels, fmt).
+
+    rawz returns a READ-ONLY zero-copy view over the inflate buffer (the decode pool's
+    consumers only read; writers copy-on-write) — the old unconditional ``.copy()`` was
+    a full extra DRAM pass per tile, measurable as per-core retention loss at high
+    actor counts."""
     if data[:4] != MAGIC:
         raise ValueError("not an ADT1 image")
     code, w, h = struct.unpack_from("<BII", data, 4)
@@ -68,8 +73,11 @@ def decode(data: bytes) -> tuple[np.ndarray, str]:
     arr = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
     fmt = FMT_NAMES[code]
     if fmt == "qz":
-        arr = (arr << 2) | 2  # dequant to bin center; 63<<2|2 = 254, stays in uint8
-    return arr.copy(), fmt
+        out = np.empty_like(arr)  # dequant to bin center; 63<<2|2 = 254, stays in uint8
+        np.left_shift(arr, 2, out=out)
+        np.bitwise_or(out, 2, out=out)
+        return out, fmt
+    return arr, fmt
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -80,6 +88,40 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """
     diff = a.astype(np.float32) - b.astype(np.float32)
     mse = float(np.mean(diff * diff, dtype=np.float64))
+    if mse == 0:
+        return float("inf")
+    return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
+
+
+def psnr_vs_synth(image_id: str, px: np.ndarray, strip: int = 16) -> float:
+    """PSNR of ``px`` against the deterministic reference, fused strip-wise.
+
+    Equivalent to ``psnr(synth_pixels(id, w, h), px)`` (same float32 products,
+    float64 accumulation) but never materializes the full reference or diff: the
+    reference is generated ``strip`` rows at a time (numpy ``Generator.standard_normal``
+    consumes its stream sequentially, so chunked draws are bit-identical to one full
+    draw — asserted in tests) and squared error accumulates per strip. All temporaries
+    stay L2-resident, which is what keeps per-core decode throughput flat as the
+    actor pool fills the node — the verify pass was the stage's biggest DRAM term."""
+    h, w = px.shape[:2]
+    seed = zlib.crc32(image_id.encode()) & 0xFFFFFFFF
+    rng = np.random.default_rng(seed)
+    xs = (np.arange(w, dtype=np.float32) * (255.0 / max(1, w - 1)) * 0.5)[None, :, None]
+    chan = np.array([seed % 64, seed % 64 + 17.0, seed % 64 + 34.0], np.float32)[None, None, :]
+    yscale = np.float32(255.0 / max(1, h - 1) * 0.3)
+    sse = 0.0
+    for y0 in range(0, h, strip):
+        y1 = min(h, y0 + strip)
+        ys = (np.arange(y0, y1, dtype=np.float32) * yscale)[:, None, None]
+        out = rng.standard_normal((y1 - y0, w, 3), dtype=np.float32)
+        out *= np.float32(2.0)
+        out += xs + ys + chan
+        np.clip(out, 0, 255, out=out)
+        ref = out.astype(np.uint8)
+        d = ref.astype(np.float32)
+        d -= px[y0:y1]
+        sse += float(np.sum(d * d, dtype=np.float64))
+    mse = sse / px.size
     if mse == 0:
         return float("inf")
     return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)

@@ -157,8 +157,8 @@ class TileDecoder:
                     self.verify_rate == 1
                     or zlib.crc32(iid.encode()) % self.verify_rate == 0
                 ):
-                    ref = IMG.synth_pixels(iid, w, h)
-                    psnr_db[i] = IMG.psnr(ref, px)
+                    # strip-fused reference+PSNR: L2-resident, no full-size temporaries
+                    psnr_db[i] = IMG.psnr_vs_synth(iid, px)
             except Exception:
                 ok[i] = False
         lat, lon = georef.centroid(batch["phash"])
