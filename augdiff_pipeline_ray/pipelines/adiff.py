@@ -461,6 +461,7 @@ class AdiffJob:
         the transitive closure is complete (local_closure), so a shard's subset always
         contains every row its predicates may touch."""
         pool = self._render_pool()
+        t_prep0 = time.perf_counter()
         N = len(pool)
         n_ents = len(ents_sorted)
         ent_shard = np.arange(n_ents) % N  # strided split, same balance as r1
@@ -508,7 +509,11 @@ class AdiffJob:
                     (mk >> 2).tolist(),
                 )
             )
+        t_prep = time.perf_counter()
         parts = ray.get(futs)
+        if os.environ.get("AUGDIFF_STAGE_DEBUG"):
+            print(f"[render] prep={t_prep-t_prep0:.3f} wait={time.perf_counter()-t_prep:.3f}",
+                  flush=True)
         return pa.concat_tables(parts, promote_options="default")
 
     def _render_local(self, ctx: RenderContext, ents) -> pa.Table:

@@ -117,6 +117,10 @@ def augment_table(
     """→ the deduped, provenance-flagged "rows from everywhere" as ONE Arrow table
     (``in_update`` column carries A4 provenance), deterministically ordered
     (type, id, -timestamp, -version)."""
+    import os
+    import time
+    _dbg = bool(os.environ.get("AUGDIFF_STAGE_DEBUG"))
+    _t0 = time.perf_counter()
     ks, parts = needed_keys(update, edges)
 
     parts_list: list[pa.Table] = []
@@ -136,11 +140,13 @@ def augment_table(
         parts_list.append(mem_f)
         flags_list.append(np.zeros(len(mem_f), bool))
 
+    _t1 = time.perf_counter()
     storage = SNAP.load_keyed(
         snapshot_root, parts, ks,
         drop_tags_on_load=drop_tags_on_load,
         parallel=parallel_fetch,
     )
+    _t2 = time.perf_counter()
     if len(storage):
         storage = storage.select(cols)
         parts_list.append(storage)
@@ -159,6 +165,9 @@ def augment_table(
     ver = dedup["version"].to_numpy(zero_copy_only=False)
     order = np.lexsort((np.arange(len(dedup)), -ver, -ts, ids, trank))
     dedup = dedup.take(pa.array(order))
+    if _dbg:
+        print(f"[augment] keys={_t1-_t0:.3f} fetch={_t2-_t1:.3f} "
+              f"dedup+sort={time.perf_counter()-_t2:.3f} rows={len(dedup)}", flush=True)
     return dedup.append_column("in_update", pa.array(flag[order]))
 
 

@@ -447,20 +447,19 @@ def knn_against_tiles(
 # ---------------------------------------------------------------------------
 
 
-def rasterize_geom_on_tile(
-    pixels: np.ndarray,
+def geom_tile_mask(
+    h: int,
+    w: int,
     bbox: tuple[float, float, float, float],
     geom,
-    color: tuple[int, int, int] = (255, 0, 0),
-    alpha: float = 0.5,
-) -> tuple[np.ndarray, int]:
-    """Blend a diff geometry onto decoded tile pixels.
+) -> np.ndarray:
+    """Rasterize one diff geometry to an (h, w) bool pixel mask.
 
     bbox = (lat0, lat1, lon0, lon1) tile footprint. Polygons fill by per-pixel PIP
-    (vectorized even-odd over the pixel-center grid); points/lines mark a small
-    neighborhood of their vertices. Returns (new_pixels, changed_pixel_count).
+    (vectorized even-odd, clipped to the polygon-bbox subgrid); points/lines mark a
+    small neighborhood of their vertices. Split out of the blend so a tile hit by many
+    geometries pays ONE blend pass, not one full-image float pass per geometry.
     """
-    h, w = pixels.shape[:2]
     lat0, lat1, lon0, lon1 = bbox
     spanx = max(lon1 - lon0, 1e-12)
     spany = max(lat1 - lat0, 1e-12)
@@ -526,9 +525,27 @@ def rasterize_geom_on_tile(
             for l in payload:
                 _mark_line(l)
         elif kind == "Polygon":
-            gx, gy = np.meshgrid(xs, ys)
-            inside = G.points_in_polygon(gx.ravel(), gy.ravel(), payload).reshape(h, w)
-            mask[inside] = True
+            # PIP only over the polygon-bbox ∩ tile subgrid — a diff geometry usually
+            # covers a sliver of the tile, and the full h×w meshgrid per polygon was
+            # the overlay stage's dominant cost (and its shard-skew source)
+            ring0 = payload[0]
+            fin = ring0[~np.isnan(ring0).any(axis=1)]
+            if not len(fin):
+                return
+            px0, px1 = fin[:, 0].min(), fin[:, 0].max()
+            py0, py1 = fin[:, 1].min(), fin[:, 1].max()
+            c0 = max(0, int(np.searchsorted(xs, px0, "left")))
+            c1 = min(w, int(np.searchsorted(xs, px1, "right")))
+            # ys descends (row 0 = north): rows with ys in [py0, py1]
+            r0 = max(0, int(np.searchsorted(-ys, -py1, "left")))
+            r1 = min(h, int(np.searchsorted(-ys, -py0, "right")))
+            if c1 <= c0 or r1 <= r0:
+                return
+            gx, gy = np.meshgrid(xs[c0:c1], ys[r0:r1])
+            inside = G.points_in_polygon(gx.ravel(), gy.ravel(), payload).reshape(
+                r1 - r0, c1 - c0
+            )
+            mask[r0:r1, c0:c1] |= inside
         elif kind == "MultiPolygon":
             for p in payload:
                 _apply(("Polygon", p))
@@ -537,11 +554,38 @@ def rasterize_geom_on_tile(
                 _apply(sub)
 
     _apply(geom)
+    return mask
+
+
+def blend_mask_on_tile(
+    pixels: np.ndarray,
+    mask: np.ndarray,
+    color: tuple[int, int, int] = (255, 0, 0),
+    alpha: float = 0.5,
+) -> np.ndarray:
+    """Alpha-blend ``color`` into ``pixels`` where ``mask`` — one pass per tile."""
+    if not mask.any():
+        return pixels
+    out = pixels.astype(np.float64)
+    out[mask] = out[mask] * (1 - alpha) + np.array(color, np.float64) * alpha
+    return out.clip(0, 255).astype(np.uint8)
+
+
+def rasterize_geom_on_tile(
+    pixels: np.ndarray,
+    bbox: tuple[float, float, float, float],
+    geom,
+    color: tuple[int, int, int] = (255, 0, 0),
+    alpha: float = 0.5,
+) -> tuple[np.ndarray, int]:
+    """Blend one diff geometry onto decoded tile pixels (mask + single blend).
+
+    Returns (new_pixels, changed_pixel_count)."""
+    h, w = pixels.shape[:2]
+    mask = geom_tile_mask(h, w, bbox, geom)
     changed = int(mask.sum())
     if changed:
-        out = pixels.astype(np.float64)
-        out[mask] = out[mask] * (1 - alpha) + np.array(color, np.float64) * alpha
-        return out.clip(0, 255).astype(np.uint8), changed
+        return blend_mask_on_tile(pixels, mask, color, alpha), changed
     return pixels, 0
 
 

@@ -246,14 +246,21 @@ class TileShard:
                     (bbs[:, 2] < lon0) | (bbs[:, 0] > lon1)
                     | (bbs[:, 3] < lat0) | (bbs[:, 1] > lat1)
                 )
+                # mask-only per geometry; ONE blend per tile at the end (changed_px
+                # keeps the per-geometry sum semantics — overlaps count per geometry)
+                h_px, w_px = px.shape[:2]
+                union = None
                 for gi in np.nonzero(hit)[0][:256]:
                     g = self._geom_at(seq, wkbs, int(gi))
                     if g is None:
                         continue
-                    px, changed = T.rasterize_geom_on_tile(
-                        px, (lat0, lat1, lon0, lon1), g
-                    )
-                    changed_total += changed
+                    m = T.geom_tile_mask(h_px, w_px, (lat0, lat1, lon0, lon1), g)
+                    c = int(m.sum())
+                    if c:
+                        changed_total += c
+                        union = m if union is None else (union | m)
+                if union is not None:
+                    px = T.blend_mask_on_tile(px, union)
             rows.append(
                 {"batch_seq": seq, "image_id": rec["image_id"],
                  "changed_px": changed_total, "w": rec["w"], "h": rec["h"]}
