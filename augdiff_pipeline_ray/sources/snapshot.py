@@ -178,6 +178,9 @@ def warm_cache(root: str) -> None:
         return
     if sum(os.path.getsize(f) for f in all_files) <= TABLE_CACHE_MAX_BYTES:
         whole = pads.dataset(root, format="parquet", partitioning="hive").to_table()
+        # one chunk: the store is thousands of small part files and a 1-chunk-per-file
+        # table pays ~10x per-chunk overhead on every point-read filter
+        whole = whole.combine_chunks()
         if "part" in whole.column_names:
             whole = whole.drop_columns(["part"])
         _TABLE_CACHE[root] = whole
@@ -238,6 +241,9 @@ def load_keyed(
         total_bytes = sum(os.path.getsize(f) for f in all_files)
         if total_bytes <= TABLE_CACHE_MAX_BYTES:
             whole = pads.dataset(root, format="parquet", partitioning="hive").to_table()
+            # one chunk: the store is thousands of small part files and a
+            # 1-chunk-per-file table pays ~10x per-chunk overhead on every point read
+            whole = whole.combine_chunks()
             if "part" in whole.column_names:
                 whole = whole.drop_columns(["part"])
             cached = _TABLE_CACHE[root] = whole
