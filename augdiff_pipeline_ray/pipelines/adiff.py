@@ -41,6 +41,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from .. import cells as C
 from .. import keys as K
 from ..functions import geom as G
 from ..sources import geojson as GJ
@@ -114,6 +115,7 @@ class RenderShard:
         self._seq = None
         self._ctx: RenderContext | None = None
         self.assigner = T.CellAssigner()
+        self._row_cache: dict = {}
 
     def render(self, seq: int, rows: list, orders, types, ids) -> pa.Table:
         if self._seq != seq:
@@ -123,9 +125,56 @@ class RenderShard:
 
     def render_part(self, seq: int, tbl: pa.Table, orders, types, ids) -> pa.Table:
         """Dependency-partitioned variant: the shard's row SUBSET arrives as Arrow;
-        dict conversion + context build happen here, on the actor, over O(rows/N)."""
-        ctx = RenderContext(rows_from_arrow(tbl))
-        return render_entities(ctx, self.assigner, orders, types, ids)
+        dict conversion + context build happen here, on the actor, over O(rows/N).
+
+        Row-dict conversion is cached across batches keyed by (key, version, ts):
+        element rows are immutable facts and the spatial shard split sends mostly the
+        SAME dependency rows (a neighborhood's nodes) to the same actor every batch, so
+        steady-state conversion touches only the new rows. ``in_update`` is per-batch
+        provenance — (re)stamped on every row after cache assembly."""
+        t0 = time.perf_counter()
+        keys = K.pack_typed(
+            tbl["id"].to_numpy(zero_copy_only=False),
+            tbl["type"].to_numpy(zero_copy_only=False),
+        )
+        ver = tbl["version"].to_numpy(zero_copy_only=False)
+        ts = (
+            tbl["timestamp"].combine_chunks().cast(pa.timestamp("ms"))
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        flags = tbl["in_update"].to_numpy(zero_copy_only=False)
+        # tag count joins the key: the same (key, ver, ts) row is tags-full from the
+        # update/memory tiers but tags-dropped from storage (reference-compat drop);
+        # the drop is all-or-nothing so the count disambiguates the two shapes
+        toff = tbl["tags"].combine_chunks().offsets.to_numpy(zero_copy_only=False)
+        ntags = np.diff(toff.astype(np.int64))
+        cache = self._row_cache
+        n = len(tbl)
+        rows: list = [None] * n
+        miss = []
+        for i in range(n):
+            r = cache.get((keys[i], ver[i], ts[i], ntags[i]))
+            if r is None:
+                miss.append(i)
+            else:
+                rows[i] = r
+        if miss:
+            conv = rows_from_arrow(tbl.take(pa.array(miss, pa.int64())))
+            for i, r in zip(miss, conv):
+                rows[i] = r
+                cache[(keys[i], ver[i], ts[i], ntags[i])] = r
+            if len(cache) > 200_000:  # bound actor heap; evict oldest half
+                for k in list(cache)[: len(cache) // 2]:
+                    del cache[k]
+        for i in range(n):
+            rows[i]["in_update"] = bool(flags[i])
+        ctx = RenderContext(rows)
+        t1 = time.perf_counter()
+        out = render_entities(ctx, self.assigner, orders, types, ids)
+        if os.environ.get("AUGDIFF_RENDER_DEBUG"):
+            print(f"[rshard] rows={n} miss={len(miss)} ents={len(ids)} ctx={t1-t0:.3f} "
+                  f"render={time.perf_counter()-t1:.3f}", flush=True)
+        return out
 
 
 def _rep_point(geom_json: dict) -> tuple[float, float] | None:
@@ -159,6 +208,22 @@ def _rep_point(geom_json: dict) -> tuple[float, float] | None:
 @ray.remote(num_cpus=0)
 def _parse_osc_task(path: str, seq: int) -> pa.Table:
     return OSC.read_osc_file(path, batch_seq=seq)
+
+
+@ray.remote(num_cpus=0)
+def _tail_task(pool, knn_state, sel_futs, wkbs_ref, bbs_ref, seq, max_overlay):
+    """Whole-tail coordinator OFF the driver: the kNN escalation rounds and the overlay
+    phase-2 rasterize run in this task, so the driver's pipelined loop overlaps the
+    ENTIRE tail of batch k with batch k+1's head — not just round-1 scatter. ``pool``
+    is the (small) TilePool handle bundle: routing bounds + shard actor handles."""
+    knn = None
+    if knn_state is not None:
+        knn = pool.knn_finish(knn_state)
+    rows = []
+    if sel_futs is not None:
+        sels = ray.get(sel_futs)
+        rows = pool.overlay_finish_refs(seq, sels, wkbs_ref, bbs_ref, max_overlay)
+    return knn, rows
 
 
 class AdiffJob:
@@ -245,6 +310,9 @@ class AdiffJob:
         SNAP.warm_cache(self.snapshot_store)
         if self.distributed_render:
             self._render_pool()
+        if self.store is None:
+            self.store = IndexStore(self.index_root, num_shards=self.num_shards)
+            self.store.start_pool()
 
     def _tile_pool(self) -> TilePool:
         """Cell-sharded tile index + overlay bank actor pool (persistent across batches):
@@ -355,34 +423,49 @@ class AdiffJob:
         }
 
     def _launch_tail(self, head: dict) -> dict:
-        """Scatter the kNN + overlay phase-1 calls; return the in-flight futures."""
+        """Launch the whole tail (kNN rounds + overlay select/render) as ONE off-driver
+        task; return its future. The driver only writes results at finish time."""
         feat_tbl, order = head["feat_tbl"], head["order"]
-        tail: dict = {"knn_futs": None, "keep": None, "sel_futs": None}
+        knn_state, keep, sel_futs = None, None, None
+        wkbs_ref = bbs_ref = None
         if len(feat_tbl):
             rlat = feat_tbl["rep_lat"].to_numpy(zero_copy_only=False)[order]
             rlon = feat_tbl["rep_lon"].to_numpy(zero_copy_only=False)[order]
             keep = np.nonzero(~(np.isnan(rlat) | np.isnan(rlon)))[0]
             if len(keep):
-                tail["knn_futs"] = self._tile_pool().knn_scatter(
+                knn_state = self._tile_pool().knn_scatter(
                     rlat[keep], rlon[keep], self.knn_k
                 )
-                tail["keep"] = keep
         touched = np.unique(np.asarray(head["cells_np"], np.int64))
         touched = touched[touched >= 0]
         if len(touched):
-            tail["sel_futs"] = self._tile_pool().overlay_select_scatter(touched)
-        return tail
+            sel_futs = self._tile_pool().overlay_select_scatter(touched)
+            wkbs_l = feat_tbl["wkb"].to_pylist()
+            bbs = (
+                feat_tbl["bbox"].combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).reshape(-1, 4)[order]
+            )
+            wkbs_ref = ray.put([wkbs_l[i] for i in order])
+            bbs_ref = ray.put(np.ascontiguousarray(bbs, np.float64))
+        fut = None
+        if knn_state is not None or sel_futs is not None:
+            fut = _tail_task.remote(
+                self._tile_pool(), knn_state, sel_futs, wkbs_ref, bbs_ref,
+                head["seq"], self.max_overlay,
+            )
+        return {"fut": fut, "keep": keep}
 
     def _finish_batch(self, head: dict, tail: dict) -> dict:
         seq = head["seq"]
         stage_t = head["stage_t"]
         ts = time.perf_counter()
 
-        # kNN gather + merge + idempotent write
+        # whole tail arrives as one future (kNN merged arrays + overlay rows)
+        knn, rows = (ray.get(tail["fut"]) if tail["fut"] is not None else (None, []))
         knn_rows = 0
-        if tail["knn_futs"] is not None:
+        if knn is not None:
             keep = tail["keep"]
-            ids, dist = self._tile_pool().knn_finish(tail["knn_futs"])
+            ids, dist = knn
             qrow, rank = np.nonzero(np.isfinite(dist))  # top-k packs left → col == rank
             t = pa.table(
                 {
@@ -399,21 +482,6 @@ class AdiffJob:
             self._write_knn(seq, None)
         ts2 = time.perf_counter()
         stage_t["knn"] = round(ts2 - ts, 3)
-
-        # overlay phase 2 + idempotent write
-        if tail["sel_futs"] is not None:
-            sels = ray.get(tail["sel_futs"])
-            ft, order = head["feat_tbl"], head["order"]
-            wkbs_l = ft["wkb"].to_pylist()
-            bbs = (
-                ft["bbox"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-                .reshape(-1, 4)[order]
-            )
-            rows = self._tile_pool().overlay_finish(
-                seq, sels, [wkbs_l[i] for i in order], bbs, self.max_overlay
-            )
-        else:
-            rows = []
         self._write_overlay(seq, rows)
         stage_t["overlay"] = round(time.perf_counter() - ts2, 3)
 
@@ -464,22 +532,56 @@ class AdiffJob:
         t_prep0 = time.perf_counter()
         N = len(pool)
         n_ents = len(ents_sorted)
-        ent_shard = np.arange(n_ents) % N  # strided split, same balance as r1
+        # SPATIAL shard assignment: entities grouped by their first row's cell, cells
+        # laid out contiguously, cut at balanced cumulative COST. A way's nodes share
+        # its cell, so dependency rows duplicate only at cell-chunk boundaries — the
+        # strided split shipped every way's node rows to a second shard and its total
+        # shipped rows grew with the pool (the render stage's scaling ceiling).
+        uk, first_idx, uk_rows = np.unique(
+            row_keys, return_index=True, return_counts=True
+        )
+        cells_col = tbl["cell"].to_numpy(zero_copy_only=False)
+        pos_in_uk = np.searchsorted(uk, ents_sorted)
+        ent_cell = cells_col[first_idx[pos_in_uk]]
+        own_rows = uk_rows[pos_in_uk].astype(np.float64)
 
-        # shard of each edge's PARENT (b), dependency key = child (a)
+        # edges: (a, b) = "b depends on a" → parent b's shard also needs a's rows
         ek_order = np.argsort(ents_sorted, kind="stable")
         ek_sorted = ents_sorted[ek_order]
-        shard_by_ek = ent_shard[ek_order]
         if all_edges:
             e = np.fromiter(
                 (v for ab in all_edges for v in ab), np.int64, 2 * len(all_edges)
             ).reshape(-1, 2)
             pos = np.searchsorted(ek_sorted, e[:, 1])
             ok = (pos < len(ek_sorted)) & (ek_sorted[np.minimum(pos, len(ek_sorted) - 1)] == e[:, 1])
-            dem_shard = np.concatenate([ent_shard, shard_by_ek[pos[ok]]])
-            dem_key = np.concatenate([ents_sorted, e[ok, 0]])
+            parent_ent = ek_order[pos[ok]]  # entity index of each edge's parent
+            child_keys = e[ok, 0]
         else:
-            dem_shard, dem_key = ent_shard, ents_sorted
+            parent_ent = np.empty(0, np.int64)
+            child_keys = np.empty(0, np.int64)
+
+        # cost model (units ≈ per-row ctx-build cost): a shard's wall is context build
+        # over its shipped rows (own + dep) plus per-entity geometry/JSON work — so
+        # weight entities by their TOTAL row demand, not just their own rows
+        dep_rows = np.zeros(n_ents, np.float64)
+        if len(child_keys):
+            cpos = np.searchsorted(uk, child_keys)
+            cok = (cpos < len(uk)) & (uk[np.minimum(cpos, len(uk) - 1)] == child_keys)
+            np.add.at(dep_rows, parent_ent[cok], uk_rows[cpos[cok]].astype(np.float64))
+        tf = np.array([0.5, 3.0, 8.0, 0.5])[ents_sorted & 3]
+        ent_w = own_rows + dep_rows + tf
+        # group at a coarser cell (16× per dim): a way's nodes sit in NEIGHBORING fine
+        # cells, so fine-cell chunks still cut through every way; coarse chunks keep
+        # whole neighborhoods on one shard and only coarse-boundary deps duplicate
+        coarse = np.where(ent_cell >= 0, C.parent(ent_cell, max(0, C.DEFAULT_RES - 4)), -1)
+        by_cell = np.lexsort((ents_sorted, ent_cell, coarse))
+        cum = np.cumsum(ent_w[by_cell])
+        bounds = cum[-1] * (np.arange(1, N) / N)
+        ent_shard = np.empty(n_ents, np.int64)
+        ent_shard[by_cell] = np.searchsorted(bounds, cum, side="left")
+
+        dem_shard = np.concatenate([ent_shard, ent_shard[parent_ent]])
+        dem_key = np.concatenate([ents_sorted, child_keys])
         # unique (shard, key) demands
         o = np.lexsort((dem_key, dem_shard))
         ds, dk = dem_shard[o], dem_key[o]
@@ -512,8 +614,8 @@ class AdiffJob:
         t_prep = time.perf_counter()
         parts = ray.get(futs)
         if os.environ.get("AUGDIFF_STAGE_DEBUG"):
-            print(f"[render] prep={t_prep-t_prep0:.3f} wait={time.perf_counter()-t_prep:.3f}",
-                  flush=True)
+            print(f"[render] prep={t_prep-t_prep0:.3f} wait={time.perf_counter()-t_prep:.3f} "
+                  f"dup={len(dk)/max(len(uk),1):.2f}", flush=True)
         return pa.concat_tables(parts, promote_options="default")
 
     def _render_local(self, ctx: RenderContext, ents) -> pa.Table:

@@ -60,6 +60,64 @@ def _iso_instant(ms: int) -> str:
     return str(np.datetime64(ms, "ms")) + "Z"
 
 
+def _list_offsets(arr) -> np.ndarray:
+    """Logical offsets of a (Map/List)Array, slice-adjusted, as int64."""
+    off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return off
+
+
+def _maps_to_dicts(col, n: int) -> list[dict]:
+    """map<string,string> column → per-row dicts via flat keys/items decode."""
+    if n == 0:
+        return []
+    arr = col.combine_chunks()
+    off = _list_offsets(arr)
+    if off[-1] == off[0]:  # every row empty/null — the common storage-row case
+        return [{} for _ in range(n)]
+    keys = arr.keys.to_pylist()
+    vals = arr.items.to_pylist()
+    base = off[0]
+    return [
+        dict(zip(keys[a - base:b - base], vals[a - base:b - base])) if b > a else {}
+        for a, b in zip(off[:-1], off[1:])
+    ]
+
+
+def _nds_to_lists(col, n: int) -> list[list[int]]:
+    """list<struct<ref:int64>> column → per-row ref int lists via flat decode."""
+    if n == 0:
+        return []
+    arr = col.combine_chunks()
+    off = _list_offsets(arr)
+    if off[-1] == off[0]:
+        return [[] for _ in range(n)]
+    refs = arr.values.field("ref").to_pylist()
+    base = off[0]
+    return [refs[a - base:b - base] for a, b in zip(off[:-1], off[1:])]
+
+
+def _members_to_lists(col, n: int) -> list[list[dict]]:
+    """list<struct<type,ref,role>> column → per-row member-dict lists, flat decode."""
+    if n == 0:
+        return []
+    arr = col.combine_chunks()
+    off = _list_offsets(arr)
+    if off[-1] == off[0]:
+        return [[] for _ in range(n)]
+    vals = arr.values
+    mt = vals.field("type").to_pylist()
+    mr = vals.field("ref").to_pylist()
+    ro = vals.field("role").to_pylist()
+    base = off[0]
+    return [
+        [
+            {"type": mt[j], "ref": mr[j], "role": ro[j]}
+            for j in range(a - base, b - base)
+        ]
+        for a, b in zip(off[:-1], off[1:])
+    ]
+
+
 def rows_from_arrow(table: pa.Table, in_update: np.ndarray | None = None) -> list[dict]:
     """Arrow element rows → normalized python dicts for the render kernel.
 
@@ -76,15 +134,17 @@ def rows_from_arrow(table: pa.Table, in_update: np.ndarray | None = None) -> lis
             else np.zeros(n, bool)
         )
     )
-    # columnar extraction: epoch-ms ints straight from Arrow (no datetime objects),
-    # nested columns via per-column to_pylist (far cheaper than whole-table rows)
+    # columnar extraction: epoch-ms ints straight from Arrow (no datetime objects);
+    # nested columns (tags/nds/members) via FLAT offset+values decode — nested
+    # to_pylist built a python object per struct field and was ~75% of this
+    # function's cost (which is the distributed render's per-shard context build)
     ids = table["id"].to_pylist()
     types = table["type"].to_pylist()
-    tags_l = table["tags"].to_pylist()
+    tags_l = _maps_to_dicts(table["tags"], n)
     lat_l = table["lat"].to_pylist()
     lon_l = table["lon"].to_pylist()
-    nds_l = table["nds"].to_pylist()
-    mem_l = table["members"].to_pylist()
+    nds_l = _nds_to_lists(table["nds"], n)
+    mem_l = _members_to_lists(table["members"], n)
     cs_l = table["changeset"].to_pylist()
     ts_np = table["timestamp"].combine_chunks().cast(pa.timestamp("ms")).cast(pa.int64()).to_numpy(zero_copy_only=False)
     uid_l = table["uid"].to_pylist()
@@ -99,11 +159,11 @@ def rows_from_arrow(table: pa.Table, in_update: np.ndarray | None = None) -> lis
             {
                 "id": ids[i],
                 "type": types[i],
-                "tags": OSM.tags_from_arrow(tags_l[i]),
+                "tags": tags_l[i],
                 "lat": lat_l[i],
                 "lon": lon_l[i],
-                "nds": [nd["ref"] for nd in (nds_l[i] or [])],
-                "members": mem_l[i] or [],
+                "nds": nds_l[i],
+                "members": mem_l[i],
                 "changeset": cs_l[i],
                 "timestamp": int(ts_np[i]),
                 "uid": uid_l[i],

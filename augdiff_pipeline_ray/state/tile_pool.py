@@ -426,11 +426,17 @@ class TilePool:
         """Pick the deterministic global sample from phase-1 results, rasterize on the
         owning shards. Geometry ships ONCE per batch (ray.put of WKB list + bbox
         array); shards decode only bbox-hit features."""
+        wkbs_ref = ray.put(wkbs)
+        bbs_ref = ray.put(np.ascontiguousarray(bbs, np.float64))
+        return self.overlay_finish_refs(seq, sels, wkbs_ref, bbs_ref, max_tiles)
+
+    def overlay_finish_refs(self, seq: int, sels: list, wkbs_ref, bbs_ref,
+                            max_tiles: int) -> list[dict]:
+        """Ref-taking variant so the off-driver tail task forwards the already-``put``
+        geometry refs straight to the shards (no extra copy)."""
         chosen = set(sorted([i for s in sels for i in s])[:max_tiles])
         if not chosen:
             return []
-        wkbs_ref = ray.put(wkbs)
-        bbs_ref = ray.put(np.ascontiguousarray(bbs, np.float64))
         futs = [
             a.overlay_render.remote(seq, [i for i in s if i in chosen], wkbs_ref, bbs_ref)
             for a, s in zip(self._actors, sels)
