@@ -350,6 +350,7 @@ def geom_bbox(geom) -> tuple[float, float, float, float] | None:
             return None
         b = np.array(boxes)
         return float(b[:, 0].min()), float(b[:, 1].min()), float(b[:, 2].max()), float(b[:, 3].max())
+    arrs = [np.asarray(a, float).reshape(-1, 2) for a in arrs if np.asarray(a).size]
     if not arrs:
         return None
     pts = np.vstack(arrs)

@@ -116,6 +116,12 @@ class RenderShard:
         self._ctx: RenderContext | None = None
         self.assigner = T.CellAssigner()
         self._row_cache: dict = {}
+        # the row cache holds O(10^5) long-lived dicts; default gen0 GC walks them
+        # constantly during feature assembly — raise thresholds (no cycles here:
+        # plain dict/list/ndarray rows, refcounting reclaims everything)
+        import gc
+
+        gc.set_threshold(200_000, 100, 100)
 
     def render(self, seq: int, rows: list, orders, types, ids) -> pa.Table:
         if self._seq != seq:
@@ -210,20 +216,106 @@ def _parse_osc_task(path: str, seq: int) -> pa.Table:
     return OSC.read_osc_file(path, batch_seq=seq)
 
 
+def _atomic_pq_write(d: str, seq: int, t: pa.Table) -> None:
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".batch-{seq:09d}.tmp")
+    pq.write_table(t, tmp)
+    os.replace(tmp, os.path.join(d, f"batch-{seq:09d}.parquet"))
+    # self-heal: a crashed writer may have left a non-dot tmp (scan-poisoning) from
+    # an interrupted batch — recomputing the batch removes it
+    stray = os.path.join(d, f"batch-{seq:09d}.tmp")
+    if os.path.exists(stray):
+        os.remove(stray)
+
+
+def _write_assignments_file(d: str, seq: int, keys_np, cells_np) -> None:
+    _atomic_pq_write(d, seq, pa.table(
+        {
+            "batch_seq": pa.array([seq] * len(keys_np), pa.int64()),
+            "image_id": pa.array([None] * len(keys_np), pa.string()),
+            "cell": pa.array(cells_np, pa.int64()),
+            "key": pa.array(keys_np, pa.int64()),
+            "assignment_kind": pa.array(["geometry"] * len(keys_np), pa.string()),
+        }
+    ))
+
+
+def _write_knn_file(d: str, seq: int, t: pa.Table | None) -> None:
+    if t is None:
+        t = pa.table(
+            {"batch_seq": pa.array([], pa.int64()), "key": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64()), "image_id": pa.array([], pa.string()),
+             "dist_m": pa.array([], pa.float64())})
+    _atomic_pq_write(d, seq, t)
+
+
+def _write_overlay_file(d: str, seq: int, rows: list[dict]) -> None:
+    t = pa.Table.from_pylist(rows) if rows else pa.table(
+        {"batch_seq": pa.array([], pa.int64()), "image_id": pa.array([], pa.string()),
+         "changed_px": pa.array([], pa.int64()), "w": pa.array([], pa.int32()),
+         "h": pa.array([], pa.int32())})
+    _atomic_pq_write(d, seq, t)
+
+
+# The batch tail runs OFF the driver as three INDEPENDENT tasks (feature-JSON emit,
+# kNN escalation rounds, overlay phase-2 rasterize), so the pipeline's rate limit is
+# the slowest single component, not their sum. ``pool`` is the (small) TilePool handle
+# bundle: routing bounds + shard actor handles. All writes are idempotent (tmp+rename)
+# and the batch's lineage commit happens only after every tail task returns.
+
+
 @ray.remote(num_cpus=0)
-def _tail_task(pool, knn_state, sel_futs, wkbs_ref, bbs_ref, seq, max_overlay):
-    """Whole-tail coordinator OFF the driver: the kNN escalation rounds and the overlay
-    phase-2 rasterize run in this task, so the driver's pipelined loop overlaps the
-    ENTIRE tail of batch k with batch k+1's head — not just round-1 scatter. ``pool``
-    is the (small) TilePool handle bundle: routing bounds + shard actor handles."""
-    knn = None
+def _emit_task(feat_tbl, order, keys_np, seq, json_path, assign_dir):
+    t0 = time.perf_counter()
+    feats_py = feat_tbl["feature"].to_pylist()
+    nbytes = GJ.write_features(json_path, [feats_py[i] for i in order])
+    cells_np = feat_tbl["cell"].to_numpy(zero_copy_only=False)[order]
+    _write_assignments_file(assign_dir, seq, keys_np, cells_np)
+    if os.environ.get("AUGDIFF_TAIL_DEBUG"):
+        print(f"[emit {seq}] {time.perf_counter()-t0:.2f}", flush=True)
+    return nbytes
+
+
+@ray.remote(num_cpus=0)
+def _knn_task(pool, knn_state, keys_np, keep, seq, knn_dir):
+    t0 = time.perf_counter()
+    knn_t = None
     if knn_state is not None:
-        knn = pool.knn_finish(knn_state)
+        ids, dist = pool.knn_finish(knn_state)
+        qrow, rank = np.nonzero(np.isfinite(dist))  # top-k packs left → col == rank
+        knn_t = pa.table(
+            {
+                "batch_seq": pa.array(np.full(len(qrow), seq, np.int64)),
+                "key": pa.array(keys_np[keep[qrow]], pa.int64()),
+                "rank": pa.array(rank.astype(np.int64)),
+                "image_id": pa.array(ids[qrow, rank]),
+                "dist_m": pa.array(dist[qrow, rank]),
+            }
+        )
+    _write_knn_file(knn_dir, seq, knn_t)
+    if os.environ.get("AUGDIFF_TAIL_DEBUG"):
+        print(f"[knn {seq}] {time.perf_counter()-t0:.2f}", flush=True)
+    return 0 if knn_t is None else len(knn_t)
+
+
+@ray.remote(num_cpus=0)
+def _overlay_task(pool, sel_futs, feat_tbl, order, seq, max_overlay, overlay_dir):
+    t0 = time.perf_counter()
     rows = []
     if sel_futs is not None:
         sels = ray.get(sel_futs)
+        wkbs_l = feat_tbl["wkb"].to_pylist()
+        bbs = (
+            feat_tbl["bbox"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).reshape(-1, 4)[order]
+        )
+        wkbs_ref = ray.put([wkbs_l[i] for i in order])
+        bbs_ref = ray.put(np.ascontiguousarray(bbs, np.float64))
         rows = pool.overlay_finish_refs(seq, sels, wkbs_ref, bbs_ref, max_overlay)
-    return knn, rows
+    _write_overlay_file(overlay_dir, seq, rows)
+    if os.environ.get("AUGDIFF_TAIL_DEBUG"):
+        print(f"[ovl {seq}] {time.perf_counter()-t0:.2f}", flush=True)
+    return len(rows)
 
 
 class AdiffJob:
@@ -326,17 +418,19 @@ class AdiffJob:
             )
         return self._tiles
 
-    # -- one micro-batch (head → async tail → finish) ------------------------
+    # -- one micro-batch (pre → render → async tail → finish) ----------------
     #
-    # The batch splits into a HEAD (parse → closure → augment → render → emit +
-    # durable per-batch state: assignments, memory tier, index append) and a TAIL
-    # (kNN + overlay scatter-gathers over the tile pool). The tail runs as actor
-    # futures, so ``run_stream`` overlaps batch k's tail with batch k+1's head —
-    # the r1 driver-serial Amdahl term becomes pipelined work. The lineage commit
+    # The batch splits THREE ways: a PRE stage (parse → closure → augment + the
+    # durable per-batch state the NEXT batch reads: memory tier, index append), a
+    # RENDER fan-out over the persistent actor pool, and a TAIL (feature emit, kNN,
+    # overlay, output writes) that runs as one off-driver task. ``run_stream``
+    # software-pipelines all three: while batch k renders on the actors, the driver
+    # runs k+1's PRE; k's tail overlaps k+1's render. The r1 driver-serial Amdahl
+    # term is gone from the critical path at every pool width. The lineage commit
     # for k happens only in ``_finish_batch`` after k's tail is durable; a kill in
     # between recomputes k (idempotent writes → byte-identical, tested).
 
-    def _run_head(self, seq: int) -> dict:
+    def _run_pre(self, seq: int) -> dict:
         t0 = time.perf_counter()
         stage_t: dict[str, float] = {}
 
@@ -375,40 +469,12 @@ class AdiffJob:
         )
         ents_sorted = np.unique(row_keys)
         ents_sorted = ents_sorted[np.lexsort((ents_sorted >> 2, ents_sorted & 3))]
-        n_aug = len(aug_tbl)
         ts = _mark("augment", ts)
 
-        # render: dependency-partitioned actor fan-out — each shard receives ONLY its
-        # entities' rows plus their closure-dependency rows, so per-actor context
-        # build scales down with the pool (no whole-context rebuild per actor).
-        # Below ~3k entities the scatter costs more than the geometry work → local.
-        use_pool = (
-            self.distributed_render
-            and len(ents_sorted) >= (0 if self.distributed_render == "force" else 3000)
-        )
-        if use_pool and len(ents_sorted) > 0:
-            feat_tbl = self._render_partitioned(
-                aug_tbl, row_keys, ents_sorted, all_edges, seq
-            )
-        else:
-            ents = [(K.TYPE_NAMES[int(k) & 3], int(k) >> 2) for k in ents_sorted]
-            ctx = RenderContext(rows_from_arrow(aug_tbl))
-            feat_tbl = self._render_local(ctx, ents)
-
-        ts = _mark("render", ts)
-        order = np.argsort(feat_tbl["order"].to_numpy(zero_copy_only=False), kind="stable")
-        feats_py = feat_tbl["feature"].to_pylist()
-        lines = [feats_py[i] for i in order]
-        json_path = GJ.batch_json_path(self.adiff_template, seq)
-        nbytes = GJ.write_features(json_path, lines)
-
-        keys_np = feat_tbl["key"].to_numpy(zero_copy_only=False)[order]
-        cells_np = feat_tbl["cell"].to_numpy(zero_copy_only=False)[order]
-        self._write_assignments(seq, keys_np, cells_np)
-
-        # memory tier append (T2 analogue, durable per batch)
+        # durable state the NEXT batch's pre reads — memory tier append (T2) + index
+        # incremental append (S10) — lands HERE, before render, so batch k+1's pre can
+        # start while k renders. Idempotent by batch name (crash → recompute).
         self._write_memory(seq, update_el)
-        # index incremental append (S10) — must land before the NEXT batch's closure
         self.store.append_batch(new_edges, seq)
         # flush every save_interval batches (reference parity)
         if seq % self.save_interval == 0:
@@ -416,18 +482,66 @@ class AdiffJob:
         ts = _mark("emit", ts)
 
         return {
-            "seq": seq, "t0": t0, "stage_t": stage_t,
-            "feat_tbl": feat_tbl, "order": order, "lines": lines,
-            "keys_np": keys_np, "cells_np": cells_np, "nbytes": nbytes,
-            "update_el": update_el, "n_aug": n_aug, "n_new_edges": len(new_edges),
+            "seq": seq, "t0": t0, "stage_t": stage_t, "aug_tbl": aug_tbl,
+            "row_keys": row_keys, "ents_sorted": ents_sorted, "all_edges": all_edges,
+            "update_el": update_el, "n_aug": len(aug_tbl),
+            "n_new_edges": len(new_edges),
         }
 
+    def _render_scatter(self, pre: dict) -> dict:
+        """Launch the render fan-out (non-blocking). Below ~3k entities the scatter
+        costs more than the geometry work → render locally at collect time."""
+        ents_sorted = pre["ents_sorted"]
+        use_pool = (
+            self.distributed_render
+            and len(ents_sorted) >= (0 if self.distributed_render == "force" else 3000)
+        )
+        ts = time.perf_counter()
+        if use_pool and len(ents_sorted) > 0:
+            futs = self._render_partition_scatter(
+                pre["aug_tbl"], pre["row_keys"], ents_sorted, pre["all_edges"],
+                pre["seq"],
+            )
+            out = {"futs": futs}
+        else:
+            out = {"futs": None}
+        pre["stage_t"]["r_scatter"] = round(time.perf_counter() - ts, 3)
+        return out
+
+    def _render_collect(self, pre: dict, sc: dict) -> dict:
+        """Block for the render results; assemble the ordered feature table."""
+        ts = time.perf_counter()
+        if sc["futs"] is not None:
+            parts = ray.get(sc["futs"])
+            feat_tbl = pa.concat_tables(parts, promote_options="default")
+        else:
+            ents_sorted = pre["ents_sorted"]
+            ents = [(K.TYPE_NAMES[int(k) & 3], int(k) >> 2) for k in ents_sorted]
+            ctx = RenderContext(rows_from_arrow(pre["aug_tbl"]))
+            feat_tbl = self._render_local(ctx, ents)
+        stage_t = pre["stage_t"]
+        stage_t["render"] = round(time.perf_counter() - ts, 3)
+        order = np.argsort(feat_tbl["order"].to_numpy(zero_copy_only=False), kind="stable")
+        keys_np = feat_tbl["key"].to_numpy(zero_copy_only=False)[order]
+        cells_np = feat_tbl["cell"].to_numpy(zero_copy_only=False)[order]
+        return {
+            "seq": pre["seq"], "t0": pre["t0"], "stage_t": stage_t,
+            "feat_tbl": feat_tbl, "order": order,
+            "keys_np": keys_np, "cells_np": cells_np,
+            "update_el": pre["update_el"], "n_aug": pre["n_aug"],
+            "n_new_edges": pre["n_new_edges"],
+        }
+
+    def _run_head(self, seq: int) -> dict:
+        pre = self._run_pre(seq)
+        return self._render_collect(pre, self._render_scatter(pre))
+
     def _launch_tail(self, head: dict) -> dict:
-        """Launch the whole tail (kNN rounds + overlay select/render) as ONE off-driver
-        task; return its future. The driver only writes results at finish time."""
+        """Launch the whole tail (feature emit + kNN rounds + overlay select/render +
+        output writes) as ONE off-driver task; return its future."""
         feat_tbl, order = head["feat_tbl"], head["order"]
-        knn_state, keep, sel_futs = None, None, None
-        wkbs_ref = bbs_ref = None
+        seq = head["seq"]
+        knn_state, keep, sel_futs = None, np.empty(0, np.int64), None
         if len(feat_tbl):
             rlat = feat_tbl["rep_lat"].to_numpy(zero_copy_only=False)[order]
             rlon = feat_tbl["rep_lon"].to_numpy(zero_copy_only=False)[order]
@@ -440,65 +554,47 @@ class AdiffJob:
         touched = touched[touched >= 0]
         if len(touched):
             sel_futs = self._tile_pool().overlay_select_scatter(touched)
-            wkbs_l = feat_tbl["wkb"].to_pylist()
-            bbs = (
-                feat_tbl["bbox"].combine_chunks().flatten()
-                .to_numpy(zero_copy_only=False).reshape(-1, 4)[order]
-            )
-            wkbs_ref = ray.put([wkbs_l[i] for i in order])
-            bbs_ref = ray.put(np.ascontiguousarray(bbs, np.float64))
-        fut = None
-        if knn_state is not None or sel_futs is not None:
-            fut = _tail_task.remote(
-                self._tile_pool(), knn_state, sel_futs, wkbs_ref, bbs_ref,
-                head["seq"], self.max_overlay,
-            )
-        return {"fut": fut, "keep": keep}
+        feat_ref = ray.put(feat_tbl)
+        futs = (
+            _emit_task.remote(
+                feat_ref, head["order"], head["keys_np"], seq,
+                GJ.batch_json_path(self.adiff_template, seq),
+                str(self.out / "assignments"),
+            ),
+            _knn_task.remote(
+                self._tile_pool(), knn_state, head["keys_np"], keep, seq,
+                str(self.out / "knn"),
+            ),
+            _overlay_task.remote(
+                self._tile_pool(), sel_futs, feat_ref, head["order"], seq,
+                self.max_overlay, str(self.out / "overlay"),
+            ),
+        )
+        return {"futs": futs}
 
     def _finish_batch(self, head: dict, tail: dict) -> dict:
         seq = head["seq"]
         stage_t = head["stage_t"]
         ts = time.perf_counter()
 
-        # whole tail arrives as one future (kNN merged arrays + overlay rows)
-        knn, rows = (ray.get(tail["fut"]) if tail["fut"] is not None else (None, []))
-        knn_rows = 0
-        if knn is not None:
-            keep = tail["keep"]
-            ids, dist = knn
-            qrow, rank = np.nonzero(np.isfinite(dist))  # top-k packs left → col == rank
-            t = pa.table(
-                {
-                    "batch_seq": pa.array(np.full(len(qrow), seq, np.int64)),
-                    "key": pa.array(head["keys_np"][keep[qrow]], pa.int64()),
-                    "rank": pa.array(rank.astype(np.int64)),
-                    "image_id": pa.array(ids[qrow, rank]),
-                    "dist_m": pa.array(dist[qrow, rank]),
-                }
-            )
-            self._write_knn(seq, t)
-            knn_rows = len(t)
-        else:
-            self._write_knn(seq, None)
-        ts2 = time.perf_counter()
-        stage_t["knn"] = round(ts2 - ts, 3)
-        self._write_overlay(seq, rows)
-        stage_t["overlay"] = round(time.perf_counter() - ts2, 3)
+        # tail components (emit + kNN + overlay, each with its writes) as 3 futures
+        nbytes, knn_rows, n_overlay = ray.get(list(tail["futs"]))
+        stage_t["tail_wait"] = round(time.perf_counter() - ts, 3)
 
         # lineage commit — marks the batch done
         wall_ms = (time.perf_counter() - head["t0"]) * 1000.0
         cell_rows = self._lineage_rows(
-            seq, head["update_el"], head["cells_np"], head["nbytes"], wall_ms
+            seq, head["update_el"], head["cells_np"], nbytes, wall_ms
         )
         self.lineage.commit(seq, cell_rows)
         return {
             "seq": seq,
             "update_rows": len(head["update_el"]),
             "aug_rows": head["n_aug"],
-            "features": len(head["lines"]),
+            "features": len(head["feat_tbl"]),
             "new_edges": head["n_new_edges"],
             "knn": knn_rows,
-            "overlay": len(rows),
+            "overlay": n_overlay,
             "wall_ms": wall_ms,
             "stage_sec": stage_t,
         }
@@ -514,10 +610,10 @@ class AdiffJob:
             self._pool_actors = [RenderShard.remote() for _ in range(self.render_concurrency)]
         return self._pool_actors
 
-    def _render_partitioned(
+    def _render_partition_scatter(
         self, tbl: pa.Table, row_keys: np.ndarray, ents_sorted: np.ndarray,
         all_edges: set, seq: int,
-    ) -> pa.Table:
+    ) -> list:
         """Dependency-partitioned render over the persistent actor pool.
 
         Entities split strided across N shards (balances heavy relations); shard ``s``
@@ -560,15 +656,16 @@ class AdiffJob:
             parent_ent = np.empty(0, np.int64)
             child_keys = np.empty(0, np.int64)
 
-        # cost model (units ≈ per-row ctx-build cost): a shard's wall is context build
-        # over its shipped rows (own + dep) plus per-entity geometry/JSON work — so
-        # weight entities by their TOTAL row demand, not just their own rows
+        # cost model (units ≈ per-row ctx-build cost, ~5µs): a shard's wall is context
+        # build over its shipped rows (own + dep) PLUS per-entity feature assembly
+        # (geometry + JSON ≈ 80-250µs/entity — the dominant term, so entity weights
+        # carry most of the balance; measured per type on the scaling world)
         dep_rows = np.zeros(n_ents, np.float64)
         if len(child_keys):
             cpos = np.searchsorted(uk, child_keys)
             cok = (cpos < len(uk)) & (uk[np.minimum(cpos, len(uk) - 1)] == child_keys)
             np.add.at(dep_rows, parent_ent[cok], uk_rows[cpos[cok]].astype(np.float64))
-        tf = np.array([0.5, 3.0, 8.0, 0.5])[ents_sorted & 3]
+        tf = np.array([15.0, 40.0, 110.0, 1.0])[ents_sorted & 3]
         ent_w = own_rows + dep_rows + tf
         # group at a coarser cell (16× per dim): a way's nodes sit in NEIGHBORING fine
         # cells, so fine-cell chunks still cut through every way; coarse chunks keep
@@ -576,9 +673,13 @@ class AdiffJob:
         coarse = np.where(ent_cell >= 0, C.parent(ent_cell, max(0, C.DEFAULT_RES - 4)), -1)
         by_cell = np.lexsort((ents_sorted, ent_cell, coarse))
         cum = np.cumsum(ent_w[by_cell])
-        bounds = cum[-1] * (np.arange(1, N) / N)
+        # 4N weight-balanced chunks interleaved over N shards: the cost model is an
+        # estimate, and one contiguous chunk per shard makes its error the straggler;
+        # four spread chunks average it out (still cell-contiguous → dup stays low)
+        n_chunks = 4 * N
+        bounds = cum[-1] * (np.arange(1, n_chunks) / n_chunks)
         ent_shard = np.empty(n_ents, np.int64)
-        ent_shard[by_cell] = np.searchsorted(bounds, cum, side="left")
+        ent_shard[by_cell] = np.searchsorted(bounds, cum, side="left") % N
 
         dem_shard = np.concatenate([ent_shard, ent_shard[parent_ent]])
         dem_key = np.concatenate([ents_sorted, child_keys])
@@ -611,12 +712,10 @@ class AdiffJob:
                     (mk >> 2).tolist(),
                 )
             )
-        t_prep = time.perf_counter()
-        parts = ray.get(futs)
         if os.environ.get("AUGDIFF_STAGE_DEBUG"):
-            print(f"[render] prep={t_prep-t_prep0:.3f} wait={time.perf_counter()-t_prep:.3f} "
+            print(f"[render] prep={time.perf_counter()-t_prep0:.3f} "
                   f"dup={len(dk)/max(len(uk),1):.2f}", flush=True)
-        return pa.concat_tables(parts, promote_options="default")
+        return futs
 
     def _render_local(self, ctx: RenderContext, ents) -> pa.Table:
         return render_entities(
@@ -639,54 +738,34 @@ class AdiffJob:
         os.replace(tmp, self.memory_root / f"batch-{seq:09d}.parquet")
 
     def _flush_memory(self, seq: int) -> None:
-        """Append memory files into the partitioned snapshot store, then clear them
-        (reference flush, AugmentedDiff.scala:226-233 — idempotent by batch name)."""
-        for f in sorted(self.memory_root.glob("batch-*.parquet")):
-            bseq = int(f.stem.split("-")[1])
-            SNAP.append_rows(pq.read_table(f), self.snapshot_store, bseq)
+        """Append memory files into the snapshot store's delta tier, then clear them
+        (reference flush, AugmentedDiff.scala:226-233 — idempotent by flush seq).
+
+        One sorted delta file per flush (LSM shape) instead of one file per touched
+        partition — per-part appends cost thousands of small writes per interval at
+        real churn — and the hot-store cache absorbs the rows in place instead of
+        being invalidated and rescanned (a multi-second stall per flush)."""
+        files = sorted(self.memory_root.glob("batch-*.parquet"))
+        if not files:
+            return
+        rows = pa.concat_tables(
+            [pq.read_table(f) for f in files], promote_options="default"
+        )
+        SNAP.append_delta(rows, self.snapshot_store, seq)
+        for f in files:
             f.unlink()
-        SNAP.invalidate_pads_cache(self.snapshot_store)
+        SNAP.append_to_cache(self.snapshot_store, rows)
 
     # -- graft outputs -------------------------------------------------------
 
     def _write_assignments(self, seq: int, keys_np, cells_np) -> None:
-        t = pa.table(
-            {
-                "batch_seq": pa.array([seq] * len(keys_np), pa.int64()),
-                "image_id": pa.array([None] * len(keys_np), pa.string()),
-                "cell": pa.array(cells_np, pa.int64()),
-                "key": pa.array(keys_np, pa.int64()),
-                "assignment_kind": pa.array(["geometry"] * len(keys_np), pa.string()),
-            }
-        )
-        d = self.out / "assignments"
-        d.mkdir(parents=True, exist_ok=True)
-        tmp = d / f"batch-{seq:09d}.tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, d / f"batch-{seq:09d}.parquet")
+        _write_assignments_file(str(self.out / "assignments"), seq, keys_np, cells_np)
 
     def _write_knn(self, seq: int, t: pa.Table | None) -> None:
-        if t is None:
-            t = pa.table(
-                {"batch_seq": pa.array([], pa.int64()), "key": pa.array([], pa.int64()),
-                 "rank": pa.array([], pa.int64()), "image_id": pa.array([], pa.string()),
-                 "dist_m": pa.array([], pa.float64())})
-        d = self.out / "knn"
-        d.mkdir(parents=True, exist_ok=True)
-        tmp = d / f"batch-{seq:09d}.tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, d / f"batch-{seq:09d}.parquet")
+        _write_knn_file(str(self.out / "knn"), seq, t)
 
     def _write_overlay(self, seq: int, rows: list[dict]) -> None:
-        d = self.out / "overlay"
-        d.mkdir(parents=True, exist_ok=True)
-        t = pa.Table.from_pylist(rows) if rows else pa.table(
-            {"batch_seq": pa.array([], pa.int64()), "image_id": pa.array([], pa.string()),
-             "changed_px": pa.array([], pa.int64()), "w": pa.array([], pa.int32()),
-             "h": pa.array([], pa.int32())})
-        tmp = d / f"batch-{seq:09d}.tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, d / f"batch-{seq:09d}.parquet")
+        _write_overlay_file(str(self.out / "overlay"), seq, rows)
 
     def _lineage_rows(self, seq, update_el, cells_np, nbytes, wall_ms) -> list[dict]:
         cells_in = update_el["cell"].to_numpy(zero_copy_only=False) if len(update_el) else np.empty(0, np.int64)
@@ -719,24 +798,37 @@ class AdiffJob:
             self.store.start_pool()
         done = self.lineage.completed()
         stats = []
-        # software-pipelined loop: batch k's tail (kNN/overlay scatter-gather futures)
-        # runs while batch k+1's head executes on the driver. Correctness: k+1's
-        # closure/augment read only the index + memory tier, which k's HEAD already
-        # committed; k's lineage commit stays ordered after k's tail is durable.
-        pending: tuple[dict, dict] | None = None
+        # three-stage software pipeline: while batch k renders on the actor pool, the
+        # driver runs k+1's PRE (parse/closure/augment + state writes — legal because
+        # k's pre already committed the memory/index state k+1 reads); k's TAIL task
+        # (emit/kNN/overlay) overlaps k+1's render. At every pool width the critical
+        # path is max(serial pre, render), not their sum. Lineage commit for k stays
+        # ordered after k's tail is durable.
+        pend_render: tuple[dict, dict] | None = None  # (pre, scatter)
+        pend_tail: tuple[dict, dict] | None = None    # (head, tail)
         todo = [s for s in range(start, end + 1) if s not in done]
         for s in todo[:2]:
             self._prefetch_parse(s)
         for i, seq in enumerate(todo):
             if i + 2 < len(todo):
                 self._prefetch_parse(todo[i + 2])
-            head = self._run_head(seq)
+            pre = self._run_pre(seq)
+            sc = self._render_scatter(pre)
+            if pend_render is not None:
+                head = self._render_collect(*pend_render)
+                tail = self._launch_tail(head)
+                if pend_tail is not None:
+                    stats.append(self._finish_batch(*pend_tail))
+                pend_tail = (head, tail)
+            pend_render = (pre, sc)
+        if pend_render is not None:
+            head = self._render_collect(*pend_render)
             tail = self._launch_tail(head)
-            if pending is not None:
-                stats.append(self._finish_batch(*pending))
-            pending = (head, tail)
-        if pending is not None:
-            stats.append(self._finish_batch(*pending))
+            if pend_tail is not None:
+                stats.append(self._finish_batch(*pend_tail))
+            pend_tail = (head, tail)
+        if pend_tail is not None:
+            stats.append(self._finish_batch(*pend_tail))
         return {"batches": stats, "skipped": sorted(done - {0}), "end": end}
 
     def close(self) -> None:

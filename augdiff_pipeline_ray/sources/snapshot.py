@@ -140,6 +140,75 @@ def append_rows(table: pa.Table, root: str, batch_seq: int) -> None:
         pq.write_table(sub, d / f"batch-{batch_seq:09d}.parquet")
 
 
+def append_delta(table: pa.Table, root: str, batch_seq: int) -> None:
+    """Delta-tier flush append: ONE idempotent file per flush under ``root/delta/``.
+
+    The per-(part, batch) layout (:func:`append_rows`) costs one tiny file write per
+    touched partition per flush — thousands of writes when churn spreads across the id
+    space. The delta tier is the LSM shape instead: flushes land as single sorted
+    files, point reads scan base (part-pruned) + delta (small, recent), and the
+    whole-table cache absorbs delta rows in place (:func:`append_to_cache`)."""
+    if len(table) == 0:
+        return
+    table = with_part_and_key(table).drop_columns(["part"]).sort_by("key")
+    d = Path(root) / "delta"
+    d.mkdir(parents=True, exist_ok=True)
+    tmp = d / f".batch-{batch_seq:09d}.tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, d / f"batch-{batch_seq:09d}.parquet")
+
+
+def _delta_files(root: str) -> list[str]:
+    d = os.path.join(root, "delta")
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+
+def _apply_tag_drop(tbl: pa.Table, drop: bool) -> pa.Table:
+    """Reference-compat storage tag drop (OrcBackend.scala:105)."""
+    if drop and len(tbl):
+        empty = pa.array([[]] * len(tbl), type=tbl.schema.field("tags").type)
+        i = tbl.schema.get_field_index("tags")
+        tbl = tbl.set_column(i, "tags", empty)
+    return tbl
+
+
+def _build_whole_cache(root: str) -> pa.Table:
+    """Base part files + delta tier → one combined, single-chunk in-memory table.
+    (One chunk: a thousands-of-part-files store pays ~10x per-chunk overhead on
+    every point-read filter otherwise.)"""
+    import pyarrow.dataset as pads
+
+    whole = pads.dataset(root, format="parquet", partitioning="hive",
+                         ignore_prefixes=[".", "_", "delta"]).to_table()
+    if "part" in whole.column_names:
+        whole = whole.drop_columns(["part"])
+    deltas = [pq.read_table(f) for f in _delta_files(root)]
+    if deltas:
+        whole = pa.concat_tables(
+            [whole] + [t.select(whole.column_names) for t in deltas],
+            promote_options="default",
+        )
+    return whole.combine_chunks()
+
+
+def append_to_cache(root: str, table: pa.Table) -> None:
+    """Fold freshly-flushed rows into the hot-store cache in place — rescanning a
+    many-thousand-file store after every flush was a multi-second stall per interval."""
+    cached = _TABLE_CACHE.get(root)
+    if cached is None:
+        return
+    if len(table) == 0:
+        return
+    table = with_part_and_key(table).drop_columns(["part"]).select(cached.column_names)
+    _TABLE_CACHE[root] = pa.concat_tables(
+        [cached, table], promote_options="default"
+    ).combine_chunks()
+
+
 def list_partitions(root: str) -> set[int]:
     if not os.path.isdir(root):
         return set()
@@ -177,15 +246,10 @@ def warm_cache(root: str) -> None:
     if not all_files:
         return
     if sum(os.path.getsize(f) for f in all_files) <= TABLE_CACHE_MAX_BYTES:
-        whole = pads.dataset(root, format="parquet", partitioning="hive").to_table()
-        # one chunk: the store is thousands of small part files and a 1-chunk-per-file
-        # table pays ~10x per-chunk overhead on every point-read filter
-        whole = whole.combine_chunks()
-        if "part" in whole.column_names:
-            whole = whole.drop_columns(["part"])
-        _TABLE_CACHE[root] = whole
+        _TABLE_CACHE[root] = _build_whole_cache(root)
     else:
-        _PADS_CACHE[root] = pads.dataset(root, format="parquet", partitioning="hive")
+        _PADS_CACHE[root] = pads.dataset(root, format="parquet", partitioning="hive",
+                                         ignore_prefixes=[".", "_", "delta"])
 
 
 def load_keyed(
@@ -221,13 +285,30 @@ def load_keyed(
             out = out.set_column(i, "tags", empty)
         return out
 
+    def _delta_hits() -> list[pa.Table]:
+        hits = []
+        for f in _delta_files(root):
+            t = pq.read_table(f)
+            t = t.filter(pc.is_in(t["key"], value_set=keys_arr))
+            if len(t):
+                hits.append(t)
+        return hits
+
     if parallel == "auto":
         total = sum(os.path.getsize(f) for f in dirs)
         parallel = total >= PARALLEL_LOAD_MIN_BYTES
     if parallel:
         ds = rd.read_parquet(dirs)
         ds = ds.map_batches(_filter, batch_format="pyarrow")
-        return _collect(ds)
+        base = _collect(ds)
+        deltas = _delta_hits()
+        if deltas:
+            deltas = [_apply_tag_drop(t, drop_tags_on_load) for t in deltas]
+            base = pa.concat_tables(
+                [base] + [t.select(base.column_names) for t in deltas],
+                promote_options="default",
+            )
+        return base
     # local path. A small store (sandbox scale: thousands of ~100-row part files) pays
     # more in per-file footer reads than the data is worth — cache the WHOLE store in
     # memory once (the hot-snapshot-cache tier; invalidated on flush) and serve point
@@ -240,29 +321,26 @@ def load_keyed(
         all_files = sorted(glob.glob(os.path.join(root, "part=*", "*.parquet")))
         total_bytes = sum(os.path.getsize(f) for f in all_files)
         if total_bytes <= TABLE_CACHE_MAX_BYTES:
-            whole = pads.dataset(root, format="parquet", partitioning="hive").to_table()
-            # one chunk: the store is thousands of small part files and a
-            # 1-chunk-per-file table pays ~10x per-chunk overhead on every point read
-            whole = whole.combine_chunks()
-            if "part" in whole.column_names:
-                whole = whole.drop_columns(["part"])
-            cached = _TABLE_CACHE[root] = whole
+            cached = _TABLE_CACHE[root] = _build_whole_cache(root)
     if cached is not None:
         tbl = cached.filter(pc.is_in(cached["key"], value_set=keys_arr))
     else:
         pads_ds = _PADS_CACHE.get(root)
         if pads_ds is None:
-            pads_ds = pads.dataset(root, format="parquet", partitioning="hive")
+            pads_ds = pads.dataset(root, format="parquet", partitioning="hive",
+                                   ignore_prefixes=[".", "_", "delta"])
             _PADS_CACHE[root] = pads_ds
         flt = pads.field("part").isin(list(scan)) & pads.field("key").isin(keys_arr)
         tbl = pads_ds.to_table(filter=flt)
         if "part" in tbl.column_names:
             tbl = tbl.drop_columns(["part"])
-    if drop_tags_on_load and len(tbl):
-        empty = pa.array([[]] * len(tbl), type=tbl.schema.field("tags").type)
-        i = tbl.schema.get_field_index("tags")
-        tbl = tbl.set_column(i, "tags", empty)
-    return tbl
+        deltas = _delta_hits()
+        if deltas:
+            tbl = pa.concat_tables(
+                [tbl] + [t.select(tbl.column_names) for t in deltas],
+                promote_options="default",
+            )
+    return _apply_tag_drop(tbl, drop_tags_on_load)
 
 
 def _collect(ds: rd.Dataset) -> pa.Table:

@@ -129,12 +129,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 # ONCE (untimed — input generation, not the engine) and shared by both runs.
 
 SCALING_IMAGES = int(os.environ.get("AUGDIFF_SCALING_IMAGES", "524288"))
-SCALING_GRID = 32
-SCALING_BATCHES = 3
+SCALING_GRID = int(os.environ.get("AUGDIFF_SCALING_GRID", "192"))
+SCALING_BATCHES = int(os.environ.get("AUGDIFF_SCALING_BATCHES", "6"))
+# stream churn sized so each micro-batch is THROUGHPUT-bound (tens of thousands of
+# render entities), not a latency measurement of fixed per-batch overheads — the
+# north rule's N-vs-4N criterion compares the same large job, so both phases of the
+# job (bulk ingest AND stream) must carry real parallel work per unit of wall time
+SCALING_CHURN = int(os.environ.get("AUGDIFF_SCALING_CHURN", "24000"))
 
 
 def _scaling_world_dir() -> str:
-    return f"/tmp/augdiff_scaling_world_n{SCALING_IMAGES}_g{SCALING_GRID}"
+    return (f"/tmp/augdiff_scaling_world_n{SCALING_IMAGES}_g{SCALING_GRID}"
+            f"_c{SCALING_CHURN}_b{SCALING_BATCHES}")
 
 
 def prepare_scaling_world() -> str:
@@ -154,7 +160,7 @@ def prepare_scaling_world() -> str:
     from augdiff_pipeline_ray.pipelines import worldgen as W
 
     cfg = W.WorldConfig(grid=SCALING_GRID, n_images=SCALING_IMAGES,
-                        n_batches=SCALING_BATCHES, churn_nodes=200)
+                        n_batches=SCALING_BATCHES, churn_nodes=SCALING_CHURN)
     W.write_world(world, cfg)
     with open(marker, "w") as f:
         f.write("ok")
