@@ -466,7 +466,13 @@ def write_images(cfg: WorldConfig, path: str) -> None:
         return _build_image_rows(batch["id"].to_numpy(zero_copy_only=False), p)
 
     shutil.rmtree(path, ignore_errors=True)
-    rd.range(n).map_batches(gen, batch_format="pyarrow", batch_size=1024).write_parquet(path)
+    # many ~1024-tile files (not Ray's default few big blocks): the ingest's
+    # direct-read decode path needs ≥4×pool files to let actors read their own
+    # files (no object-store hop for the blob bytes), with enough tasks per actor
+    # that the last wave doesn't idle the pool
+    rd.range(n, override_num_blocks=max(32, n // 1024)).map_batches(
+        gen, batch_format="pyarrow", batch_size=1024
+    ).write_parquet(path)
 
 
 # ---------------------------------------------------------------------------
