@@ -128,7 +128,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 # the metric) PLUS the minutely adiff stream over the same world. The world is generated
 # ONCE (untimed — input generation, not the engine) and shared by both runs.
 
-SCALING_IMAGES = int(os.environ.get("AUGDIFF_SCALING_IMAGES", "524288"))
+SCALING_IMAGES = int(os.environ.get("AUGDIFF_SCALING_IMAGES", "1048576"))
 SCALING_GRID = int(os.environ.get("AUGDIFF_SCALING_GRID", "192"))
 SCALING_BATCHES = int(os.environ.get("AUGDIFF_SCALING_BATCHES", "6"))
 # stream churn sized so each micro-batch is THROUGHPUT-bound (tens of thousands of
