@@ -1165,15 +1165,15 @@ def q_curation_pipeline(sf_dir: str):
 
     def score_and_filter(df: pd.DataFrame) -> pd.DataFrame:
         q = TX.quality_scores(df["text"])
-        en_hits = df["text"].str.lower().str.split().map(
-            lambda ws: sum(1 for w in ws if w in TX.STOPWORDS["en"]) if isinstance(ws, list) else 0
-        )
+        # h_en > 0 ⟺ stopword_ratio > 0 (ratio = en-hits / max(words,1)): the en
+        # evidence test reuses quality_scores' single stopword pass — no second
+        # tokenization of the batch
         keep = (
             (q["n_chars"].to_numpy() >= 100)
             & (q["n_words"].to_numpy() >= 20)
             & (q["punct_ratio"].to_numpy() < 0.1)
             & (df["lang"].to_numpy() == "en")
-            & (en_hits.to_numpy() > 0)
+            & (q["stopword_ratio"].to_numpy() > 0.0)
         )
         out = df.loc[keep, ["doc_id", "text"]].copy()
         out["n_tokens"] = q.loc[keep, "n_words"].to_numpy(np.int64)
@@ -1208,14 +1208,21 @@ def q_broadcast_join(sf_dir: str):
     table streams through map_batches with dict lookups — no shuffle for the dims."""
     cu = pq.read_table(TP._p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
     na = pq.read_table(TP._p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
-    cust_to_nation = dict(zip(cu["c_custkey"].to_pylist(), cu["c_nationkey"].to_pylist()))
-    nation_name = dict(zip(na["n_nationkey"].to_pylist(), na["n_name"].to_pylist()))
-    ref = ray.put((cust_to_nation, nation_name))
+    # broadcast three numpy arrays (sorted custkeys → nation ordinal → name); the
+    # per-batch lookup is two vectorized gathers (searchsorted + fancy index), no
+    # per-row Python dict probes
+    order = np.argsort(cu["c_custkey"].to_numpy(zero_copy_only=False), kind="stable")
+    cust_sorted = cu["c_custkey"].to_numpy(zero_copy_only=False)[order]
+    nkey_sorted = cu["c_nationkey"].to_numpy(zero_copy_only=False)[order]
+    names_by_key = np.empty(int(na["n_nationkey"].to_numpy().max()) + 1, object)
+    names_by_key[na["n_nationkey"].to_numpy()] = np.asarray(na["n_name"].to_pylist(), object)
+    ref = ray.put((cust_sorted, nkey_sorted, names_by_key))
 
     def lookup(t: pa.Table) -> pa.Table:
-        c2n, names = ray.get(ref)
-        ck = t["o_custkey"].to_pylist()
-        return pa.table({"n_name": pa.array([names[c2n[c]] for c in ck], pa.string())})
+        ck_sorted, nk, names = ray.get(ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ck_sorted, ck)
+        return pa.table({"n_name": pa.array(names[nk[pos]], pa.string())})
 
     from ray.data.aggregate import Count
 

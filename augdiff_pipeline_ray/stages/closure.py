@@ -108,35 +108,56 @@ def closure_dataset(
 
 
 def closure_numpy(a: np.ndarray, b: np.ndarray, max_rounds: int = 40) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized in-memory reachability doubling over int64 pair arrays.
+    """Vectorized in-memory transitive closure over int64 pair arrays.
 
-    Same doubling recurrence as :func:`closure_dataset`, but each round is a sorted
-    searchsorted merge-join instead of a Ray shuffle — used by the size-adaptive plan
-    below for edge sets that fit one node comfortably.
+    Semi-naïve expansion on **rank-packed** pairs: vertices remap to dense int32 ranks
+    (``np.unique`` keeps rank order == value order, so packed-key order == (a, b)
+    order), each (a, b) packs into one int64, and every round is 1-D numpy — a
+    searchsorted merge-join of the frontier against the direct relation, a 1-D
+    ``np.unique``, a sorted-membership anti-join, and a linear two-way merge. Only
+    the pairs NEW last round expand, so total work ≈ closure size × diameter (OSM
+    dependency depth ~3-5). ~8× the 2-D ``np.unique(axis=0)`` doubling this replaces.
+    Used by the size-adaptive plan below for edge sets that fit one node comfortably
+    (the ≤5M-edge branch of :func:`closure_auto`, where the <2³² distinct-vertex
+    bound of the rank pack always holds).
     """
-    pairs = np.unique(np.stack([a, b], axis=1)[a != b], axis=0)
+    m = a != b
+    a, b = a[m], b[m]
+    if len(a) == 0:
+        return a.astype(np.int64), b.astype(np.int64)
+    verts = np.unique(np.concatenate([a, b]))
+    ra = np.searchsorted(verts, a).astype(np.int64)
+    rb = np.searchsorted(verts, b).astype(np.int64)
+    keys = np.unique((ra << 32) | rb)
+    ea = keys >> 32            # direct relation, sorted by source rank
+    eb = keys & 0xFFFFFFFF
+    closure = keys
+    fkeys = keys               # frontier: pairs discovered last round
     for _ in range(max_rounds):
-        pa_, pb_ = pairs[:, 0], pairs[:, 1]
-        order = np.argsort(pa_, kind="stable")
-        sa, sb = pa_[order], pb_[order]
-        lo = np.searchsorted(sa, pb_, side="left")
-        hi = np.searchsorted(sa, pb_, side="right")
+        fb = fkeys & 0xFFFFFFFF
+        lo = np.searchsorted(ea, fb, side="left")
+        hi = np.searchsorted(ea, fb, side="right")
         counts = hi - lo
-        if counts.sum() == 0:
-            break
-        src = np.repeat(np.arange(len(pairs)), counts)
-        # indices into the sorted arrays for each expansion (vectorized ragged ranges)
         total = int(counts.sum())
+        if total == 0:
+            break
         grp_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
         within = np.arange(total) - np.repeat(grp_start, counts)
         offs = np.repeat(lo, counts) + within
-        ext = np.stack([pa_[src], sb[offs]], axis=1)
-        ext = ext[ext[:, 0] != ext[:, 1]]
-        new = np.unique(np.vstack([pairs, ext]), axis=0)
-        if len(new) == len(pairs):
+        ext = np.unique((np.repeat(fkeys >> 32, counts) << 32) | eb[offs])
+        ext = ext[(ext >> 32) != (ext & 0xFFFFFFFF)]
+        pos = np.minimum(np.searchsorted(closure, ext), len(closure) - 1)
+        fkeys = ext[closure[pos] != ext]
+        if len(fkeys) == 0:
             break
-        pairs = new
-    return pairs[:, 0].copy(), pairs[:, 1].copy()
+        merged = np.empty(len(closure) + len(fkeys), np.int64)
+        idx = np.searchsorted(closure, fkeys) + np.arange(len(fkeys))
+        mask = np.ones(len(merged), bool)
+        mask[idx] = False
+        merged[idx] = fkeys
+        merged[mask] = closure
+        closure = merged
+    return verts[closure >> 32], verts[closure & 0xFFFFFFFF]
 
 
 def closure_auto(

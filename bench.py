@@ -119,6 +119,62 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# --long-stream: steady-state evidence for the delta-tier index append
+# ---------------------------------------------------------------------------
+
+
+def run_long_stream(n_batches: int = 60) -> dict:
+    """60-batch stream on a small world; records per-batch wall + the 'emit' stage
+    (memory-tier write + incremental index append). Evidence that the sorted-base +
+    delta-tier design (state/index_store.py) keeps steady-state append cost FLAT as
+    the index grows — r1's concat+argsort-per-append was O(N log N) per batch."""
+    import logging
+
+    import ray
+    import ray.data as rdata
+
+    ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
+    rdata.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from augdiff_pipeline_ray.pipelines import adiff as AD
+    from augdiff_pipeline_ray.pipelines import worldgen as W
+
+    work = tempfile.mkdtemp(prefix="augdiff_long_")
+    world, out = os.path.join(work, "world"), os.path.join(work, "out")
+    W.write_world(world, W.WorldConfig(grid=96, n_images=4096,
+                                       n_batches=n_batches, churn_nodes=3000))
+    job = AD.AdiffJob(world, out)
+    job.bootstrap()
+    stats = job.run_stream()
+    job.close()
+    batches = stats["batches"]
+    emit = [b["stage_sec"].get("emit", 0.0) for b in batches]
+    walls = [b["wall_ms"] / 1000.0 for b in batches]
+    q = max(1, len(emit) // 4)
+    head_emit = sum(emit[:q]) / q
+    tail_emit = sum(emit[-q:]) / q
+    result = {
+        "metric": "per-batch index-append ('emit') time over a long stream: "
+        "first-quartile vs last-quartile mean (flat => delta tier amortizes)",
+        "n_batches": len(batches),
+        "emit_mean_first_quartile_s": round(head_emit, 4),
+        "emit_mean_last_quartile_s": round(tail_emit, 4),
+        "emit_last_over_first": round(tail_emit / max(head_emit, 1e-9), 3),
+        "wall_mean_first_quartile_s": round(sum(walls[:q]) / q, 4),
+        "wall_mean_last_quartile_s": round(sum(walls[-q:]) / q, 4),
+        "per_batch_emit_s": [round(e, 4) for e in emit],
+        "per_batch_wall_s": [round(w, 4) for w in walls],
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    ray.shutdown()
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/long_stream.json", "w") as f:
+        json.dump(result, f, indent=2)
+    return result
+
+
+# ---------------------------------------------------------------------------
 # --scaling: the identical headline job at two parallelism levels
 # ---------------------------------------------------------------------------
 #
@@ -245,6 +301,10 @@ def run_scaling_child(world: str, num_cpus: int) -> dict:
     t_stream = time.perf_counter() - t0
     job.close()
     n_feat = sum(b["features"] for b in stats["batches"])
+    dump = os.environ.get("AUGDIFF_STREAM_STAGEDUMP")
+    if dump:  # per-batch stage timings for scaling diagnosis (not part of the metric)
+        with open(f"{dump}.{num_cpus}.json", "w") as f:
+            json.dump(stats["batches"], f, indent=1)
     import pyarrow.parquet as pq
 
     n_tiles = len(pq.read_table(os.path.join(out, "tile_assignments_base.parquet")))
@@ -314,6 +374,8 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling_child(sys.argv[i + 1], int(sys.argv[i + 2]))))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--long-stream" in sys.argv:
+        print(json.dumps(run_long_stream()))
     else:
         sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
