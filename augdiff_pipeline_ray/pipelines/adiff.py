@@ -49,8 +49,8 @@ from ..sources import osc as OSC
 from ..sources import snapshot as SNAP
 from ..stages import tiles as T
 from ..stages.augment import augment_table
-from ..stages.closure import local_closure
-from ..stages.edges import edges_from_rows_local
+from ..stages.closure import local_closure_np
+from ..stages.edges import edges_from_rows_np
 from ..stages.render import RenderContext, rows_from_arrow
 from ..state.index_store import IndexStore
 from ..state.lineage import Lineage
@@ -448,17 +448,19 @@ class AdiffJob:
         update_el = update.drop_columns(["batch_seq", "action"])
         ts = _mark("parse", ts)
 
-        # J3/J4: local closure against the shared index (actor pool 2-hop fetch, S11)
-        row_edges = edges_from_rows_local(update_el)
-        touched = {b for _, b in row_edges}
-        existing = self.store.load_edges(touched)
-        new_edges, all_edges = local_closure(row_edges, existing)
+        # J3/J4: local closure against the shared index (actor pool 2-hop fetch, S11).
+        # Pure int64 numpy end-to-end — the per-batch Python set/dict fixpoint was the
+        # stream's largest driver-serial term at real churn (equivalence pytest-asserted
+        # against the set-based transcription in tests/test_closure.py).
+        row_a, row_b = edges_from_rows_np(update_el)
+        ex_a, ex_b = self.store.load_edges_np(np.unique(row_b))
+        new_a, new_b, all_a, all_b = local_closure_np(row_a, row_b, ex_a, ex_b)
         ts = _mark("closure", ts)
 
         # J5: semi-join fetch from memory + storage tiers — stays Arrow end-to-end
         memory = self._read_memory()
         aug_tbl = augment_table(
-            update_el, memory, all_edges, self.snapshot_store,
+            update_el, memory, (all_a, all_b), self.snapshot_store,
             drop_tags_on_load=self.drop_tags_on_load,
             parallel_fetch=self.parallel_fetch,
         )
@@ -475,7 +477,7 @@ class AdiffJob:
         # incremental append (S10) — lands HERE, before render, so batch k+1's pre can
         # start while k renders. Idempotent by batch name (crash → recompute).
         self._write_memory(seq, update_el)
-        self.store.append_batch(new_edges, seq)
+        self.store.append_batch_np(new_a, new_b, seq)
         # flush every save_interval batches (reference parity)
         if seq % self.save_interval == 0:
             self._flush_memory(seq)
@@ -483,9 +485,10 @@ class AdiffJob:
 
         return {
             "seq": seq, "t0": t0, "stage_t": stage_t, "aug_tbl": aug_tbl,
-            "row_keys": row_keys, "ents_sorted": ents_sorted, "all_edges": all_edges,
+            "row_keys": row_keys, "ents_sorted": ents_sorted,
+            "all_edges": (all_a, all_b),
             "update_el": update_el, "n_aug": len(aug_tbl),
-            "n_new_edges": len(new_edges),
+            "n_new_edges": len(new_a),
         }
 
     def _render_scatter(self, pre: dict) -> dict:
@@ -539,6 +542,7 @@ class AdiffJob:
     def _launch_tail(self, head: dict) -> dict:
         """Launch the whole tail (feature emit + kNN rounds + overlay select/render +
         output writes) as ONE off-driver task; return its future."""
+        ts = time.perf_counter()
         feat_tbl, order = head["feat_tbl"], head["order"]
         seq = head["seq"]
         knn_state, keep, sel_futs = None, np.empty(0, np.int64), None
@@ -570,6 +574,7 @@ class AdiffJob:
                 self.max_overlay, str(self.out / "overlay"),
             ),
         )
+        head["stage_t"]["t_launch"] = round(time.perf_counter() - ts, 3)
         return {"futs": futs}
 
     def _finish_batch(self, head: dict, tail: dict) -> dict:
@@ -612,7 +617,7 @@ class AdiffJob:
 
     def _render_partition_scatter(
         self, tbl: pa.Table, row_keys: np.ndarray, ents_sorted: np.ndarray,
-        all_edges: set, seq: int,
+        all_edges: tuple[np.ndarray, np.ndarray], seq: int,
     ) -> list:
         """Dependency-partitioned render over the persistent actor pool.
 
@@ -644,14 +649,12 @@ class AdiffJob:
         # edges: (a, b) = "b depends on a" → parent b's shard also needs a's rows
         ek_order = np.argsort(ents_sorted, kind="stable")
         ek_sorted = ents_sorted[ek_order]
-        if all_edges:
-            e = np.fromiter(
-                (v for ab in all_edges for v in ab), np.int64, 2 * len(all_edges)
-            ).reshape(-1, 2)
-            pos = np.searchsorted(ek_sorted, e[:, 1])
-            ok = (pos < len(ek_sorted)) & (ek_sorted[np.minimum(pos, len(ek_sorted) - 1)] == e[:, 1])
+        edge_a, edge_b = all_edges
+        if len(edge_a):
+            pos = np.searchsorted(ek_sorted, edge_b)
+            ok = (pos < len(ek_sorted)) & (ek_sorted[np.minimum(pos, len(ek_sorted) - 1)] == edge_b)
             parent_ent = ek_order[pos[ok]]  # entity index of each edge's parent
-            child_keys = e[ok, 0]
+            child_keys = edge_a[ok]
         else:
             parent_ent = np.empty(0, np.int64)
             child_keys = np.empty(0, np.int64)

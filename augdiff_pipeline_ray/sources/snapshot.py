@@ -255,15 +255,16 @@ def warm_cache(root: str) -> None:
 def load_keyed(
     root: str,
     wanted_parts: set[int],
-    wanted_keys: set[int],
+    wanted_keys: "set[int] | np.ndarray",
     drop_tags_on_load: bool = True,
     parallel: bool | str = "auto",
 ) -> pa.Table:
-    """Partition-pruned point read: rows whose packed key ∈ wanted_keys, scanning only
-    partition dirs in wanted_parts."""
+    """Partition-pruned point read: rows whose packed key ∈ wanted_keys (a Python set
+    or an int64 numpy array — the stream's numpy edge path passes the latter,
+    zero-copy into Arrow), scanning only partition dirs in wanted_parts."""
     avail = list_partitions(root)
     scan = sorted(wanted_parts & avail)
-    if not scan or not wanted_keys:
+    if not scan or len(wanted_keys) == 0:
         return ELEMENT_SCHEMA.empty_table()
     import glob
 
@@ -274,7 +275,10 @@ def load_keyed(
     ]
     if not dirs:
         return ELEMENT_SCHEMA.empty_table()
-    keys_arr = pa.array(np.fromiter(wanted_keys, np.int64, len(wanted_keys)))
+    if isinstance(wanted_keys, np.ndarray):
+        keys_arr = pa.array(wanted_keys)
+    else:
+        keys_arr = pa.array(np.fromiter(wanted_keys, np.int64, len(wanted_keys)))
 
     def _filter(batch: pa.Table) -> pa.Table:
         hit = pc.is_in(batch["key"], value_set=keys_arr)

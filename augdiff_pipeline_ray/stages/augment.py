@@ -52,6 +52,26 @@ def needed_keys(
     return ks, parts
 
 
+def needed_keys_np(
+    update: pa.Table, ea: np.ndarray, eb: np.ndarray
+) -> tuple[np.ndarray, set[int]]:
+    """Array form of :func:`needed_keys`: → (sorted unique packed keys, partition set)
+    from update rows + both closure-edge endpoints — no Python set churn."""
+    parts_list = [ea, eb]
+    if len(update):
+        parts_list.append(
+            K.pack_typed(
+                update["id"].to_numpy(zero_copy_only=False),
+                update["type"].to_numpy(zero_copy_only=False),
+            )
+        )
+    keys = np.unique(np.concatenate(parts_list)) if parts_list else np.empty(0, np.int64)
+    if len(keys) == 0:
+        return keys, set()
+    parts = set(np.unique(SNAP.parts_of_keys(keys)).tolist())
+    return keys, parts
+
+
 def _row_identity(r: dict) -> tuple:
     """Canonical full-row identity for exact dedup (A3) — everything except provenance.
     (Reference semantics; kept for tests — the hot path uses the vectorized
@@ -109,19 +129,23 @@ def dedup_flag_table(tbl: pa.Table, in_update: np.ndarray) -> tuple[pa.Table, np
 def augment_table(
     update: pa.Table,
     memory: pa.Table,
-    edges: set[tuple[int, int]],
+    edges: set[tuple[int, int]] | tuple[np.ndarray, np.ndarray],
     snapshot_root: str,
     drop_tags_on_load: bool = True,
     parallel_fetch: bool | str = "auto",
 ) -> pa.Table:
     """→ the deduped, provenance-flagged "rows from everywhere" as ONE Arrow table
     (``in_update`` column carries A4 provenance), deterministically ordered
-    (type, id, -timestamp, -version)."""
+    (type, id, -timestamp, -version). ``edges`` is either the Python pair set or the
+    stream's numpy ``(a, b)`` arrays (no driver-side tuple churn)."""
     import os
     import time
     _dbg = bool(os.environ.get("AUGDIFF_STAGE_DEBUG"))
     _t0 = time.perf_counter()
-    ks, parts = needed_keys(update, edges)
+    if isinstance(edges, tuple):
+        ks, parts = needed_keys_np(update, *edges)
+    else:
+        ks, parts = needed_keys(update, edges)
 
     parts_list: list[pa.Table] = []
     flags_list: list[np.ndarray] = []
@@ -135,7 +159,13 @@ def augment_table(
             memory["id"].to_numpy(zero_copy_only=False),
             memory["type"].to_numpy(zero_copy_only=False),
         )
-        mask = np.isin(mk, np.fromiter(ks, np.int64, len(ks))) if ks else np.zeros(len(memory), bool)
+        if len(ks) == 0:
+            mask = np.zeros(len(memory), bool)
+        elif isinstance(ks, np.ndarray):  # ks sorted-unique → searchsorted beats isin
+            pos = np.minimum(np.searchsorted(ks, mk), len(ks) - 1)
+            mask = ks[pos] == mk
+        else:
+            mask = np.isin(mk, np.fromiter(ks, np.int64, len(ks)))
         mem_f = memory.filter(pa.array(mask)).select(cols)
         parts_list.append(mem_f)
         flags_list.append(np.zeros(len(mem_f), bool))

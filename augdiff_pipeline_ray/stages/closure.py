@@ -121,10 +121,22 @@ def closure_numpy(a: np.ndarray, b: np.ndarray, max_rounds: int = 40) -> tuple[n
     (the ≤5M-edge branch of :func:`closure_auto`, where the <2³² distinct-vertex
     bound of the rank pack always holds).
     """
+    verts, closure = _closure_packed(a, b, max_rounds)
+    if len(closure) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return verts[closure >> 32], verts[closure & 0xFFFFFFFF]
+
+
+def _closure_packed(
+    a: np.ndarray, b: np.ndarray, max_rounds: int = 40
+) -> tuple[np.ndarray, np.ndarray]:
+    """Core of :func:`closure_numpy`: → (sorted vertex table, sorted rank-packed
+    closure pairs). Rank order == value order, so the packed keys sort exactly like
+    (a, b) value pairs — callers can diff/merge edge sets in packed space."""
     m = a != b
     a, b = a[m], b[m]
     if len(a) == 0:
-        return a.astype(np.int64), b.astype(np.int64)
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     verts = np.unique(np.concatenate([a, b]))
     ra = np.searchsorted(verts, a).astype(np.int64)
     rb = np.searchsorted(verts, b).astype(np.int64)
@@ -157,7 +169,7 @@ def closure_numpy(a: np.ndarray, b: np.ndarray, max_rounds: int = 40) -> tuple[n
         merged[idx] = fkeys
         merged[mask] = closure
         closure = merged
-    return verts[closure >> 32], verts[closure & 0xFFFFFFFF]
+    return verts, closure
 
 
 def closure_auto(
@@ -215,6 +227,36 @@ def local_closure(
     all_edges = {(a, b) for a, deps in graph.items() for b in deps if a != b}
     new_edges = all_edges - existing_edges
     return new_edges, all_edges
+
+
+def local_closure_np(
+    row_a: np.ndarray, row_b: np.ndarray,
+    ex_a: np.ndarray, ex_b: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(new_a, new_b, all_a, all_b) — vectorized :func:`local_closure`.
+
+    Same semantics (transitive closure of row ∪ existing, self-pairs dropped, new =
+    all − existing; equivalence pytest-asserted), but pure int64 numpy end-to-end:
+    the per-micro-batch Python dict-of-sets fixpoint was the stream's largest
+    driver-serial term at real churn (24k nodes → ~10⁵ edges per batch). Outputs are
+    (a, b)-sorted and deduped (rank-packed closure keys are value-ordered)."""
+    a = np.concatenate([row_a, ex_a]).astype(np.int64, copy=False)
+    b = np.concatenate([row_b, ex_b]).astype(np.int64, copy=False)
+    verts, keys = _closure_packed(a, b)
+    if len(keys) == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e, e
+    all_a = verts[keys >> 32]
+    all_b = verts[keys & 0xFFFFFFFF]
+    if len(ex_a):
+        ra = np.searchsorted(verts, ex_a)
+        rb = np.searchsorted(verts, ex_b)
+        ex_keys = np.unique((ra.astype(np.int64) << 32) | rb.astype(np.int64))
+        pos = np.minimum(np.searchsorted(ex_keys, keys), len(ex_keys) - 1)
+        is_new = ex_keys[pos] != keys
+    else:
+        is_new = np.ones(len(keys), bool)
+    return all_a[is_new], all_b[is_new], all_a, all_b
 
 
 def local_closure_for_batch(

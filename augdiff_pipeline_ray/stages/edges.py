@@ -105,7 +105,15 @@ def edges_from_batch(batch: pa.Table, node_self_edges: bool = False) -> pa.Table
 def edges_from_rows_local(batch: pa.Table) -> set[tuple[int, int]]:
     """Local-variant edge set incl. node self-edges, as python int pairs
     (the per-micro-batch closure input — ComputeIndexLocal.scala:20-47)."""
-    t = edges_from_batch(batch, node_self_edges=True)
-    a = t["a"].to_numpy(zero_copy_only=False)
-    b = t["b"].to_numpy(zero_copy_only=False)
+    a, b = edges_from_rows_np(batch)
     return set(zip(a.tolist(), b.tolist()))
+
+
+def edges_from_rows_np(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Array view of :func:`edges_from_rows_local` (may contain duplicate pairs —
+    the closure kernels dedup internally; the hot stream path stays numpy)."""
+    t = edges_from_batch(batch, node_self_edges=True)
+    return (
+        t["a"].to_numpy(zero_copy_only=False),
+        t["b"].to_numpy(zero_copy_only=False),
+    )

@@ -224,7 +224,13 @@ class IndexStore:
         if not new_edges:
             return
         arr = np.array(sorted(new_edges), dtype=np.int64)
-        a, b = arr[:, 0], arr[:, 1]
+        self.append_batch_np(arr[:, 0], arr[:, 1], batch_seq)
+
+    def append_batch_np(self, a: np.ndarray, b: np.ndarray, batch_seq: int) -> None:
+        """Array-input append (the stream's numpy edge path); (a, b)-sorted input
+        expected (local_closure_np output is)."""
+        if len(a) == 0:
+            return
         for side, keys in (("by_a", a), ("by_b", b)):
             shards = shard_of(keys, self.num_shards)
             for s in np.unique(shards):
@@ -255,8 +261,13 @@ class IndexStore:
 
     def load_edges(self, touched: set[int]) -> set[tuple[int, int]]:
         """The 2-hop closure query (S11) fanned across the shard pool."""
+        a, b = self.load_edges_np(np.fromiter(touched, dtype=np.int64, count=len(touched)))
+        return set(zip(a.tolist(), b.tolist()))
+
+    def load_edges_np(self, tk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Array-form 2-hop closure query (S11): no Python tuple materialization —
+        the stream consumes these arrays directly (numpy edge path)."""
         assert self._pool is not None, "call start_pool() first"
-        tk = np.fromiter(touched, dtype=np.int64, count=len(touched))
         # hop 1: route touched keys to their a-shards
         sh = shard_of(tk, self.num_shards)
         futs = [
@@ -270,7 +281,7 @@ class IndexStore:
         else:
             deps = np.empty(0, np.int64)
         if len(deps) == 0:
-            return set()
+            return np.empty(0, np.int64), np.empty(0, np.int64)
         # hop 2: route dependent keys to their b-shards
         shb = shard_of(deps, self.num_shards)
         futs = [
@@ -278,7 +289,8 @@ class IndexStore:
             for s in range(self.num_shards)
             if (shb == s).any()
         ]
-        out: set[tuple[int, int]] = set()
-        for a, b in ray.get(futs):
-            out.update(zip(a.tolist(), b.tolist()))
-        return out
+        parts = ray.get(futs)
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )

@@ -194,3 +194,51 @@ def test_remote_osc_fetch_exhausts_retries(tmp_path):
             OSC.read_osc_file(url, batch_seq=1, max_retries=2, backoff_base_s=0.001)
     finally:
         srv.shutdown()
+
+
+def test_local_closure_np_matches_set_variant():
+    """The stream's numpy edge path must be pair-for-pair identical to the
+    set-based reference transcription, including the new/existing diff."""
+    rng = np.random.default_rng(21)
+    for trial in range(6):
+        n = int(rng.integers(8, 60))
+        row = {
+            (int(x), int(y))
+            for x, y in zip(rng.integers(0, n, 40), rng.integers(0, n, 40))
+        }
+        # some trials include cycles + self-edges (node self-edge convention)
+        row |= {(i, i) for i in range(0, n, 7)}
+        if trial % 2:
+            row |= {(0, 1), (1, 2), (2, 0)}
+        ex_new, ex_all = closure.local_closure(row, set())
+        # existing = half of the full closure, as a prior batch would have stored
+        ex_sorted = sorted(ex_all)
+        existing = set(ex_sorted[: len(ex_sorted) // 2])
+
+        want_new, want_all = closure.local_closure(row, existing)
+        ra = np.array([a for a, _ in row], np.int64)
+        rb = np.array([b for _, b in row], np.int64)
+        ea = np.array([a for a, _ in existing], np.int64)
+        eb = np.array([b for _, b in existing], np.int64)
+        na, nb, aa, ab = closure.local_closure_np(ra, rb, ea, eb)
+        assert set(zip(na.tolist(), nb.tolist())) == want_new
+        assert set(zip(aa.tolist(), ab.tolist())) == want_all
+        # output is (a, b)-sorted and deduped
+        packed = list(zip(aa.tolist(), ab.tolist()))
+        assert packed == sorted(set(packed))
+
+
+def test_local_closure_np_empty_inputs():
+    e = np.empty(0, np.int64)
+    na, nb, aa, ab = closure.local_closure_np(e, e, e, e)
+    assert len(na) == len(aa) == 0
+    # only self-edges → empty closure
+    s = np.array([5, 9], np.int64)
+    na, nb, aa, ab = closure.local_closure_np(s, s, e, e)
+    assert len(aa) == 0
+
+
+def test_edges_from_rows_np_matches_local():
+    t = osc.parse_osc(OSC_XML, batch_seq=1)
+    a, b = edges.edges_from_rows_np(t)
+    assert set(zip(a.tolist(), b.tolist())) == edges.edges_from_rows_local(t)
