@@ -358,6 +358,7 @@ class AdiffJob:
         self.store: IndexStore | None = None
         self._tiles: TilePool | None = None
         self._parse_futs: dict[int, "ray.ObjectRef"] = {}
+        self._memory_tbls: list[pa.Table] | None = None  # lazy in-process tier cache
 
     def _osc_path(self, seq: int) -> str:
         return str(self.world / "changes" / OSC.sequence_path(seq)) + ".osc"
@@ -729,16 +730,23 @@ class AdiffJob:
     # -- memory tier ---------------------------------------------------------
 
     def _read_memory(self) -> pa.Table:
-        files = sorted(self.memory_root.glob("batch-*.parquet")) if self.memory_root.exists() else []
-        if not files:
+        # in-process tier cache: files are the durable truth (resume reloads them
+        # lazily), but within a run the tier is append-only between flushes — reading
+        # every file back each batch was an O(batches-since-flush) driver-serial term
+        if self._memory_tbls is None:
+            files = sorted(self.memory_root.glob("batch-*.parquet")) if self.memory_root.exists() else []
+            self._memory_tbls = [pq.read_table(f) for f in files]
+        if not self._memory_tbls:
             return None
-        return pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+        return pa.concat_tables(self._memory_tbls, promote_options="default")
 
     def _write_memory(self, seq: int, table: pa.Table) -> None:
         self.memory_root.mkdir(parents=True, exist_ok=True)
         tmp = self.memory_root / f"batch-{seq:09d}.tmp"
         pq.write_table(table, tmp)
         os.replace(tmp, self.memory_root / f"batch-{seq:09d}.parquet")
+        if self._memory_tbls is not None:
+            self._memory_tbls.append(table)
 
     def _flush_memory(self, seq: int) -> None:
         """Append memory files into the snapshot store's delta tier, then clear them
@@ -758,6 +766,7 @@ class AdiffJob:
         for f in files:
             f.unlink()
         SNAP.append_to_cache(self.snapshot_store, rows)
+        self._memory_tbls = []
 
     # -- graft outputs -------------------------------------------------------
 

@@ -328,6 +328,13 @@ def knn_arrays(
         return _knn_brute_arrays(query_lat, query_lon, tile_lat, tile_lon, tile_ids, k)
     order = np.argsort(tile_cells, kind="stable")
     sc = tile_cells[order]
+    # id-RANK for tie-breaks: the candidate flood (queries × ~(2r+1)²·density rows)
+    # stays pure int/float — gathering and lexsorting the U32 id strings themselves
+    # cost ~GB of copies and a string sort per call (measured 14 s for 43k queries
+    # against a 131k-tile shard; ints+floats: ~2 s). Rank order == id order, so the
+    # (dist, id) tie-break is bit-identical.
+    id_rank = np.empty(n, np.int64)
+    id_rank[np.argsort(tile_ids, kind="stable")] = np.arange(n)
     qcells = C.cell_of(query_lat, query_lon, res)
     qrow_all, qcol_all = C.cell_row(qcells), C.cell_col(qcells)
     nrows, ncols = C.grid_shape(res)
@@ -358,16 +365,33 @@ def knn_arrays(
         aq = active[qpos]
         dlat = (tile_lat[cand] - query_lat[aq]) * 111_320.0
         dlon = (tile_lon[cand] - query_lon[aq]) * 111_320.0 * cos_lat[aq]
-        ids_a, dist_a = topk_per_query(
-            qpos, np.hypot(dlat, dlon), tile_ids[cand], len(active), kk
-        )
+        d2 = dlat * dlat + dlon * dlon  # squared (monotone) — sqrt only the selected k
+        A = len(active)
+        idx_a = np.full((A, kk), -1, np.int64)
+        d2_a = np.full((A, kk), np.inf)
+        if len(cand):
+            o = np.lexsort((id_rank[cand], d2, qpos))  # qpos presorted → cheap key
+            qs = qpos[o]
+            first = np.r_[True, qs[1:] != qs[:-1]]
+            starts = np.flatnonzero(first)
+            lens = np.diff(np.r_[starts, len(qs)])
+            pos = np.arange(len(qs)) - np.repeat(starts, lens)
+            m = pos < kk
+            idx_a[qs[m], pos[m]] = cand[o][m]
+            d2_a[qs[m], pos[m]] = d2[o][m]
+        dist_a = np.sqrt(d2_a)
         if not expand or r >= 64:
-            done = np.ones(len(active), bool)
+            done = np.ones(A, bool)
         else:
             kth = dist_a[:, kk - 1]
             done = ((counts >= kk) & (kth <= r * cell_min_m[active])) | (counts >= n)
         da = np.flatnonzero(done)
-        out_ids[active[da]] = ids_a[da]
+        sel = idx_a[da]
+        good = sel >= 0
+        ids_sel = np.full(sel.shape, "", dtype=tile_ids.dtype)
+        if good.any():
+            ids_sel[good] = tile_ids[sel[good]]
+        out_ids[active[da]] = ids_sel
         out_dist[active[da]] = dist_a[da]
         active = active[~done]
         r *= 2
@@ -403,14 +427,23 @@ def _knn_brute_arrays(
         dlon *= dlon
         dlat += dlon
         d2 = dlat
-        if kk < n:
-            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-        else:
-            part = np.broadcast_to(np.arange(n), (d2.shape[0], n))
         m = d2.shape[0]
-        qs.append((np.repeat(np.arange(m) + s, part.shape[1]))[np.repeat(good, part.shape[1])])
-        ds.append(np.sqrt(np.take_along_axis(d2, part, axis=1)[good].ravel()))
-        cs.append(part[good].ravel())
+        if kk < n:
+            # ties-exact selection: argpartition alone picks an ARBITRARY subset of
+            # candidates tied at the k-th distance, breaking the (dist, id) contract
+            # (caught by the ring-vs-brute equivalence test with duplicated
+            # positions). Take everything ≤ the k-th value — the final
+            # topk_per_query orders ties by id and trims back to k.
+            kth = np.partition(d2, kk - 1, axis=1)[:, kk - 1 : kk]
+            rows, cols = np.nonzero(d2 <= kth)
+            qs.append((rows + s)[good[rows]])
+            ds.append(np.sqrt(d2[rows, cols][good[rows]]))
+            cs.append(cols[good[rows]])
+        else:
+            part = np.broadcast_to(np.arange(n), (m, n))
+            qs.append((np.repeat(np.arange(m) + s, n))[np.repeat(good, n)])
+            ds.append(np.sqrt(np.take_along_axis(d2, part, axis=1)[good].ravel()))
+            cs.append(part[good].ravel())
     qidx = np.concatenate(qs)
     return topk_per_query(
         qidx, np.concatenate(ds), tile_ids[np.concatenate(cs)], Q, kk

@@ -118,3 +118,25 @@ def test_overlay_rasterize():
     far = square + 5.0
     out2, changed2 = T.rasterize_geom_on_tile(px, bbox, ("Polygon", [far]))
     assert changed2 == 0 and np.array_equal(out2, px)
+
+
+def test_knn_ring_loop_matches_brute_with_ties():
+    """The ring/escalation path (exercised when Q·n exceeds the brute shortcut) must
+    be exactly equal — ids AND distances, ties broken by id — to the brute kernel.
+    Includes duplicated positions (exact distance ties) so the id-rank tie-break in
+    the integer candidate path is actually exercised."""
+    rng = np.random.default_rng(7)
+    n = 6000
+    lat = rng.uniform(10.0, 10.3, n)
+    lon = rng.uniform(20.0, 20.3, n)
+    lat[1000:2000] = lat[:1000]
+    lon[1000:2000] = lon[:1000]  # exact position ties
+    ids = np.array([f"img-{i:06d}" for i in rng.permutation(n)])
+    cells = C.cell_of(lat, lon)
+    q = 800  # Q*n = 4.8M > 1<<22 -> takes the ring/escalation loop
+    qlat = np.repeat(lat[::37] + 0.0004, 5)[:q]
+    qlon = np.repeat(lon[::37] - 0.0003, 5)[:q]
+    ring_ids, ring_d = T.knn_arrays(qlat, qlon, cells, lat, lon, ids, k=4, expand=True)
+    b_ids, b_d = T._knn_brute_arrays(qlat, qlon, lat, lon, ids, 4)
+    assert np.array_equal(ring_ids, b_ids)
+    assert np.allclose(ring_d, b_d)
