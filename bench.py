@@ -322,7 +322,39 @@ def run_scaling_child(world: str, num_cpus: int) -> dict:
     }
 
 
+def host_memory_probe() -> dict:
+    """Fresh-anonymous-page fault rate of the host, measured in a new process.
+
+    Lazily-restored / memory-overcommitted VM hosts can serve first-touch page
+    faults at single-digit MB/s while CPU-bound kernels look merely ~2× slow — every
+    allocation-heavy stage (object store writes, candidate floods, decode buffers)
+    then measures the HOST, not the engine (observed in round 2: ``np.arange(10M)``
+    7.9 s vs 0.02 s on warmed pages, same box, same code). Healthy hardware faults
+    fresh pages at multiple GB/s; below ``HOST_HEALTHY_ALLOC_MB_S`` every wall-clock
+    number in the same session is untrustworthy and the scaling output is flagged."""
+    code = (
+        "import numpy as np, time\n"
+        "t0=time.perf_counter()\n"
+        "a=np.ones(50_000_000, np.float64)\n"  # 400 MB, first touch
+        "print(400.0/(time.perf_counter()-t0))\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+    rate = float(out.stdout.strip().splitlines()[-1])
+    return {
+        "fresh_alloc_mb_per_s": round(rate, 1),
+        "host_degraded": bool(rate < HOST_HEALTHY_ALLOC_MB_S),
+    }
+
+
+HOST_HEALTHY_ALLOC_MB_S = 1000.0
+
+
 def run_scaling() -> dict:
+    probe = host_memory_probe()
+    if probe["host_degraded"]:
+        print(f"WARNING: host fresh-page fault rate {probe['fresh_alloc_mb_per_s']} "
+              "MB/s — wall-clock results from this session measure the host, not "
+              "the engine", file=sys.stderr)
     world = prepare_scaling_world()
 
     def one(ncpu: int) -> dict:
@@ -360,6 +392,7 @@ def run_scaling() -> dict:
             (r_lo["sec_stream"] / r_hi["sec_stream"]) / (hi / lo), 3
         ),
         "hw_control": run_hw_control(),
+        "host_memory_probe": probe,
         "detail": {"lo": r_lo, "hi": r_hi, "all_runs": {"lo": runs_lo, "hi": runs_hi}},
     }
     os.makedirs("BENCH", exist_ok=True)
