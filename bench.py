@@ -115,6 +115,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "sf": sf_dir,
         "num_cpus": num_cpus,
         **extras,
+        # host-health stamp: fresh-page fault rate at measurement time (see
+        # host_memory_probe — wall times from a degraded host measure the
+        # hypervisor's memory backing, not the engine)
+        **host_memory_probe(),
     }
 
 
