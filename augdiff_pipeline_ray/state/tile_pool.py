@@ -82,16 +82,20 @@ def parse_diff_geoms(lines: list[str]) -> tuple[list, np.ndarray]:
 
 @ray.remote(num_cpus=0)
 class TileShard:
-    """One cell-RANGE shard of the tile index (centroids) + overlay bank (blobs).
+    """One cell-RANGE shard of the tile index (centroids) — the kNN pool.
 
     Tiles shard by contiguous cell-id range (``bounds[s] ≤ cell < bounds[s+1]``, quantile
     cuts → equal tile counts): a kNN ring maps to ONE contiguous cell-id interval, so the
     pool routes each query to just the 1–2 shards its ring intersects instead of
     broadcasting every query to every shard (per-query work now divides by the pool).
-    The overlay bank stays modulo-sharded — its queries are per-cell membership tests."""
 
-    def __init__(self, tiles_path: str, bank_path: str | None,
-                 shard_id: int, num_shards: int, bounds=None):
+    The overlay bank lives in a SEPARATE ``BankShard`` pool: an actor serves one call at
+    a time, so co-locating both made every overlay select/render queue behind the
+    (much heavier) kNN rounds — across pipelined batches the tails serialized on the
+    shared actors. Split pools also load only their own columns (centroids here, bank
+    metadata/blobs there)."""
+
+    def __init__(self, tiles_path: str, shard_id: int, num_shards: int, bounds=None):
         self.shard_id = shard_id
         self.num_shards = num_shards
         t = pq.read_table(tiles_path, columns=["image_id", "cell", "phash"])
@@ -106,23 +110,6 @@ class TileShard:
         self.lat, self.lon = georef.centroid(sub["phash"])
         self.ids = sub["image_id"].to_pylist()
         self._ids_np = np.asarray(self.ids)
-        # Bank: load only the tiny metadata columns eagerly (the blob column is the
-        # file's bulk — reading it S× across shards was the r2 stream's warm-up wall);
-        # blobs come lazily per selected image_id via a row-group-pruned filter read
-        # (the bank is written sorted by image_id with small row groups) + LRU cache.
-        self.bank: pa.Table | None = None
-        self._bank_path = bank_path
-        self._blob_cache: dict[str, bytes] = {}
-        if bank_path and os.path.exists(bank_path):
-            b = pq.read_table(bank_path, columns=["image_id", "cell", "w", "h", "phash"])
-            bc = b["cell"].to_numpy(zero_copy_only=False)
-            mine = b.filter(pa.array(shard_of_cell(bc, num_shards) == shard_id))
-            self.bank = mine.sort_by("image_id")
-            self._bank_ids = self.bank["image_id"].to_pylist()
-            self._bank_cells = self.bank["cell"].to_numpy(zero_copy_only=False)
-        self._geom_seq: int | None = None
-        self._geoms: list = []
-        self._bbs: np.ndarray = np.empty((0, 4))
 
     def count(self) -> int:
         return len(self.ids)
@@ -151,7 +138,34 @@ class TileShard:
             k=k, ring=r, expand=False,
         )
 
-    # -- overlay --------------------------------------------------------------
+
+@ray.remote(num_cpus=0)
+class BankShard:
+    """One modulo-cell shard of the overlay sample bank (metadata eager, blobs lazy).
+
+    Its own pool so overlay select/render never queues behind the kNN rounds on a
+    shared actor (see TileShard docstring). Loads only the tiny metadata columns;
+    blobs come per selected image_id via row-group-pruned reads + an LRU cache."""
+
+    def __init__(self, bank_path: str | None, shard_id: int, num_shards: int):
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.bank: pa.Table | None = None
+        self._bank_path = bank_path
+        self._blob_cache: dict[str, bytes] = {}
+        if bank_path and os.path.exists(bank_path):
+            b = pq.read_table(bank_path, columns=["image_id", "cell", "w", "h", "phash"])
+            bc = b["cell"].to_numpy(zero_copy_only=False)
+            mine = b.filter(pa.array(shard_of_cell(bc, num_shards) == shard_id))
+            self.bank = mine.sort_by("image_id")
+            self._bank_ids = self.bank["image_id"].to_pylist()
+            self._bank_cells = self.bank["cell"].to_numpy(zero_copy_only=False)
+        self._geom_seq: int | None = None
+        self._geoms: list = []
+        self._bbs: np.ndarray = np.empty((0, 4))
+
+    def count(self) -> int:
+        return 0 if self.bank is None else len(self.bank)
 
     def overlay_select(self, touched: np.ndarray) -> list[str]:
         """Phase 1: image_ids of this shard's bank tiles inside the touched cells."""
@@ -311,19 +325,27 @@ class TilePool:
         # no startup barrier: method calls queue until each actor finishes loading, so
         # shard loads overlap whatever the driver does next (e.g. the first batch head)
         self._actors = [
-            TileShard.remote(tiles_path, bank_path, s, num_shards, self._bounds)
+            TileShard.remote(tiles_path, s, num_shards, self._bounds)
             for s in range(num_shards)
         ]
+        # separate overlay-bank pool: select/render never queue behind kNN rounds
+        self._bank_actors = [
+            BankShard.remote(bank_path, s, num_shards) for s in range(num_shards)
+        ] if bank_path else []
 
     def warm(self) -> int:
         """Block until every shard finished loading (serving-index build — call from
         bootstrap so the first stream batch doesn't pay the load)."""
-        return int(sum(ray.get([a.count.remote() for a in self._actors])))
+        n = int(sum(ray.get([a.count.remote() for a in self._actors])))
+        if self._bank_actors:
+            ray.get([a.count.remote() for a in self._bank_actors])
+        return n
 
     def close(self) -> None:
-        for a in self._actors:
+        for a in self._actors + self._bank_actors:
             ray.kill(a)
         self._actors = []
+        self._bank_actors = []
 
     # -- kNN: routed scatter / finish split so callers can overlap the gather --
 
@@ -419,7 +441,7 @@ class TilePool:
     # -- overlay: two-phase, with the select scatter exposed for overlap ------
 
     def overlay_select_scatter(self, touched: np.ndarray) -> list:
-        return [a.overlay_select.remote(touched) for a in self._actors]
+        return [a.overlay_select.remote(touched) for a in self._bank_actors]
 
     def overlay_finish(self, seq: int, sels: list, wkbs: list, bbs: np.ndarray,
                        max_tiles: int) -> list[dict]:
@@ -439,7 +461,7 @@ class TilePool:
             return []
         futs = [
             a.overlay_render.remote(seq, [i for i in s if i in chosen], wkbs_ref, bbs_ref)
-            for a, s in zip(self._actors, sels)
+            for a, s in zip(self._bank_actors, sels)
             if any(i in chosen for i in s)
         ]
         rows = [r for part in ray.get(futs) for r in part]
