@@ -62,9 +62,21 @@ SAVE_INTERVAL = 5  # parity: AugmentedDiff.scala:216
 
 def render_entities(
     ctx: RenderContext, assigner, orders, types, ids
-) -> pa.Table:
+) -> tuple[pa.Table, pa.Table]:
     """Geometry build + JSON encode + PIP cell assignment for a chunk of entities —
-    shared by the local path and the persistent render actor pool."""
+    shared by the local path and the persistent render actor pool.
+
+    Returns TWO tables so the driver never touches the heavy columns:
+
+    * ``meta`` (order, key, cell, rep_lon, rep_lat) — a few int64/float64 per
+      feature; the driver gathers + concatenates these for kNN routing, overlay cell
+      selection, assignment/lineage writes.
+    * ``payload`` (order, feature JSON, wkb, bbox) — the big string/binary columns;
+      stays in the object store as one ref per render shard, consumed (concat +
+      order-sort) inside the off-driver tail tasks. The r2 path concatenated the
+      payload on the driver and re-``ray.put`` it per batch — a driver-serial
+      copy proportional to batch size, i.e. an Amdahl term the pool could not
+      shrink."""
     out_order, out_json, out_key = [], [], []
     rep_lon, rep_lat = [], []
     out_wkb, out_bb = [], []
@@ -91,18 +103,25 @@ def render_entities(
     rlat = np.asarray(rep_lat, float)
     cells = assigner.assign_points(rlat, rlon)
     bb_flat = np.asarray(out_bb, np.float64).reshape(-1)
-    return pa.table(
+    order_arr = pa.array(out_order, pa.int64())
+    meta = pa.table(
         {
-            "order": pa.array(out_order, pa.int64()),
-            "feature": pa.array(out_json, pa.string()),
+            "order": order_arr,
             "key": pa.array(out_key, pa.int64()),
             "cell": pa.array(cells, pa.int64()),
             "rep_lon": pa.array(rlon, pa.float64()),
             "rep_lat": pa.array(rlat, pa.float64()),
+        }
+    )
+    payload = pa.table(
+        {
+            "order": order_arr,
+            "feature": pa.array(out_json, pa.string()),
             "wkb": pa.array(out_wkb, pa.binary()),
             "bbox": pa.FixedSizeListArray.from_arrays(pa.array(bb_flat, pa.float64()), 4),
         }
     )
+    return meta, payload
 
 
 @ray.remote(num_cpus=1)
@@ -112,8 +131,6 @@ class RenderShard:
     once (ObjectRef auto-deref) and the context is rebuilt only when ``seq`` advances."""
 
     def __init__(self):
-        self._seq = None
-        self._ctx: RenderContext | None = None
         self.assigner = T.CellAssigner()
         self._row_cache: dict = {}
         # the row cache holds O(10^5) long-lived dicts; default gen0 GC walks them
@@ -123,13 +140,9 @@ class RenderShard:
 
         gc.set_threshold(200_000, 100, 100)
 
-    def render(self, seq: int, rows: list, orders, types, ids) -> pa.Table:
-        if self._seq != seq:
-            self._ctx = RenderContext(rows)
-            self._seq = seq
-        return render_entities(self._ctx, self.assigner, orders, types, ids)
-
-    def render_part(self, seq: int, tbl: pa.Table, orders, types, ids) -> pa.Table:
+    @ray.method(num_returns=2)
+    def render_part(self, seq: int, tbl: pa.Table, orders, types, ids
+                    ) -> tuple[pa.Table, pa.Table]:
         """Dependency-partitioned variant: the shard's row SUBSET arrives as Arrow;
         dict conversion + context build happen here, on the actor, over O(rows/N).
 
@@ -264,12 +277,27 @@ def _write_overlay_file(d: str, seq: int, rows: list[dict]) -> None:
 # and the batch's lineage commit happens only after every tail task returns.
 
 
+def _gather_payload(payload_refs) -> tuple[pa.Table | None, np.ndarray]:
+    """Fetch + concat the per-shard payload parts (INSIDE a tail task, never on the
+    driver) and compute the global feature order."""
+    tabs = ray.get(list(payload_refs)) if payload_refs else []
+    tabs = [t for t in tabs if len(t)]
+    if not tabs:
+        return None, np.empty(0, np.int64)
+    t = pa.concat_tables(tabs, promote_options="default")
+    order = np.argsort(t["order"].to_numpy(zero_copy_only=False), kind="stable")
+    return t, order
+
+
 @ray.remote(num_cpus=0)
-def _emit_task(feat_tbl, order, keys_np, seq, json_path, assign_dir):
+def _emit_task(payload_refs, keys_np, cells_np, seq, json_path, assign_dir):
     t0 = time.perf_counter()
-    feats_py = feat_tbl["feature"].to_pylist()
-    nbytes = GJ.write_features(json_path, [feats_py[i] for i in order])
-    cells_np = feat_tbl["cell"].to_numpy(zero_copy_only=False)[order]
+    t, order = _gather_payload(payload_refs)
+    if t is not None:
+        feats_py = t["feature"].to_pylist()
+        nbytes = GJ.write_features(json_path, [feats_py[i] for i in order])
+    else:
+        nbytes = GJ.write_features(json_path, [])
     _write_assignments_file(assign_dir, seq, keys_np, cells_np)
     if os.environ.get("AUGDIFF_TAIL_DEBUG"):
         print(f"[emit {seq}] {time.perf_counter()-t0:.2f}", flush=True)
@@ -299,19 +327,21 @@ def _knn_task(pool, knn_state, keys_np, keep, seq, knn_dir):
 
 
 @ray.remote(num_cpus=0)
-def _overlay_task(pool, sel_futs, feat_tbl, order, seq, max_overlay, overlay_dir):
+def _overlay_task(pool, sel_futs, payload_refs, seq, max_overlay, overlay_dir):
     t0 = time.perf_counter()
     rows = []
     if sel_futs is not None:
         sels = ray.get(sel_futs)
-        wkbs_l = feat_tbl["wkb"].to_pylist()
-        bbs = (
-            feat_tbl["bbox"].combine_chunks().flatten()
-            .to_numpy(zero_copy_only=False).reshape(-1, 4)[order]
-        )
-        wkbs_ref = ray.put([wkbs_l[i] for i in order])
-        bbs_ref = ray.put(np.ascontiguousarray(bbs, np.float64))
-        rows = pool.overlay_finish_refs(seq, sels, wkbs_ref, bbs_ref, max_overlay)
+        t, order = _gather_payload(payload_refs)
+        if t is not None:
+            wkbs_l = t["wkb"].to_pylist()
+            bbs = (
+                t["bbox"].combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).reshape(-1, 4)[order]
+            )
+            wkbs_ref = ray.put([wkbs_l[i] for i in order])
+            bbs_ref = ray.put(np.ascontiguousarray(bbs, np.float64))
+            rows = pool.overlay_finish_refs(seq, sels, wkbs_ref, bbs_ref, max_overlay)
     _write_overlay_file(overlay_dir, seq, rows)
     if os.environ.get("AUGDIFF_TAIL_DEBUG"):
         print(f"[ovl {seq}] {time.perf_counter()-t0:.2f}", flush=True)
@@ -502,36 +532,41 @@ class AdiffJob:
         )
         ts = time.perf_counter()
         if use_pool and len(ents_sorted) > 0:
-            futs = self._render_partition_scatter(
+            meta_futs, payload_refs = self._render_partition_scatter(
                 pre["aug_tbl"], pre["row_keys"], ents_sorted, pre["all_edges"],
                 pre["seq"],
             )
-            out = {"futs": futs}
+            out = {"futs": meta_futs, "payload_refs": payload_refs}
         else:
-            out = {"futs": None}
+            out = {"futs": None, "payload_refs": None}
         pre["stage_t"]["r_scatter"] = round(time.perf_counter() - ts, 3)
         return out
 
     def _render_collect(self, pre: dict, sc: dict) -> dict:
-        """Block for the render results; assemble the ordered feature table."""
+        """Block for the render META results (a few numeric columns per feature); the
+        payload parts stay in the object store for the tail tasks."""
         ts = time.perf_counter()
         if sc["futs"] is not None:
-            parts = ray.get(sc["futs"])
-            feat_tbl = pa.concat_tables(parts, promote_options="default")
+            metas = ray.get(sc["futs"])
+            meta = pa.concat_tables(metas, promote_options="default")
+            payload_refs = sc["payload_refs"]
         else:
             ents_sorted = pre["ents_sorted"]
             ents = [(K.TYPE_NAMES[int(k) & 3], int(k) >> 2) for k in ents_sorted]
             ctx = RenderContext(rows_from_arrow(pre["aug_tbl"]))
-            feat_tbl = self._render_local(ctx, ents)
+            meta, payload = self._render_local(ctx, ents)
+            payload_refs = [ray.put(payload)] if len(payload) else []
         stage_t = pre["stage_t"]
         stage_t["render"] = round(time.perf_counter() - ts, 3)
-        order = np.argsort(feat_tbl["order"].to_numpy(zero_copy_only=False), kind="stable")
-        keys_np = feat_tbl["key"].to_numpy(zero_copy_only=False)[order]
-        cells_np = feat_tbl["cell"].to_numpy(zero_copy_only=False)[order]
+        order = np.argsort(meta["order"].to_numpy(zero_copy_only=False), kind="stable")
+        keys_np = meta["key"].to_numpy(zero_copy_only=False)[order]
+        cells_np = meta["cell"].to_numpy(zero_copy_only=False)[order]
+        rlat = meta["rep_lat"].to_numpy(zero_copy_only=False)[order]
+        rlon = meta["rep_lon"].to_numpy(zero_copy_only=False)[order]
         return {
             "seq": pre["seq"], "t0": pre["t0"], "stage_t": stage_t,
-            "feat_tbl": feat_tbl, "order": order,
-            "keys_np": keys_np, "cells_np": cells_np,
+            "n_features": len(meta), "payload_refs": payload_refs,
+            "keys_np": keys_np, "cells_np": cells_np, "rlat": rlat, "rlon": rlon,
             "update_el": pre["update_el"], "n_aug": pre["n_aug"],
             "n_new_edges": pre["n_new_edges"],
         }
@@ -544,12 +579,10 @@ class AdiffJob:
         """Launch the whole tail (feature emit + kNN rounds + overlay select/render +
         output writes) as ONE off-driver task; return its future."""
         ts = time.perf_counter()
-        feat_tbl, order = head["feat_tbl"], head["order"]
         seq = head["seq"]
         knn_state, keep, sel_futs = None, np.empty(0, np.int64), None
-        if len(feat_tbl):
-            rlat = feat_tbl["rep_lat"].to_numpy(zero_copy_only=False)[order]
-            rlon = feat_tbl["rep_lon"].to_numpy(zero_copy_only=False)[order]
+        if head["n_features"]:
+            rlat, rlon = head["rlat"], head["rlon"]
             keep = np.nonzero(~(np.isnan(rlat) | np.isnan(rlon)))[0]
             if len(keep):
                 knn_state = self._tile_pool().knn_scatter(
@@ -559,10 +592,10 @@ class AdiffJob:
         touched = touched[touched >= 0]
         if len(touched):
             sel_futs = self._tile_pool().overlay_select_scatter(touched)
-        feat_ref = ray.put(feat_tbl)
+        payload_refs = head["payload_refs"] or []
         futs = (
             _emit_task.remote(
-                feat_ref, head["order"], head["keys_np"], seq,
+                payload_refs, head["keys_np"], head["cells_np"], seq,
                 GJ.batch_json_path(self.adiff_template, seq),
                 str(self.out / "assignments"),
             ),
@@ -571,7 +604,7 @@ class AdiffJob:
                 str(self.out / "knn"),
             ),
             _overlay_task.remote(
-                self._tile_pool(), sel_futs, feat_ref, head["order"], seq,
+                self._tile_pool(), sel_futs, payload_refs, seq,
                 self.max_overlay, str(self.out / "overlay"),
             ),
         )
@@ -597,7 +630,7 @@ class AdiffJob:
             "seq": seq,
             "update_rows": len(head["update_el"]),
             "aug_rows": head["n_aug"],
-            "features": len(head["feat_tbl"]),
+            "features": head["n_features"],
             "new_edges": head["n_new_edges"],
             "knn": knn_rows,
             "overlay": n_overlay,
@@ -695,7 +728,7 @@ class AdiffJob:
 
         rk_order = np.argsort(row_keys, kind="stable")
         rk_sorted = row_keys[rk_order]
-        futs = []
+        meta_futs, payload_refs = [], []
         for s in range(N):
             keys_s = dk[ds == s]
             lo = np.searchsorted(rk_sorted, keys_s, side="left")
@@ -709,17 +742,17 @@ class AdiffJob:
             sub = tbl.take(pa.array(flat))
             mine = np.flatnonzero(ent_shard == s)  # == these entities' order indices
             mk = ents_sorted[mine]
-            futs.append(
-                pool[s].render_part.remote(
-                    seq, sub, mine.tolist(),
-                    [K.TYPE_NAMES[c] for c in (mk & 3).tolist()],
-                    (mk >> 2).tolist(),
-                )
+            m, p = pool[s].render_part.remote(
+                seq, sub, mine.tolist(),
+                [K.TYPE_NAMES[c] for c in (mk & 3).tolist()],
+                (mk >> 2).tolist(),
             )
+            meta_futs.append(m)
+            payload_refs.append(p)
         if os.environ.get("AUGDIFF_STAGE_DEBUG"):
             print(f"[render] prep={time.perf_counter()-t_prep0:.3f} "
                   f"dup={len(dk)/max(len(uk),1):.2f}", flush=True)
-        return futs
+        return meta_futs, payload_refs
 
     def _render_local(self, ctx: RenderContext, ents) -> pa.Table:
         return render_entities(
