@@ -289,6 +289,22 @@ def _ring_candidates(
     return cand, counts, qpos
 
 
+def knn_prep(tile_cells: np.ndarray, tile_ids: np.ndarray
+             ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(cell argsort order, sorted cells, id tie-break rank) for :func:`knn_arrays` —
+    build once per static tile set. id-RANK keeps the candidate flood pure int/float:
+    gathering + lexsorting the U32 id strings themselves cost ~GB of copies and a
+    string sort per call (measured 14 s for 43k queries against a 131k-tile shard;
+    ints+floats: ~2 s). Rank order == id order, so (dist, id) tie-break is
+    bit-identical."""
+    tile_ids = np.asarray(tile_ids)
+    order = np.argsort(tile_cells, kind="stable")
+    sc = tile_cells[order]
+    id_rank = np.empty(len(tile_ids), np.int64)
+    id_rank[np.argsort(tile_ids, kind="stable")] = np.arange(len(tile_ids))
+    return order, sc, id_rank
+
+
 def knn_arrays(
     query_lat: np.ndarray,
     query_lon: np.ndarray,
@@ -300,6 +316,7 @@ def knn_arrays(
     ring: int = 1,
     res: int = C.DEFAULT_RES,
     expand: bool = False,
+    prep: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """For each query point: the k nearest tiles among those whose cell lies in the
     query cell's (2·ring+1)² k-ring — the cell index prunes the candidate set.
@@ -326,15 +343,12 @@ def knn_arrays(
         return topk_per_query(np.empty(0, np.int64), np.empty(0), tile_ids[:0], Q, kk)
     if expand and Q * n <= 1 << 22:  # ≤ ~4M pairwise dists: one matmul-ish pass wins
         return _knn_brute_arrays(query_lat, query_lon, tile_lat, tile_lon, tile_ids, k)
-    order = np.argsort(tile_cells, kind="stable")
-    sc = tile_cells[order]
-    # id-RANK for tie-breaks: the candidate flood (queries × ~(2r+1)²·density rows)
-    # stays pure int/float — gathering and lexsorting the U32 id strings themselves
-    # cost ~GB of copies and a string sort per call (measured 14 s for 43k queries
-    # against a 131k-tile shard; ints+floats: ~2 s). Rank order == id order, so the
-    # (dist, id) tie-break is bit-identical.
-    id_rank = np.empty(n, np.int64)
-    id_rank[np.argsort(tile_ids, kind="stable")] = np.arange(n)
+    if prep is not None:
+        # static tile sets (the serving shards) pass (order, sc, id_rank) built ONCE —
+        # re-deriving them costs a 131k argsort + a U32 string argsort per CALL
+        order, sc, id_rank = prep
+    else:
+        order, sc, id_rank = knn_prep(tile_cells, tile_ids)
     qcells = C.cell_of(query_lat, query_lon, res)
     qrow_all, qcol_all = C.cell_row(qcells), C.cell_col(qcells)
     nrows, ncols = C.grid_shape(res)
@@ -358,27 +372,40 @@ def knn_arrays(
         dens = n / max(rows_span * cols_span, 1)
         r = max(ring, int(np.ceil((np.sqrt(4.0 * k / max(dens, 1e-9)) - 1) / 2)))
         r = min(r, 64)
+    # ring-wide density estimate for chunk sizing (sc is sorted: unique is a diff)
+    occ_n = int(np.count_nonzero(np.r_[True, sc[1:] != sc[:-1]])) if n else 1
+    dens_est = n / max(occ_n, 1)
     while len(active):
-        cand, counts, qpos = _ring_candidates(
-            qrow_all[active], qcol_all[active], sc, order, r, res
-        )
-        aq = active[qpos]
-        dlat = (tile_lat[cand] - query_lat[aq]) * 111_320.0
-        dlon = (tile_lon[cand] - query_lon[aq]) * 111_320.0 * cos_lat[aq]
-        d2 = dlat * dlat + dlon * dlon  # squared (monotone) — sqrt only the selected k
         A = len(active)
         idx_a = np.full((A, kk), -1, np.int64)
         d2_a = np.full((A, kk), np.inf)
-        if len(cand):
-            o = np.lexsort((id_rank[cand], d2, qpos))  # qpos presorted → cheap key
-            qs = qpos[o]
-            first = np.r_[True, qs[1:] != qs[:-1]]
-            starts = np.flatnonzero(first)
-            lens = np.diff(np.r_[starts, len(qs)])
-            pos = np.arange(len(qs)) - np.repeat(starts, lens)
-            m = pos < kk
-            idx_a[qs[m], pos[m]] = cand[o][m]
-            d2_a[qs[m], pos[m]] = d2[o][m]
+        counts = np.zeros(A, np.int64)
+        # chunk queries so the candidate flood (~(2r+1)²·density rows × several
+        # arrays) stays small enough for the allocator's arena to REUSE — one
+        # monolithic gather mallocs tens of MB of fresh (mmap'd, OS-returned)
+        # pages per call, which is the slow path on memory-pressured hosts
+        est_per_q = max(1.0, (2 * r + 1) ** 2 * dens_est * 0.4)
+        qchunk = int(min(A, max(256, (1 << 19) / est_per_q)))
+        for s0 in range(0, A, qchunk):
+            sub = active[s0 : s0 + qchunk]
+            cand, cnts, qpos = _ring_candidates(
+                qrow_all[sub], qcol_all[sub], sc, order, r, res
+            )
+            counts[s0 : s0 + len(sub)] = cnts
+            aq = sub[qpos]
+            dlat = (tile_lat[cand] - query_lat[aq]) * 111_320.0
+            dlon = (tile_lon[cand] - query_lon[aq]) * 111_320.0 * cos_lat[aq]
+            d2 = dlat * dlat + dlon * dlon  # squared (monotone) — sqrt only the k
+            if len(cand):
+                o = np.lexsort((id_rank[cand], d2, qpos))  # qpos presorted → cheap
+                qs = qpos[o]
+                first = np.r_[True, qs[1:] != qs[:-1]]
+                starts = np.flatnonzero(first)
+                lens = np.diff(np.r_[starts, len(qs)])
+                pos = np.arange(len(qs)) - np.repeat(starts, lens)
+                m = pos < kk
+                idx_a[qs[m] + s0, pos[m]] = cand[o][m]
+                d2_a[qs[m] + s0, pos[m]] = d2[o][m]
         dist_a = np.sqrt(d2_a)
         if not expand or r >= 64:
             done = np.ones(A, bool)

@@ -110,6 +110,8 @@ class TileShard:
         self.lat, self.lon = georef.centroid(sub["phash"])
         self.ids = sub["image_id"].to_pylist()
         self._ids_np = np.asarray(self.ids)
+        # cell order / id tie-break rank: once per (static) shard, not per call
+        self._prep = T.knn_prep(self.cells, self._ids_np) if len(self.ids) else None
 
     def count(self) -> int:
         return len(self.ids)
@@ -124,7 +126,7 @@ class TileShard:
                     np.full((len(qlat), 1), np.inf))
         return T.knn_arrays(
             qlat, qlon, self.cells, self.lat, self.lon, self._ids_np,
-            k=k, expand=True,
+            k=k, expand=True, prep=self._prep,
         )
 
     def knn_ring(self, qlat: np.ndarray, qlon: np.ndarray, k: int, r: int
@@ -133,9 +135,29 @@ class TileShard:
         if not self.ids:
             return (np.full((len(qlat), 1), "", dtype="U1"),
                     np.full((len(qlat), 1), np.inf))
-        return T.knn_arrays(
+        import time as _time
+        _t0 = _time.perf_counter()
+        out = T.knn_arrays(
             qlat, qlon, self.cells, self.lat, self.lon, self._ids_np,
-            k=k, ring=r, expand=False,
+            k=k, ring=r, expand=False, prep=self._prep,
+        )
+        if os.environ.get("AUGDIFF_KNN_DEBUG"):
+            print(f"[shard {self.shard_id}] knn_ring q={len(qlat)} r={r} "
+                  f"kernel={_time.perf_counter()-_t0:.2f}", flush=True)
+        return out
+
+    def knn_brute(self, qlat: np.ndarray, qlon: np.ndarray, k: int
+                  ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact all-pairs local top-k — the pool's straggler fallback: a query that
+        two ring rounds couldn't coverage-guarantee scans this shard's whole tile set
+        once (vectorized, chunked to keep the distance matrix small) instead of
+        serially doubling rings toward a grid-sized scan."""
+        if not self.ids:
+            return (np.full((len(qlat), 1), "", dtype="U1"),
+                    np.full((len(qlat), 1), np.inf))
+        chunk = max(32, (1 << 22) // max(len(self.ids), 1))
+        return T._knn_brute_arrays(
+            qlat, qlon, self.lat, self.lon, self._ids_np, k, chunk=chunk
         )
 
 
@@ -367,12 +389,16 @@ class TilePool:
         s_hi = np.clip(np.searchsorted(self._bounds, hi_id, side="right") - 1,
                        0, self.num_shards - 1)
         futs = []
+        sizes = []
         for s in range(self.num_shards):
             idx = active[(s_lo <= s) & (s <= s_hi)]
             if len(idx):
                 futs.append(
                     (idx, self._actors[s].knn_ring.remote(qlat[idx], qlon[idx], k, r))
                 )
+                sizes.append((s, len(idx)))
+        if os.environ.get("AUGDIFF_KNN_DEBUG"):
+            print(f"[knn_scatter] r={r} per-shard={sizes}", flush=True)
         return futs
 
     def knn_scatter(self, qlat: np.ndarray, qlon: np.ndarray, k: int) -> dict:
@@ -391,10 +417,18 @@ class TilePool:
         )
         return state
 
+    BRUTE_ACTIVE_MAX = 4096  # straggler set small enough for an all-shard brute round
+
     def knn_finish(self, state: dict) -> tuple[np.ndarray, np.ndarray]:
-        """Gather + exact-coverage escalation loop. A query resolves once its k-th
-        candidate lies within r × (min cell dimension) — no closer tile can exist
-        outside the fully-searched ring — or the ring is grid-sized."""
+        """Gather + exact-coverage escalation. A query resolves once its k-th candidate
+        lies within r × (min cell dimension) — no closer tile can exist outside the
+        fully-searched ring. Queries the first TWO ring rounds can't resolve (sparse
+        neighborhoods, grid-edge points) go to ONE exact brute round over every shard
+        instead of serially doubling rings: bounded rounds (the ring loop was up to 7
+        latency-barriered rounds per batch, each rescanning a 4× larger ring) and
+        bounded work (brute work caps at |active| × shard size, vectorized), and it
+        removes the old r=64 acceptance — which on grids wider than 129 rows could
+        return a not-yet-proven-exact top-k."""
         Q, k = len(state["qlat"]), state["k"]
         kk = max(1, min(k, max(self._n_tiles, 1)))
         out_ids = np.full((Q, kk), "", dtype="U32")
@@ -404,8 +438,13 @@ class TilePool:
             180.0 / nrows * 111_320.0,
             360.0 / ncols * 111_320.0 * np.cos(np.radians(np.nan_to_num(state["qlat"]))),
         )
+        grid_r = max(nrows, ncols)  # ring covering the whole grid ⇒ result is exact
         active, r, futs = state["active"], state["r"], state["futs"]
+        rounds = 0
+        _dbg = bool(os.environ.get("AUGDIFF_KNN_DEBUG"))
+        import time as _time
         while len(active):
+            _t0 = _time.perf_counter()
             qs, ds, cs = [], [], []
             for idx, fut in futs:
                 ids_p, dist_p = ray.get(fut)
@@ -423,16 +462,44 @@ class TilePool:
                 len(active), kk,
             )
             kth = dist_a[:, kk - 1]
-            done = (np.isfinite(kth) & (kth <= r * cell_min_m[active])) | (r >= 64)
+            done = (np.isfinite(kth) & (kth <= r * cell_min_m[active])) | (r >= grid_r)
             da = np.flatnonzero(done)
             out_ids[active[da]] = ids_a[da]
             out_dist[active[da]] = dist_a[da]
+            n_prev = len(active)
             active = active[~done]
+            if _dbg:
+                print(f"[knn_finish] round={rounds} r={r} active={n_prev} "
+                      f"remaining={len(active)} t={_time.perf_counter()-_t0:.2f}",
+                      flush=True)
             r *= 2
-            if len(active):
-                futs = self._scatter_round(
-                    state["qlat"], state["qlon"], state["qrow"], active, k, r
+            rounds += 1
+            if not len(active):
+                break
+            if rounds >= 2 and len(active) <= self.BRUTE_ACTIVE_MAX:
+                _t0 = _time.perf_counter()
+                bq_lat = state["qlat"][active]
+                bq_lon = state["qlon"][active]
+                bfuts = [a.knn_brute.remote(bq_lat, bq_lon, k) for a in self._actors]
+                qs, ds, cs = [], [], []
+                for ids_p, dist_p in ray.get(bfuts):
+                    w = ids_p.shape[1]
+                    qs.append(np.tile(np.arange(len(active)), (w, 1)).T.ravel())
+                    ds.append(dist_p.ravel())
+                    cs.append(ids_p.astype("U32").ravel())
+                ids_a, dist_a = T.topk_per_query(
+                    np.concatenate(qs), np.concatenate(ds), np.concatenate(cs),
+                    len(active), kk,
                 )
+                out_ids[active] = ids_a
+                out_dist[active] = dist_a
+                if _dbg:
+                    print(f"[knn_finish] brute stragglers={len(active)} "
+                          f"t={_time.perf_counter()-_t0:.2f}", flush=True)
+                break
+            futs = self._scatter_round(
+                state["qlat"], state["qlon"], state["qrow"], active, k, r
+            )
         return out_ids, out_dist
 
     def knn(self, qlat: np.ndarray, qlon: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
