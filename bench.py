@@ -405,10 +405,108 @@ def run_scaling() -> dict:
     return result
 
 
+# ---------------------------------------------------------------------------
+# --scaling-stream: stream-only re-measure against a persistent bootstrap
+# ---------------------------------------------------------------------------
+#
+# The full --scaling re-bootstraps the 1M-image world at both widths (~25 min
+# healthy). The STREAM is the part that iterates fastest, so this mode keeps one
+# bootstrap on disk (/tmp, built once at 32 CPUs, untimed — identical input for
+# both widths), resets only the stream-mutated state between runs, and times
+# run_stream alone in fresh processes at 8 vs 32 CPUs. Output:
+# BENCH/stream_scaling.json. The headline scaling number stays --scaling's.
+
+SCALING_BOOT_DIR = "/tmp/augdiff_scaling_boot"
+
+
+def _reset_stream_state(out: str) -> None:
+    import glob as _glob
+
+    for sub in ("memory", "adiff", "assignments", "knn", "overlay"):
+        shutil.rmtree(os.path.join(out, sub), ignore_errors=True)
+    for f in _glob.glob(os.path.join(out, "lineage", "batch-*.parquet")):
+        if int(os.path.basename(f).split("-")[1].split(".")[0]) != 0:
+            os.unlink(f)
+    for f in _glob.glob(os.path.join(out, "index", "by_*", "shard=*", "batch-*.parquet")):
+        os.unlink(f)
+    shutil.rmtree(os.path.join(out, "snapshot_store", "delta"), ignore_errors=True)
+
+
+def run_stream_scaling_child(world: str, out: str, num_cpus: int) -> dict:
+    import logging
+
+    import ray
+    import ray.data as rdata
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    rdata.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from augdiff_pipeline_ray.pipelines import adiff as AD
+
+    job = AD.AdiffJob(world, out)
+    if not os.path.exists(os.path.join(out, "lineage", "batch-000000000.parquet")):
+        job.bootstrap()  # first invocation builds the persistent bootstrap (untimed)
+    else:
+        _reset_stream_state(out)
+    job.warm()  # serving-state build — untimed, same protocol both widths
+    t0 = time.perf_counter()
+    stats = job.run_stream()
+    t_stream = time.perf_counter() - t0
+    job.close()
+    ray.shutdown()
+    n_feat = sum(b["features"] for b in stats["batches"])
+    return {"num_cpus": num_cpus, "sec_stream": round(t_stream, 3),
+            "adiff_features": n_feat,
+            "feat_per_sec": round(n_feat / t_stream, 2)}
+
+
+def run_stream_scaling() -> dict:
+    probe = host_memory_probe()
+    world = prepare_scaling_world()
+    out = SCALING_BOOT_DIR
+
+    def one(ncpu: int) -> dict:
+        return json.loads(subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-stream-child",
+             world, out, str(ncpu)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    runs_lo = [one(lo), one(lo)]
+    runs_hi = [one(hi), one(hi)]
+    r_lo = min(runs_lo, key=lambda r: r["sec_stream"])
+    r_hi = min(runs_hi, key=lambda r: r["sec_stream"])
+    result = {
+        "metric": "stream-only scaling: identical 6-batch adiff stream against the "
+        "same prepared bootstrap at 8 vs 32 CPUs in fresh processes",
+        "images": SCALING_IMAGES,
+        "sec_stream_8": r_lo["sec_stream"],
+        "sec_stream_32": r_hi["sec_stream"],
+        "stream_efficiency": round(
+            (r_lo["sec_stream"] / r_hi["sec_stream"]) / (hi / lo), 3
+        ),
+        "host_memory_probe": probe,
+        "detail": {"all_runs": {"lo": runs_lo, "hi": runs_hi}},
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/stream_scaling.json", "w") as f:
+        json.dump(result, f, indent=2)
+    return result
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         i = sys.argv.index("--scaling-child")
         print(json.dumps(run_scaling_child(sys.argv[i + 1], int(sys.argv[i + 2]))))
+    elif "--scaling-stream-child" in sys.argv:
+        i = sys.argv.index("--scaling-stream-child")
+        print(json.dumps(run_stream_scaling_child(
+            sys.argv[i + 1], sys.argv[i + 2], int(sys.argv[i + 3]))))
+    elif "--scaling-stream" in sys.argv:
+        print(json.dumps(run_stream_scaling()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--long-stream" in sys.argv:
