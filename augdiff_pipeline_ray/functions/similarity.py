@@ -166,9 +166,32 @@ def hyperplane_band_hashes(
 
 
 def random_hyperplane_buckets(embs: np.ndarray, n_planes: int = 12) -> np.ndarray:
-    """Sign-LSH bucket id per row (int64): bit b = sign(x · h_b). Deterministic planes."""
+    """Sign-LSH bucket id per row (int64): bit b = sign(x · h_b). Deterministic planes.
+
+    The sign decision runs in float64 regardless of input dtype so it is reproducible
+    by any engine that evaluates the dot in double (the DuckDB conformance oracle
+    inlines these planes and uses ``list_dot_product``): float64 dots of gaussian
+    planes differ between summation orders only at ~1e-15 relative, far from 0."""
     dim = embs.shape[1]
     planes = np.random.default_rng(0xC051).standard_normal((n_planes, dim)).astype(np.float32)
-    signs = (embs @ planes.T) > 0
+    signs = (embs.astype(np.float64) @ planes.T.astype(np.float64)) > 0
     weights = (1 << np.arange(n_planes)).astype(np.int64)
     return signs @ weights
+
+
+def hyperplane_oracle_sql(table: str = "embeddings", vec_col: str = "embedding",
+                          id_col: str = "vec_id", dim: int = 64,
+                          n_planes: int = 12) -> str:
+    """ANSI-SQL equivalent of :func:`random_hyperplane_buckets` with the deterministic
+    planes inlined as list literals (float32 values round-trip exactly through their
+    decimal repr into DOUBLE)."""
+    planes = np.random.default_rng(0xC051).standard_normal((n_planes, dim)).astype(np.float32)
+    terms = []
+    for b in range(n_planes):
+        vec = ", ".join(repr(float(v)) for v in planes[b])
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_col}, [{vec}]) > 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+        )
+    return (f"SELECT {id_col}, CAST(" + " + ".join(terms)
+            + f" AS BIGINT) AS bucket FROM {table}")

@@ -1442,10 +1442,12 @@ def q_geometry_functions(sf_dir: str):
     return ds.map_batches(geom, batch_format="pyarrow")
 
 
-@query("embedding_lsh_buckets")
+@query("embedding_lsh_buckets", sql=SIM.hyperplane_oracle_sql())
 def q_embedding_lsh_buckets(sf_dir: str):
-    """Sign-LSH bucket assignment (the ANN scale path) — gaussian planes aren't
-    SQL-expressible; rows-only."""
+    """Sign-LSH bucket assignment (the ANN scale path). Oracled: the deterministic
+    gaussian planes are inlined into the SQL as list literals and the sign decision
+    runs in float64 on both sides (``list_dot_product`` vs numpy) — see
+    functions/similarity.hyperplane_oracle_sql."""
     ds = SRC.read_parquet_clean(TP._p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
     def buckets(t: pa.Table) -> pa.Table:
