@@ -140,3 +140,53 @@ def test_knn_ring_loop_matches_brute_with_ties():
     b_ids, b_d = T._knn_brute_arrays(qlat, qlon, lat, lon, ids, 4)
     assert np.array_equal(ring_ids, b_ids)
     assert np.allclose(ring_d, b_d)
+
+
+def test_tile_pool_sparse_straggler_exact(tmp_path):
+    """The serving pool's full scatter → routed rings → brute-straggler path must be
+    EXACTLY the global brute top-k (ids and distances, ties by id) on a sparse
+    multi-cluster layout where mid-gap queries cannot be coverage-guaranteed by the
+    first ring rounds — the escalation/brute machinery, not just the kernel."""
+    import pyarrow.parquet as pq
+
+    from augdiff_pipeline_ray.state.tile_pool import TilePool
+
+    rng = np.random.default_rng(11)
+
+    def phash_of(lat, lon):
+        lo = np.round((np.asarray(lon) + 180.0) / 360.0 * 65536.0).astype(np.int64)
+        la = np.round((np.asarray(lat) + 90.0) / 180.0 * 32768.0).astype(np.int64)
+        return (la << 16) | (lo & 0xFFFF)
+
+    centers = [(10.0, 20.0), (10.0, 20.5), (10.5, 20.25)]
+    lat_parts, lon_parts = [], []
+    for cla, clo in centers:
+        lat_parts.append(cla + rng.normal(0, 0.01, 30))
+        lon_parts.append(clo + rng.normal(0, 0.01, 30))
+    # exact-position duplicates to exercise the (dist, id) tie-break through the pool
+    lat_parts.append(lat_parts[0][:5])
+    lon_parts.append(lon_parts[0][:5])
+    ph = phash_of(np.concatenate(lat_parts), np.concatenate(lon_parts))
+    lat, lon = georef.centroid(ph)  # quantized — both sides see these coords
+    ids = np.array([f"img-{i:05d}" for i in range(len(ph))])
+    tbl = pa.table(
+        {"image_id": pa.array(ids), "cell": pa.array(georef.cell_of_image(ph)),
+         "phash": pa.array(ph)}
+    )
+    path = str(tmp_path / "tiles_decoded.parquet")
+    pq.write_table(tbl, path)
+
+    # queries: on-cluster, mid-gap (straggler: nearest tiles dozens of cells away),
+    # and outside the occupied bbox
+    qlat = np.array([10.0, 10.01, 10.0, 10.25, 10.25, 9.0, 11.2])
+    qlon = np.array([20.0, 20.01, 20.25, 20.25, 20.4, 19.0, 21.5])
+
+    pool = TilePool(path, None, num_shards=3)
+    try:
+        pool.warm()
+        got_ids, got_d = pool.knn(qlat, qlon, 5)
+    finally:
+        pool.close()
+    want_ids, want_d = T._knn_brute_arrays(qlat, qlon, lat, lon, ids, 5)
+    assert np.array_equal(got_ids.astype("U32"), want_ids.astype("U32"))
+    assert np.allclose(got_d, want_d)
