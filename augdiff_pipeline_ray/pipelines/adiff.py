@@ -305,11 +305,11 @@ def _emit_task(payload_refs, keys_np, cells_np, seq, json_path, assign_dir):
 
 
 @ray.remote(num_cpus=0)
-def _knn_task(pool, knn_state, keys_np, keep, seq, knn_dir):
+def _knn_task(pool, qlat, qlon, k, keys_np, keep, seq, knn_dir):
     t0 = time.perf_counter()
     knn_t = None
-    if knn_state is not None:
-        ids, dist = pool.knn_finish(knn_state)
+    if len(keep):
+        ids, dist = pool.knn_finish(pool.knn_scatter(qlat, qlon, k))
         qrow, rank = np.nonzero(np.isfinite(dist))  # top-k packs left → col == rank
         knn_t = pa.table(
             {
@@ -327,11 +327,11 @@ def _knn_task(pool, knn_state, keys_np, keep, seq, knn_dir):
 
 
 @ray.remote(num_cpus=0)
-def _overlay_task(pool, sel_futs, payload_refs, seq, max_overlay, overlay_dir):
+def _overlay_task(pool, touched, payload_refs, seq, max_overlay, overlay_dir):
     t0 = time.perf_counter()
     rows = []
-    if sel_futs is not None:
-        sels = ray.get(sel_futs)
+    if len(touched):
+        sels = ray.get(pool.overlay_select_scatter(touched))
         t, order = _gather_payload(payload_refs)
         if t is not None:
             wkbs_l = t["wkb"].to_pylist()
@@ -580,19 +580,18 @@ class AdiffJob:
         output writes) as ONE off-driver task; return its future."""
         ts = time.perf_counter()
         seq = head["seq"]
-        knn_state, keep, sel_futs = None, np.empty(0, np.int64), None
+        keep = np.empty(0, np.int64)
+        qlat = qlon = keep
         if head["n_features"]:
             rlat, rlon = head["rlat"], head["rlon"]
             keep = np.nonzero(~(np.isnan(rlat) | np.isnan(rlon)))[0]
-            if len(keep):
-                knn_state = self._tile_pool().knn_scatter(
-                    rlat[keep], rlon[keep], self.knn_k
-                )
+            qlat, qlon = rlat[keep], rlon[keep]
         touched = np.unique(np.asarray(head["cells_np"], np.int64))
         touched = touched[touched >= 0]
-        if len(touched):
-            sel_futs = self._tile_pool().overlay_select_scatter(touched)
         payload_refs = head["payload_refs"] or []
+        # the kNN ring scatter and overlay bank select run INSIDE their tail tasks —
+        # the driver's per-batch launch cost is three task submissions, not the
+        # routing/selection work itself
         futs = (
             _emit_task.remote(
                 payload_refs, head["keys_np"], head["cells_np"], seq,
@@ -600,11 +599,11 @@ class AdiffJob:
                 str(self.out / "assignments"),
             ),
             _knn_task.remote(
-                self._tile_pool(), knn_state, head["keys_np"], keep, seq,
-                str(self.out / "knn"),
+                self._tile_pool(), qlat, qlon, self.knn_k, head["keys_np"], keep,
+                seq, str(self.out / "knn"),
             ),
             _overlay_task.remote(
-                self._tile_pool(), sel_futs, payload_refs, seq,
+                self._tile_pool(), touched, payload_refs, seq,
                 self.max_overlay, str(self.out / "overlay"),
             ),
         )
