@@ -24,7 +24,6 @@ Queries are scatter-gather:
 
 from __future__ import annotations
 
-import json
 import os
 
 import numpy as np
@@ -44,40 +43,6 @@ def shard_of_cell(cells: np.ndarray, num_shards: int) -> np.ndarray:
     """Cell → shard. Plain modulo keeps neighboring cells on distinct shards (good for
     scatter-gather load spread); -1 (unassigned) rows land on shard num_shards-1."""
     return np.asarray(cells, np.int64) % num_shards
-
-
-def _geojson_to_geom(gj: dict):
-    """GeoJSON dict → the engine's tagged-tuple geometry model (shared with adiff)."""
-    t = gj["type"]
-    if t == "Point":
-        return ("Point", np.asarray(gj["coordinates"], float))
-    if t == "LineString":
-        return ("LineString", np.asarray(gj["coordinates"], float))
-    if t == "Polygon":
-        return ("Polygon", [np.asarray(r, float) for r in gj["coordinates"]])
-    if t == "MultiLineString":
-        return ("MultiLineString", [np.asarray(l, float) for l in gj["coordinates"]])
-    if t == "MultiPolygon":
-        return ("MultiPolygon", [[np.asarray(r, float) for r in p] for p in gj["coordinates"]])
-    if t == "GeometryCollection":
-        subs = [_geojson_to_geom(g) for g in gj["geometries"]]
-        return ("GeometryCollection", [s for s in subs if s is not None])
-    return None
-
-
-def parse_diff_geoms(lines: list[str]) -> tuple[list, np.ndarray]:
-    """Feature JSON lines → (tagged geoms, (n,4) bbox array lon0/lat0/lon1/lat1)."""
-    geoms, bbs = [], []
-    for l in lines:
-        g = _geojson_to_geom(json.loads(l)["geometry"])
-        if g is None:
-            continue
-        bb = G.geom_bbox(g)
-        if bb is None or any(np.isnan(bb)):
-            continue
-        geoms.append(g)
-        bbs.append(bb)
-    return geoms, np.asarray(bbs, float).reshape(-1, 4)
 
 
 @ray.remote(num_cpus=0)
@@ -182,9 +147,7 @@ class BankShard:
             self.bank = mine.sort_by("image_id")
             self._bank_ids = self.bank["image_id"].to_pylist()
             self._bank_cells = self.bank["cell"].to_numpy(zero_copy_only=False)
-        self._geom_seq: int | None = None
-        self._geoms: list = []
-        self._bbs: np.ndarray = np.empty((0, 4))
+        self._geom_seq: int | None = None  # per-seq WKB decode cache key (_geom_at)
 
     def count(self) -> int:
         return 0 if self.bank is None else len(self.bank)
@@ -195,12 +158,6 @@ class BankShard:
             return []
         hit = np.isin(self._bank_cells, touched)
         return [i for i, h in zip(self._bank_ids, hit) if h]
-
-    def _geoms_for(self, seq: int, lines: list[str]) -> tuple[list, np.ndarray]:
-        if self._geom_seq != seq:
-            self._geoms, self._bbs = parse_diff_geoms(lines)
-            self._geom_seq = seq
-        return self._geoms, self._bbs
 
     def _geom_at(self, seq: int, wkbs: list, idx: int):
         """Lazily decode feature ``idx``'s WKB (cached per seq) — a shard only ever
@@ -510,15 +467,6 @@ class TilePool:
     def overlay_select_scatter(self, touched: np.ndarray) -> list:
         return [a.overlay_select.remote(touched) for a in self._bank_actors]
 
-    def overlay_finish(self, seq: int, sels: list, wkbs: list, bbs: np.ndarray,
-                       max_tiles: int) -> list[dict]:
-        """Pick the deterministic global sample from phase-1 results, rasterize on the
-        owning shards. Geometry ships ONCE per batch (ray.put of WKB list + bbox
-        array); shards decode only bbox-hit features."""
-        wkbs_ref = ray.put(wkbs)
-        bbs_ref = ray.put(np.ascontiguousarray(bbs, np.float64))
-        return self.overlay_finish_refs(seq, sels, wkbs_ref, bbs_ref, max_tiles)
-
     def overlay_finish_refs(self, seq: int, sels: list, wkbs_ref, bbs_ref,
                             max_tiles: int) -> list[dict]:
         """Ref-taking variant so the off-driver tail task forwards the already-``put``
@@ -537,5 +485,9 @@ class TilePool:
 
     def overlay(self, seq: int, touched: np.ndarray, wkbs: list, bbs: np.ndarray,
                 max_tiles: int) -> list[dict]:
+        """One-shot convenience (tests/tools): select + rasterize. Geometry ships
+        once (ray.put of WKB list + bbox array); shards decode only bbox hits."""
         sels = ray.get(self.overlay_select_scatter(touched))
-        return self.overlay_finish(seq, sels, wkbs, bbs, max_tiles)
+        wkbs_ref = ray.put(wkbs)
+        bbs_ref = ray.put(np.ascontiguousarray(bbs, np.float64))
+        return self.overlay_finish_refs(seq, sels, wkbs_ref, bbs_ref, max_tiles)
