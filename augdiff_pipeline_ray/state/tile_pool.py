@@ -1,25 +1,22 @@
 """Cell-sharded tile-index actor pool: kNN + raster↔vector overlay without a driver broadcast.
 
 Round-1 held the whole tile centroid table (and the overlay bank) in ONE driver dict —
-the stream's 10^12-row wall (VERDICT r1 "What's wrong" #3). Here the tile index shards by
-``hash(cell) % num_shards`` across persistent ``num_cpus=0`` actors (the IndexShard
-pattern, state/index_store.py): each shard loads only its cells' rows from the decoded
-tile table (a pruned columnar read — 3 small columns, never the pixels), plus its slice
-of the overlay sample bank (the only rows that carry encoded bytes).
+the stream's 10^12-row wall (VERDICT r1 "What's wrong" #3). Two persistent
+``num_cpus=0`` actor pools (the IndexShard pattern, state/index_store.py), each loading
+only the columns its path needs — never the pixels:
 
-Queries are scatter-gather:
-
-* **kNN**: every shard answers the query batch against its local tiles (k-ring pruned /
-  brute under the per-shard threshold — stages/tiles.knn_against_tiles), the driver
-  merges per-query partial top-k lists by ``(dist, image_id)``. Each shard's k best
-  candidates are a superset of its contribution to the global top-k, so the merge is
-  exact. At cluster scale the send set narrows to ``shards(k_ring(query_cell))``; with a
-  handful of shards every ring hits every shard, so the scatter is already minimal.
-* **overlay**: two-phase. Phase 1 each shard lists its bank tiles inside the touched
-  cells; the driver picks a deterministic global sample (sorted ``image_id``, capped at
-  ``max_overlay``); phase 2 the owning shards decode + rasterize only the selected
-  tiles against the batch's diff geometries (shipped once per batch via ``ray.put`` and
-  parsed once per shard, cached by ``seq``).
+* **TileShard** (kNN): tiles shard by contiguous cell-id RANGE (quantile cuts); a
+  query ring maps to one contiguous cell interval, so the pool routes each round to
+  just the shards the ring intersects. Rounds are exact-coverage checked; queries two
+  rounds can't guarantee go to ONE exact all-shard brute round (chunked, vectorized).
+  The merge is by ``(dist, image_id)`` — each shard's local top-k is a superset of its
+  contribution, so the result is the exact global top-k.
+* **BankShard** (overlay): modulo-cell shards of the sample bank (metadata eager;
+  encoded blobs lazily row-group-pruned + LRU). Two-phase: phase 1 lists bank tiles in
+  the touched cells and a deterministic global sample is cut (sorted ``image_id``,
+  capped at ``max_overlay``); phase 2 the owning shards decode + rasterize only the
+  selected tiles against the batch's diff geometry (WKB list + bbox array shipped once
+  per batch as refs; a shard decodes only bbox-hit features, cached by ``seq``).
 """
 
 from __future__ import annotations
