@@ -1442,6 +1442,37 @@ def q_geometry_functions(sf_dir: str):
     return ds.map_batches(geom, batch_format="pyarrow")
 
 
+@query("st_point_wkt", sql=f"""
+SELECT p_partkey AS id,
+       'POINT (' || printf('%.10g', lon) || ' ' || printf('%.10g', lat) || ')' AS wkt,
+       NOT (isnan(lat) OR isnan(lon)) AS valid,
+       (isnan(lat) OR isnan(lon)) AS empty
+FROM ({TP.SQL_NODE_LATLON})
+""")
+def q_st_point_wkt(sf_dir: str):
+    """ST_Point → ST_AsText through the real WKB encode/decode roundtrip, ORACLED:
+    DuckDB's printf('%.10g') is bit-identical to the WKT formatter's f'{x:.10g}'
+    (functions/geom._fmt_num), and the WKB roundtrip preserves float64 exactly, so
+    the text matches hash-for-hash. The merc-reprojection variant stays in the
+    rows-only `geometry_functions` (libm tan/log are not cross-engine bit-stable)."""
+    from ..functions import scalar as SC
+
+    ds = TP.nodes_dataset(sf_dir)
+
+    def geom(t: pa.Table) -> pa.Table:
+        wkbs = SC.st_point(t["lon"], t["lat"])
+        return pa.table(
+            {
+                "id": t["id"],
+                "wkt": pa.array(SC.st_as_text(wkbs), pa.string()),
+                "valid": pa.array(SC.st_is_valid(wkbs)),
+                "empty": pa.array(SC.st_is_empty(wkbs)),
+            }
+        )
+
+    return ds.map_batches(geom, batch_format="pyarrow")
+
+
 @query("embedding_lsh_buckets", sql=SIM.hyperplane_oracle_sql())
 def q_embedding_lsh_buckets(sf_dir: str):
     """Sign-LSH bucket assignment (the ANN scale path). Oracled: the deterministic
