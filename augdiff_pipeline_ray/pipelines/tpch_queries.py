@@ -686,7 +686,18 @@ def q_minhash_dup_pairs(sf_dir: str):
         return pa.table({"id_a": pa.array(arr[:, 0]), "id_b": pa.array(arr[:, 1])})
 
     pairs = joined.map_batches(verify, batch_format="pyarrow")
-    pdf = pairs.to_pandas().drop_duplicates().astype({"id_a": np.int64, "id_b": np.int64})
+    # cross-block distinct as a groupby shuffle (one vectorized aggregate row per
+    # pair), NOT a driver drop_duplicates: the surviving pair set is output-sized
+    # and can be corpus-scale at 100 TB
+    from ray.data.aggregate import Count
+
+    dist = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n"))
+    pdf = dist.select_columns(["id_a", "id_b"]).to_pandas()
+    if not len(pdf):
+        return pd.DataFrame(
+            {"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64)}
+        )
+    pdf = pdf.astype({"id_a": np.int64, "id_b": np.int64})
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
