@@ -281,8 +281,12 @@ def load_keyed(
         keys_arr = pa.array(np.fromiter(wanted_keys, np.int64, len(wanted_keys)))
 
     def _filter(batch: pa.Table) -> pa.Table:
-        hit = pc.is_in(batch["key"], value_set=keys_arr)
-        out = batch.filter(hit)
+        # the scanner already applied the key predicate (pushed down via
+        # ``read_parquet(filter=...)`` — row groups pruned by min/max stats on the
+        # sorted key); only the reference-compat tag drop remains per batch
+        out = batch
+        if "part" in out.column_names:  # hive-inferred; local path drops it too
+            out = out.drop_columns(["part"])
         if drop_tags_on_load and len(out):
             empty = pa.array([[]] * len(out), type=out.schema.field("tags").type)
             i = out.schema.get_field_index("tags")
@@ -302,7 +306,9 @@ def load_keyed(
         total = sum(os.path.getsize(f) for f in dirs)
         parallel = total >= PARALLEL_LOAD_MIN_BYTES
     if parallel:
-        ds = rd.read_parquet(dirs)
+        import pyarrow.dataset as pads
+
+        ds = rd.read_parquet(dirs, filter=pads.field("key").isin(keys_arr))
         ds = ds.map_batches(_filter, batch_format="pyarrow")
         base = _collect(ds)
         deltas = _delta_hits()
