@@ -73,9 +73,12 @@ def test_load_keyed_parallel_equals_local(store):
     parts = set(SNAP.parts_of_keys(np.fromiter(wanted, np.int64, len(wanted))).tolist())
     a = SNAP.load_keyed(root, parts, wanted, parallel=False)
     b = SNAP.load_keyed(root, parts, wanted, parallel=True)
-    sa = sorted(a["key"].to_pylist())
-    sb = sorted(b["key"].to_pylist())
-    assert sa == sb
+    assert set(a.column_names) == set(b.column_names)  # paths must agree on schema
+    sa = a.sort_by([("key", "ascending"), ("version", "ascending")])
+    sb = b.sort_by([("key", "ascending"), ("version", "ascending")]).select(
+        sa.column_names
+    )
+    assert sa.equals(sb)  # full-table equality, not just key multiset
 
 
 def test_append_rows_idempotent(store, tmp_path):
