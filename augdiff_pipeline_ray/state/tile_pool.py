@@ -60,13 +60,21 @@ class TileShard:
     def __init__(self, tiles_path: str, shard_id: int, num_shards: int, bounds=None):
         self.shard_id = shard_id
         self.num_shards = num_shards
-        t = pq.read_table(tiles_path, columns=["image_id", "cell", "phash"])
-        cells = t["cell"].to_numpy(zero_copy_only=False)
+        cols = ["image_id", "cell", "phash"]
         if bounds is not None:
-            lo = bounds[shard_id] if shard_id > 0 else np.iinfo(np.int64).min
-            hi = bounds[shard_id + 1] if shard_id + 1 < len(bounds) else np.iinfo(np.int64).max
-            sub = t.filter(pa.array((cells >= lo) & (cells < hi)))
+            # range filter pushed into the scan: the shard never materializes the
+            # whole tile table, and row groups whose cell stats miss the range are
+            # skipped entirely
+            lo = int(bounds[shard_id]) if shard_id > 0 else np.iinfo(np.int64).min
+            hi = (int(bounds[shard_id + 1]) if shard_id + 1 < len(bounds)
+                  else np.iinfo(np.int64).max)
+            sub = pq.read_table(
+                tiles_path, columns=cols,
+                filters=[("cell", ">=", lo), ("cell", "<", hi)],
+            )
         else:
+            t = pq.read_table(tiles_path, columns=cols)
+            cells = t["cell"].to_numpy(zero_copy_only=False)
             sub = t.filter(pa.array(shard_of_cell(cells, num_shards) == shard_id))
         self.cells = sub["cell"].to_numpy(zero_copy_only=False)
         self.lat, self.lon = georef.centroid(sub["phash"])
