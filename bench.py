@@ -119,11 +119,29 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "sf": sf_dir,
         "num_cpus": num_cpus,
         **extras,
-        # host-health stamp: fresh-page fault rate at measurement time (see
-        # host_memory_probe — wall times from a degraded host measure the
-        # hypervisor's memory backing, not the engine)
+        # host-health stamps: fresh-page fault rate (memory axis) and a
+        # cache-resident CPU kernel rate (compute axis) at measurement time —
+        # wall times from a degraded host measure the hypervisor, not the engine
         **host_memory_probe(),
+        "cpu_control_ops_per_s": cpu_control_rate(),
     }
+
+
+def cpu_control_rate(seconds: float = 2.0) -> float:
+    """Single-process cache-resident numpy kernel rate (ops/s) — the same kernel as
+    run_hw_control's; healthy box ≈ 100k (recorded in BASELINE.md), so the judge can
+    normalize uniform CPU slowdown out of a degraded-host BENCH."""
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal((100, 100)).astype("float32")
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < seconds:
+        for _ in range(50):
+            a2 = a * np.float32(1.0001) + np.float32(0.001)
+            (a2 * a2).sum(dtype="float32")
+        n += 50
+    return round(n / (time.perf_counter() - t0), 1)
 
 
 # ---------------------------------------------------------------------------
