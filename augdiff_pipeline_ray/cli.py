@@ -10,6 +10,10 @@ Usage (the process owns its Ray session — guarded init):
     python -m augdiff_pipeline_ray.cli indexer --snapshot w/snapshot.parquet --out out/
     python -m augdiff_pipeline_ray.cli adiff --world w/ --out out/ --range 1,-1
     python -m augdiff_pipeline_ray.cli worldgen --out w/ --grid 12 --images 256
+
+The reference's third entry point — ``osc2json`` (one micro-batch,
+AugmentedDiff.scala:95-159) — is ``adiff --range N,N``: the same parse → closure →
+augment → render → sinks path for exactly one sequence number, idempotent by lineage.
 """
 
 from __future__ import annotations
