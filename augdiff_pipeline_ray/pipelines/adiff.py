@@ -294,8 +294,7 @@ def _emit_task(payload_refs, keys_np, cells_np, seq, json_path, assign_dir):
     t0 = time.perf_counter()
     t, order = _gather_payload(payload_refs)
     if t is not None:
-        feats_py = t["feature"].to_pylist()
-        nbytes = GJ.write_features(json_path, [feats_py[i] for i in order])
+        nbytes = GJ.write_features_arrow(json_path, t["feature"], order)
     else:
         nbytes = GJ.write_features(json_path, [])
     _write_assignments_file(assign_dir, seq, keys_np, cells_np)

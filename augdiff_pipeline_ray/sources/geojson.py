@@ -31,3 +31,33 @@ def write_features(path: str, lines: list[str]) -> int:
         f.write(payload)
     os.replace(tmp, p)
     return len(payload)
+
+
+def write_features_arrow(path: str, features, order) -> int:
+    """Arrow-native ordered ndjson write: take the permutation, wrap the column as one
+    list row, ``binary_join`` with newline — the batch's feature bytes never become
+    Python strings (they are ~the whole output volume). Byte-identical to
+    :func:`write_features` (features carry no trailing newline; e2e goldens assert)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    n = len(features)
+    if n == 0:
+        return write_features(path, [])
+    ordered = pc.take(features, order)
+    if isinstance(ordered, pa.ChunkedArray):
+        ordered = ordered.combine_chunks()
+    as_bin = ordered.cast(pa.large_binary())
+    one_row = pa.LargeListArray.from_arrays(
+        pa.array([0, n], pa.int64()), as_bin
+    )
+    joined = pc.binary_join(one_row, pa.scalar(b"\n", pa.large_binary()))
+    buf = joined[0].as_buffer()  # zero-copy view of the contiguous payload
+    tmp = str(p) + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(memoryview(buf))
+        f.write(b"\n")  # trailing newline, parity with write_features
+    os.replace(tmp, p)
+    return len(buf) + 1
