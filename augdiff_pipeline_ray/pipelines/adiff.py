@@ -333,12 +333,16 @@ def _overlay_task(pool, touched, payload_refs, seq, max_overlay, overlay_dir):
         sels = ray.get(pool.overlay_select_scatter(touched))
         t, order = _gather_payload(payload_refs)
         if t is not None:
-            wkbs_l = t["wkb"].to_pylist()
+            import pyarrow.compute as pc
+
             bbs = (
                 t["bbox"].combine_chunks().flatten()
                 .to_numpy(zero_copy_only=False).reshape(-1, 4)[order]
             )
-            wkbs_ref = ray.put([wkbs_l[i] for i in order])
+            # ship the ordered WKB column AS ARROW — shards index it lazily (only
+            # bbox-hit features decode), so the 10^4-1 Python bytes objects and the
+            # list pickle never materialize
+            wkbs_ref = ray.put(pc.take(t["wkb"], order).combine_chunks())
             bbs_ref = ray.put(np.ascontiguousarray(bbs, np.float64))
             rows = pool.overlay_finish_refs(seq, sels, wkbs_ref, bbs_ref, max_overlay)
     _write_overlay_file(overlay_dir, seq, rows)

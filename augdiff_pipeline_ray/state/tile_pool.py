@@ -173,7 +173,10 @@ class BankShard:
             self._geom_seq = seq
         g = self._geom_cache.get(idx)
         if g is None:
-            g = self._geom_cache[idx] = G.wkb_to_geom(wkbs[idx])
+            w = wkbs[idx]
+            if not isinstance(w, (bytes, type(None))):  # Arrow binary array element
+                w = w.as_py()
+            g = self._geom_cache[idx] = G.wkb_to_geom(w)
         return g
 
     def _bank_file(self):
