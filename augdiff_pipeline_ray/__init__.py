@@ -27,7 +27,7 @@ def _register_pickle_by_value() -> None:
     from ray import cloudpickle
 
     submodules = [
-        "keys", "cells", "georef", "schemas",
+        "keys", "cells", "georef", "schemas", "heap",
         "functions", "functions.geom", "functions.scalar", "functions.osm",
         "functions.assembly", "functions.text", "functions.dedup",
         "functions.similarity", "functions.image",

@@ -51,6 +51,7 @@ from ..stages import tiles as T
 from ..stages.augment import augment_table
 from ..stages.closure import local_closure_np
 from ..stages.edges import edges_from_rows_np
+from ..heap import retain_heap
 from ..stages.render import RenderContext, rows_from_arrow
 from ..state.index_store import IndexStore
 from ..state.lineage import Lineage
@@ -131,6 +132,7 @@ class RenderShard:
     once (ObjectRef auto-deref) and the context is rebuilt only when ``seq`` advances."""
 
     def __init__(self):
+        retain_heap()  # per-batch ctx scratch is steady-state; keep it OS-resident
         self.assigner = T.CellAssigner()
         self._row_cache: dict = {}
         # the row cache holds O(10^5) long-lived dicts; default gen0 GC walks them

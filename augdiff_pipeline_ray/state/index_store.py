@@ -31,6 +31,8 @@ import pyarrow.parquet as pq
 
 import ray
 
+from ..heap import retain_heap
+
 GROUP_LIMIT = 1024  # IN-list chunk size, parity with reference groupLimit
 
 
@@ -54,6 +56,7 @@ class IndexShard:
     """
 
     def __init__(self, root: str, shard_id: int, num_shards: int):
+        retain_heap()
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.a_keys = np.empty(0, np.int64)  # a-side base: (a, b) sorted by a

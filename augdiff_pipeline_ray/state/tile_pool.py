@@ -32,6 +32,7 @@ import ray
 from .. import cells as C
 from .. import georef
 from ..functions import geom as G
+from ..heap import retain_heap
 from ..functions import image as IMG
 from ..stages import tiles as T
 
@@ -58,6 +59,7 @@ class TileShard:
     metadata/blobs there)."""
 
     def __init__(self, tiles_path: str, shard_id: int, num_shards: int, bounds=None):
+        retain_heap()  # scratch buffers are steady-state; keep them OS-resident
         self.shard_id = shard_id
         self.num_shards = num_shards
         cols = ["image_id", "cell", "phash"]
@@ -140,6 +142,7 @@ class BankShard:
     blobs come per selected image_id via row-group-pruned reads + an LRU cache."""
 
     def __init__(self, bank_path: str | None, shard_id: int, num_shards: int):
+        retain_heap()
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.bank: pa.Table | None = None
