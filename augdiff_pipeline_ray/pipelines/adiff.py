@@ -244,13 +244,17 @@ def _atomic_pq_write(d: str, seq: int, t: pa.Table) -> None:
 
 
 def _write_assignments_file(d: str, seq: int, keys_np, cells_np) -> None:
+    n = len(keys_np)
+    kind = pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(n, np.int32)), pa.array(["geometry"])
+    ).cast(pa.string())
     _atomic_pq_write(d, seq, pa.table(
         {
-            "batch_seq": pa.array([seq] * len(keys_np), pa.int64()),
-            "image_id": pa.array([None] * len(keys_np), pa.string()),
-            "cell": pa.array(cells_np, pa.int64()),
-            "key": pa.array(keys_np, pa.int64()),
-            "assignment_kind": pa.array(["geometry"] * len(keys_np), pa.string()),
+            "batch_seq": pa.array(np.full(n, seq, np.int64)),
+            "image_id": pa.nulls(n, pa.string()),
+            "cell": pa.array(np.asarray(cells_np, np.int64)),
+            "key": pa.array(np.asarray(keys_np, np.int64)),
+            "assignment_kind": kind,
         }
     ))
 

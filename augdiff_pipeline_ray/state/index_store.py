@@ -134,9 +134,15 @@ class IndexShard:
             chunk = wanted[i : i + GROUP_LIMIT]
             lo = np.searchsorted(base_keys, chunk, side="left")
             hi = np.searchsorted(base_keys, chunk, side="right")
-            for l, h in zip(lo, hi):
-                if h > l:
-                    out.append((base_vals[l:h], base_keys[l:h]))
+            lens = hi - lo
+            tot = int(lens.sum())
+            if tot:
+                # one flat gather for the whole chunk (same order as the per-key
+                # slice loop: keys in chunk order, rows in base order within key)
+                flat = np.repeat(lo, lens) + (
+                    np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens)
+                )
+                out.append((base_vals[flat], base_keys[flat]))
         for dk, dv in delta:
             m = np.isin(dk, wanted)
             if m.any():
