@@ -210,3 +210,34 @@ def test_distributed_render_equals_local(world, full_run, tmp_path_factory):
     AD.run_stream(str(world), str(out), num_shards=2,
                   distributed_render=False, parallel_fetch=False)
     assert _read_all_ndjson(out_full) == _read_all_ndjson(out)
+
+
+def test_empty_change_batch(world, tmp_path_factory):
+    """Real minutely replication produces EMPTY diffs: a batch with zero change
+    entities must run the whole pre → render → tail path, write empty-but-valid
+    outputs, and commit its lineage (so resume skips it)."""
+    import pyarrow as pa
+
+    from augdiff_pipeline_ray.sources import osc as OSC
+    from augdiff_pipeline_ray.sources.osc import CHANGE_SCHEMA
+
+    out = tmp_path_factory.mktemp("out_empty")
+    world2 = tmp_path_factory.mktemp("world_empty")
+    # world with ONE empty change batch: copy snapshot/images, write empty osc 1
+    import shutil as sh
+
+    for f in ("snapshot.parquet", "images.parquet"):
+        sh.copy(world / f, world2 / f)
+    p = world2 / "changes" / (OSC.sequence_path(1) + ".osc")
+    p.parent.mkdir(parents=True, exist_ok=True)
+    OSC.write_osc(CHANGE_SCHEMA.empty_table(), str(p))
+
+    stats = AD.run_stream(str(world2), str(out), num_shards=2, render_concurrency=2)
+    assert len(stats["batches"]) == 1
+    b = stats["batches"][0]
+    assert b["features"] == 0 and b["update_rows"] == 0
+    nd = _read_all_ndjson(out)
+    assert nd[1] == ""  # empty, but present (consumer contract)
+    # resume: the committed empty batch is skipped
+    stats2 = AD.run_stream(str(world2), str(out), num_shards=2)
+    assert stats2["skipped"] == [1] and len(stats2["batches"]) == 0
