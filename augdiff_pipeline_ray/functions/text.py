@@ -114,15 +114,26 @@ def lang_id(texts: pd.Series) -> pd.Series:
 
 
 def fingerprint64(texts: pd.Series) -> np.ndarray:
-    """Deterministic rolling-hash document fingerprint (FNV-1a over bytes, 64-bit)."""
-    out = np.empty(len(texts), np.uint64)
-    for i, t in enumerate(texts.fillna("")):
-        h = np.uint64(0xCBF29CE484222325)
-        prime = np.uint64(0x100000001B3)
-        for b in t.encode("utf-8", errors="ignore"):
-            h = np.uint64((int(h) ^ b) * int(prime) & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out.astype(np.int64, copy=False)  # reinterpret for Arrow int64
+    """Deterministic rolling-hash document fingerprint (FNV-1a over bytes, 64-bit).
+
+    The recurrence h = (h ^ byte) * prime is sequential WITHIN a document, so it is
+    vectorized ACROSS the batch instead: one (n_docs,) uint64 state vector advances one
+    byte position per step over a padded (n_docs, max_len) byte matrix — max_len numpy
+    passes replace n_docs × doc_len Python iterations (bit-identical; uint64 wraps)."""
+    enc = [t.encode("utf-8", errors="ignore") for t in texts.fillna("")]
+    n = len(enc)
+    lens = np.fromiter(map(len, enc), np.int64, n) if n else np.empty(0, np.int64)
+    max_len = int(lens.max()) if n else 0
+    arr = np.zeros((n, max_len), np.uint8)
+    for i, s in enumerate(enc):
+        if s:
+            arr[i, : len(s)] = np.frombuffer(s, np.uint8)
+    h = np.full(n, 0xCBF29CE484222325, np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(max_len):
+        live = lens > j
+        h = np.where(live, (h ^ arr[:, j].astype(np.uint64)) * prime, h)
+    return h.view(np.int64) if n else np.empty(0, np.int64)
 
 
 def shingles(text: str, k: int = 5) -> set[int]:

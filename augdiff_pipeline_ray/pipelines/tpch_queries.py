@@ -608,6 +608,31 @@ def q_fingerprint(sf_dir: str):
 # -- dedup: minhash LSH / simhash / jaccard / cosine ---------------------------------
 
 
+def _pair_distinct(cand: rd.Dataset) -> rd.Dataset:
+    """Distinct (id_a, id_b) pairs as a combiner + vectorized shuffle: per-batch
+    ``np.unique`` first (the band/gram self-joins emit the same pair once per shared
+    key — local dedup cuts shuffle volume by that multiplicity), then ONE groupby
+    aggregate row per pair (never a per-group Python ``map_groups`` call, never a
+    driver ``drop_duplicates``)."""
+    from ray.data.aggregate import Count
+
+    def local(t: pa.Table) -> pa.Table:
+        arr = np.stack(
+            [t["id_a"].to_numpy(zero_copy_only=False),
+             t["id_b"].to_numpy(zero_copy_only=False)],
+            axis=1,
+        )
+        arr = np.unique(arr, axis=0) if len(arr) else arr.reshape(0, 2)
+        return pa.table({"id_a": pa.array(arr[:, 0]), "id_b": pa.array(arr[:, 1])})
+
+    return (
+        cand.map_batches(local, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["id_a", "id_b"])
+    )
+
+
 def _docs_doubled(sf_dir: str) -> pa.Table:
     """documents ∪ copy with doc_id+1000000 — guaranteed exact dups for dedup demos."""
     t = pq.read_table(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -839,9 +864,7 @@ def q_ngram_jaccard_pairs(sf_dir: str):
         lambda t: t.filter(pc.less(t["id_a"], t["id_b"])).select(["id_a", "id_b"]),
         batch_format="pyarrow",
     )
-    cand = cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
-    )
+    cand = _pair_distinct(cand)
     ta = docs.rename_columns({"doc_id": "id_a", "text": "text_a"})
     tb = docs.rename_columns({"doc_id": "id_b", "text": "text_b"})
     j = cand.join(ta, join_type="inner", num_partitions=np_j, on=("id_a",)).join(
@@ -883,7 +906,7 @@ def q_cosine_topk(sf_dir: str):
     emb = pq.read_table(TP._p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     qmask = pc.less(emb["vec_id"], 5)
     qt = emb.filter(qmask)
-    queries = np.stack([np.asarray(e, np.float64) for e in qt["embedding"].to_pylist()])
+    queries = SIM.embedding_matrix(qt["embedding"], np.float64)
     qids = qt["vec_id"].to_numpy(zero_copy_only=False)
     ds = SRC.read_parquet_clean(TP._p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     partials = ds.map_batches(
@@ -930,7 +953,7 @@ def q_cosine_neardup_pairs(sf_dir: str):
     u = emb_ds.map_batches(double, batch_format="pyarrow").materialize()
 
     def bands(t: pa.Table) -> pa.Table:
-        mat = np.stack([np.asarray(e, np.float32) for e in t["embedding"].to_pylist()])
+        mat = SIM.embedding_matrix(t["embedding"])
         bh = SIM.hyperplane_band_hashes(mat)  # (n, n_bands)
         n, nb = bh.shape
         return pa.table(
@@ -949,16 +972,13 @@ def q_cosine_neardup_pairs(sf_dir: str):
         lambda t: t.filter(pc.less(t["id_a"], t["id_b"])).select(["id_a", "id_b"]),
         batch_format="pyarrow",
     )
-    cand = cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
-    )
+    cand = _pair_distinct(cand)
 
     # Dataset.join rejects list-typed payload columns — carry the vector as packed
     # float32 bytes through the two fetch joins, unpack in the verify batch
     def pack(t: pa.Table) -> pa.Table:
-        blobs = [
-            np.asarray(e, np.float32).tobytes() for e in t["embedding"].to_pylist()
-        ]
+        mat = np.ascontiguousarray(SIM.embedding_matrix(t["embedding"]))
+        blobs = [row.tobytes() for row in mat]
         return pa.table({"vec_id": t["vec_id"], "emb": pa.array(blobs, pa.binary())})
 
     packed = u.map_batches(pack, batch_format="pyarrow")
@@ -971,12 +991,10 @@ def q_cosine_neardup_pairs(sf_dir: str):
     def verify(t: pa.Table) -> pa.Table:
         if not len(t):
             return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-        a = np.stack(
-            [np.frombuffer(e, np.float32).astype(np.float64) for e in t["emb_a"].to_pylist()]
-        )
-        b = np.stack(
-            [np.frombuffer(e, np.float32).astype(np.float64) for e in t["emb_b"].to_pylist()]
-        )
+        a = np.frombuffer(b"".join(t["emb_a"].to_pylist()), np.float32)
+        a = a.reshape(len(t), -1).astype(np.float64)
+        b = np.frombuffer(b"".join(t["emb_b"].to_pylist()), np.float32)
+        b = b.reshape(len(t), -1).astype(np.float64)
         num = (a * b).sum(axis=1)
         den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
         keep = num / np.maximum(den, 1e-300) >= 0.999
@@ -1493,7 +1511,7 @@ def q_embedding_lsh_buckets(sf_dir: str):
     ds = SRC.read_parquet_clean(TP._p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
     def buckets(t: pa.Table) -> pa.Table:
-        mat = np.stack([np.asarray(e, np.float32) for e in t["embedding"].to_pylist()])
+        mat = SIM.embedding_matrix(t["embedding"])
         return pa.table(
             {"vec_id": t["vec_id"], "bucket": pa.array(SIM.random_hyperplane_buckets(mat))}
         )
