@@ -116,3 +116,27 @@ def test_shard_of_spreads():
     s = shard_of(keys, 8)
     counts = np.bincount(s, minlength=8)
     assert counts.min() > 500
+
+
+def test_storage_format_dispatch(ray_session, tmp_path, monkeypatch):
+    """Format chokepoint: parquet path round-trips; lance requests fail loudly (no
+    lance package in this container) instead of silently reading parquet."""
+    import augdiff_pipeline_ray.sources as SRC
+
+    t = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p)
+    monkeypatch.delenv("AUGDIFF_STORAGE_FORMAT", raising=False)
+    assert SRC.storage_format(p) == "parquet"
+    assert SRC.storage_format("/data/snapshot.lance") == "lance"
+    ds = SRC.read_dataset(p, columns=["x"])
+    assert sorted(r["x"] for r in ds.take_all()) == [1, 2, 3]
+    out = str(tmp_path / "out")
+    SRC.write_dataset(ds, out)
+    assert len(pq.read_table(out)) == 3
+    with pytest.raises(ImportError, match="lance"):
+        SRC.read_dataset("/data/snapshot.lance")
+    monkeypatch.setenv("AUGDIFF_STORAGE_FORMAT", "lance")
+    assert SRC.storage_format(p) == "lance"
+    with pytest.raises(ImportError, match="stand-in"):
+        SRC.read_dataset(p)
