@@ -872,9 +872,20 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     )
 
     def verify(t: pa.Table) -> pa.Table:
+        # memoize gram sets per distinct text: near-dup corpora repeat the same doc
+        # across MANY candidate pairs, so shingling once per unique text (not per
+        # pair side) cuts the dominant verify cost by the pair/doc multiplicity
+        memo: dict[str, set[str]] = {}
+
+        def grams(txt: str) -> set[str]:
+            g = memo.get(txt)
+            if g is None:
+                g = memo[txt] = _doc_grams(txt)
+            return g
+
         keep = []
         for x, y in zip(t["text_a"].to_pylist(), t["text_b"].to_pylist()):
-            ga, gb = _doc_grams(x), _doc_grams(y)
+            ga, gb = grams(x), grams(y)
             inter = len(ga & gb)
             keep.append(bool(inter and inter / (len(ga) + len(gb) - inter) >= thr))
         return t.filter(pa.array(keep, pa.bool_())).select(["id_a", "id_b"])

@@ -484,23 +484,41 @@ def run_stream_scaling_child(world: str, out: str, num_cpus: int) -> dict:
 
 
 def run_stream_scaling() -> dict:
-    probe = host_memory_probe()
+    """Best-of-N per width with a host probe before EVERY child. The measurement is
+    only RECORDED (BENCH/stream_scaling.json) when every per-run probe was healthy and
+    the per-width repeats are tight; a degraded or noisy session lands in
+    BENCH/stream_scaling_attempt.json instead — an intermittently-backed hypervisor
+    (see BASELINE.md host-degradation section) produced 3× spread between IDENTICAL
+    back-to-back runs, and such an attempt must never clobber a clean measurement."""
     world = prepare_scaling_world()
     out = SCALING_BOOT_DIR
 
     def one(ncpu: int) -> dict:
-        return json.loads(subprocess.run(
+        p = host_memory_probe()
+        r = json.loads(subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-stream-child",
              world, out, str(ncpu)],
             capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout.strip().splitlines()[-1])
+        r["probe_mb_per_s"] = p["host_memory_probe"]["fresh_alloc_mb_per_s"]
+        return r
 
     lo, hi = 8, 32
-    runs_lo = [one(lo), one(lo)]
-    runs_hi = [one(hi), one(hi)]
+    n_rep = int(os.environ.get("AUGDIFF_SCALING_REPS", "2"))
+    runs_lo = [one(lo) for _ in range(n_rep)]
+    runs_hi = [one(hi) for _ in range(n_rep)]
     r_lo = min(runs_lo, key=lambda r: r["sec_stream"])
     r_hi = min(runs_hi, key=lambda r: r["sec_stream"])
+
+    def spread(runs):
+        ts = [r["sec_stream"] for r in runs]
+        return max(ts) / min(ts)
+
+    healthy = all(
+        r["probe_mb_per_s"] >= 1000.0 for r in runs_lo + runs_hi
+    )
+    tight = spread(runs_lo) <= 1.25 and spread(runs_hi) <= 1.25
     result = {
         "metric": "stream-only scaling: identical 6-batch adiff stream against the "
         "same prepared bootstrap at 8 vs 32 CPUs in fresh processes",
@@ -510,11 +528,19 @@ def run_stream_scaling() -> dict:
         "stream_efficiency": round(
             (r_lo["sec_stream"] / r_hi["sec_stream"]) / (hi / lo), 3
         ),
-        "host_memory_probe": probe,
+        "session_quality": {
+            "per_run_probes_healthy": healthy,
+            "repeats_tight": tight,
+            "spread_lo": round(spread(runs_lo), 2),
+            "spread_hi": round(spread(runs_hi), 2),
+        },
         "detail": {"all_runs": {"lo": runs_lo, "hi": runs_hi}},
     }
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/stream_scaling.json", "w") as f:
+    dest = ("BENCH/stream_scaling.json" if healthy and tight
+            else "BENCH/stream_scaling_attempt.json")
+    result["recorded"] = dest
+    with open(dest, "w") as f:
         json.dump(result, f, indent=2)
     return result
 
