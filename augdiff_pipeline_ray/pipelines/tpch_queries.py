@@ -822,10 +822,11 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     """Exact n-gram Jaccard near-dup over the WHOLE documents table (r1 was a driver
     all-pairs loop capped at doc_id<40 — VERDICT #6): distinct (doc, gram) rows →
     global gram document-frequency (tiny vocabulary, partial-agg groupby) → per-doc
-    PREFIX gram emission (rarest-first; exact prefix filter, see _PrefixGrams) → hash
-    self-join on gram → distinct candidate pairs → two hash joins fetch the texts →
-    exact Jaccard verify per batch. The hot-gram join blowup is gone: only each doc's
-    rarest grams join."""
+    PREFIX gram emission (rarest-first; exact prefix filter, see _PrefixGrams) →
+    per-gram groupby emits within-group pairs (retryable shuffle tasks, no aggregator
+    actors) → distinct candidate pairs → two hash joins fetch the texts → exact
+    Jaccard verify per batch (gram sets memoized per distinct text). The hot-gram
+    blowup is gone: only each doc's rarest grams generate candidates."""
     from ray.data.aggregate import Count
 
     from ..stages.closure import default_join_partitions
@@ -858,12 +859,22 @@ def q_ngram_jaccard_pairs(sf_dir: str):
         concurrency=2,
         num_cpus=1,
     ).materialize()
-    left = prefix.rename_columns({"doc_id": "id_a"})
-    right = prefix.rename_columns({"doc_id": "id_b"})
-    cand = left.join(right, join_type="inner", num_partitions=np_j, on=("g",)).map_batches(
-        lambda t: t.filter(pc.less(t["id_a"], t["id_b"])).select(["id_a", "id_b"]),
-        batch_format="pyarrow",
-    )
+    # candidate generation as a GROUPBY over gram, not a hash self-join: one task per
+    # gram bucket emits its within-group pairs (sorted-id combinations) and dedups
+    # locally. Same output as the self-join + a<b filter, but it runs on retryable
+    # shuffle TASKS instead of long-lived HashShuffleAggregator actors (observed dying
+    # on hypervisor-stalled hosts) and never materializes a hot gram's pair block
+    # twice. Prefix emission bounds each group's size (rarest-first — see _PrefixGrams).
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        d = np.unique(t["doc_id"].to_numpy(zero_copy_only=False))
+        m = len(d)
+        if m < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        ia, ib = np.triu_indices(m, k=1)
+        return pa.table({"id_a": pa.array(d[ia]), "id_b": pa.array(d[ib])})
+
+    cand = prefix.groupby("g").map_groups(emit_pairs, batch_format="pyarrow")
     cand = _pair_distinct(cand)
     ta = docs.rename_columns({"doc_id": "id_a", "text": "text_a"})
     tb = docs.rename_columns({"doc_id": "id_b", "text": "text_b"})
