@@ -242,3 +242,35 @@ def test_edges_from_rows_np_matches_local():
     t = osc.parse_osc(OSC_XML, batch_seq=1)
     a, b = edges.edges_from_rows_np(t)
     assert set(zip(a.tolist(), b.tolist())) == edges.edges_from_rows_local(t)
+
+
+def test_geojson_writer_uri_and_local_parity(tmp_path):
+    """S8 sink: local tmp+rename path and the pyarrow-fs URI path (file://) produce
+    byte-identical ndjson, for both the string and the Arrow zero-copy writer."""
+    import pyarrow as pa
+    import numpy as np
+
+    from augdiff_pipeline_ray.sources import geojson as GJ
+
+    lines = ['{"a":1}', '{"b":2}', '{"c":3}']
+    feats = pa.array([s.encode() for s in lines], pa.binary())
+    order = np.array([2, 0, 1])
+
+    p_local = str(tmp_path / "a" / "local.ndjson")
+    n1 = GJ.write_features(p_local, [lines[i] for i in order])
+    p_uri = "file://" + str(tmp_path / "b" / "uri.ndjson")
+    n2 = GJ.write_features(p_uri, [lines[i] for i in order])
+    b_local = open(p_local, "rb").read()
+    b_uri = open(tmp_path / "b" / "uri.ndjson", "rb").read()
+    assert b_local == b_uri and n1 == n2 == len(b_local)
+
+    p_arrow = str(tmp_path / "c" / "arrow.ndjson")
+    n3 = GJ.write_features_arrow(p_arrow, feats, order)
+    assert open(p_arrow, "rb").read() == b_local and n3 == n1
+    p_arrow_uri = "file://" + str(tmp_path / "d" / "arrow_uri.ndjson")
+    GJ.write_features_arrow(p_arrow_uri, feats, order)
+    assert open(tmp_path / "d" / "arrow_uri.ndjson", "rb").read() == b_local
+    # empty batch still commits a (zero-byte) file — the lineage protocol needs it
+    p_empty = str(tmp_path / "e" / "empty.ndjson")
+    assert GJ.write_features_arrow(p_empty, feats.slice(0, 0), np.array([], np.int64)) == 0
+    assert open(p_empty, "rb").read() == b""
