@@ -187,6 +187,72 @@ def phash64(pixels: np.ndarray) -> int:
     return v & 0x7FFF_FFFF_FFFF_FFFF
 
 
+def resize_bilinear(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(h, w, 3) uint8 → (out_h, out_w, 3) uint8, bilinear with half-pixel centers
+    (the OpenCV/PIL ``align_corners=False`` convention) — pure numpy gathers + lerps,
+    no per-pixel Python. The multimodal "resize" stage kernel; a real pipeline would
+    swap cv2/PIL behind the same signature (see decode_stub_real_codec)."""
+    h, w = pixels.shape[:2]
+    if (out_h, out_w) == (h, w):
+        return pixels
+    sy = np.float32(h / out_h)
+    sx = np.float32(w / out_w)
+    fy = np.clip((np.arange(out_h, dtype=np.float32) + 0.5) * sy - 0.5, 0, h - 1)
+    fx = np.clip((np.arange(out_w, dtype=np.float32) + 0.5) * sx - 0.5, 0, w - 1)
+    y0 = fy.astype(np.int64)
+    x0 = fx.astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[:, None, None].astype(np.float32)
+    wx = (fx - x0)[None, :, None].astype(np.float32)
+    p = pixels.astype(np.float32)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(out + 0.5, 0, 255).astype(np.uint8)  # round-half-up, no banker's
+
+
+# ---------------------------------------------------------------------------
+# multi-frame container ("video" as an opaque binary column) + frame sampling
+# ---------------------------------------------------------------------------
+
+VMAGIC = b"ADV1"
+
+
+def pack_frames(frames: list[bytes]) -> bytes:
+    """Encoded frames → one opaque blob: ``ADV1 | n u32 | byte-length u32 × n |
+    payloads``. The index header is what makes :func:`frame_slice` O(1): a sampler
+    reads ONLY its sampled frames' byte ranges, never inflating the rest."""
+    hdr = VMAGIC + struct.pack("<I", len(frames))
+    hdr += struct.pack(f"<{len(frames)}I", *(len(f) for f in frames))
+    return hdr + b"".join(frames)
+
+
+def frame_count(data: bytes) -> int:
+    if data[:4] != VMAGIC:
+        raise ValueError("not an ADV1 container")
+    return struct.unpack_from("<I", data, 4)[0]
+
+
+def frame_slice(data: bytes, i: int) -> bytes:
+    """The i-th encoded frame's bytes — a header seek + one slice, no full-blob scan."""
+    n = frame_count(data)
+    if not 0 <= i < n:
+        raise IndexError(i)
+    lens = struct.unpack_from(f"<{n}I", data, 8)
+    start = 8 + 4 * n + sum(lens[:i])
+    return data[start : start + lens[i]]
+
+
+def sample_frame_indices(n_frames: int, k: int) -> np.ndarray:
+    """Deterministic uniform frame sample: k center-of-strip indices (the standard
+    video-sampling layout — frame i of strip i), distinct, sorted."""
+    k = min(k, n_frames)
+    if k <= 0:
+        return np.empty(0, np.int64)
+    return np.unique(((np.arange(k) + 0.5) * (n_frames / k)).astype(np.int64))
+
+
 def decode_stub_real_codec(data: bytes):  # pragma: no cover
     """Where a real JPEG/PNG decoder would plug in (PIL/libjpeg absent in this container).
 

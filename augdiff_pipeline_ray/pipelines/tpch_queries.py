@@ -1541,6 +1541,60 @@ def q_embedding_lsh_buckets(sf_dir: str):
     return ds.map_batches(buckets, batch_format="pyarrow")
 
 
+@query("tile_resize")
+def q_tile_resize(sf_dir: str):
+    """Multimodal RESIZE stage: decode → bilinear 16×16 thumbnail → re-encode through
+    the TileResizer actor pool; output rows carry the opaque thumbnail blob + typed
+    metadata. Rows-only (pixel math isn't SQL); the bilinear kernel's exactness
+    invariants are pytest-pinned (tests/test_images_tiles.py)."""
+    t = TP.images_from_documents(sf_dir)
+    out = rd.from_arrow(t).map_batches(
+        TILES.TileResizer,
+        fn_constructor_args=(16, 16),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=1,
+    )
+    return out.select_columns(["image_id", "out_w", "out_h", "resize_ok", "n_bytes"])
+
+
+@query("frame_sample")
+def q_frame_sample(sf_dir: str):
+    """Multimodal FRAME-SAMPLE stage: each image becomes a deterministic 6-frame ADV1
+    'video' blob (frame f = synth_pixels(f'{id}#f{f}')) in one packing stage; the
+    FrameSampler actor pool then decodes ONLY 3 uniformly-sampled frames per video
+    (the index header makes unsampled frames a seek, not an inflate) and PSNR-verifies
+    each against its deterministic source. Rows-only; container + sampling math
+    pytest-pinned."""
+    t = TP.images_from_documents(sf_dir)
+
+    def make_video(b: pa.Table) -> pa.Table:
+        vids = []
+        for iid, w, h in zip(
+            b["image_id"].to_pylist(), b["w"].to_pylist(), b["h"].to_pylist()
+        ):
+            frames = [
+                IMG.encode(IMG.synth_pixels(f"{iid}#f{f}", min(w, 32), min(h, 32)), "qz")
+                for f in range(6)
+            ]
+            vids.append(IMG.pack_frames(frames))
+        return pa.table(
+            {"image_id": b["image_id"], "video": pa.array(vids, pa.binary())}
+        )
+
+    videos = rd.from_arrow(t).map_batches(make_video, batch_format="pyarrow", batch_size=64)
+    out = videos.map_batches(
+        TILES.FrameSampler,
+        fn_constructor_args=(3,),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+        num_cpus=1,
+    )
+    return out
+
+
 @query("tile_decode_verify")
 def q_tile_decode_verify(sf_dir: str):
     """Decode every derived tile through the TileDecoder actor pool; verify pixels

@@ -202,6 +202,82 @@ class TileDecoderFiles(TileDecoder):
         return pa.concat_tables(out, promote_options="default")
 
 
+class TileResizer:
+    """Actor-pool stage: decode → bilinear resize → re-encode (the multimodal "resize"
+    op). Same layout contract as TileDecoder: pixels exist only inside the actor; the
+    output row carries the resized OPAQUE blob + typed metadata (image_id, out_w,
+    out_h, fmt, n_bytes), so downstream stages shuffle thumbnails, never rasters."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16, fmt: str = "rawz"):
+        self.out_w = out_w
+        self.out_h = out_h
+        self.fmt = fmt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        barr = batch["bytes"].combine_chunks()
+        blobs = [memoryview(barr[i].as_buffer()) for i in range(len(barr))]
+        out_bytes, ok = [], np.zeros(len(blobs), bool)
+        for i, blob in enumerate(blobs):
+            try:
+                px, _ = IMG.decode(blob)
+                small = IMG.resize_bilinear(px, self.out_h, self.out_w)
+                out_bytes.append(IMG.encode(small, self.fmt))
+                ok[i] = True
+            except Exception:
+                out_bytes.append(b"")
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "out_w": pa.array(np.full(len(blobs), self.out_w, np.int32)),
+                "out_h": pa.array(np.full(len(blobs), self.out_h, np.int32)),
+                "fmt": pa.array([self.fmt] * len(blobs), pa.string()),
+                "resize_ok": pa.array(ok),
+                "n_bytes": pa.array([len(b) for b in out_bytes], pa.int64()),
+                "bytes": pa.array(out_bytes, pa.binary()),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool stage: multi-frame blob → decode ONLY k uniformly-sampled frames
+    (the multimodal "frame-sample" op). The ADV1 index header makes the non-sampled
+    frames free — a sampler never inflates them (IMG.frame_slice is a seek+slice).
+    Emits one row per sampled frame: (image_id, frame_idx, n_frames, w, h, psnr_db)
+    with the per-frame verify against the deterministic source."""
+
+    def __init__(self, k: int = 3, verify: bool = True):
+        self.k = k
+        self.verify = verify
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        barr = batch["video"].combine_chunks()
+        ids = batch["image_id"].to_pylist()
+        out_id, out_fi, out_nf, out_w, out_h, out_psnr = [], [], [], [], [], []
+        for row, iid in enumerate(ids):
+            blob = memoryview(barr[row].as_buffer())
+            nf = IMG.frame_count(blob)
+            for fi in IMG.sample_frame_indices(nf, self.k):
+                px, _ = IMG.decode(IMG.frame_slice(blob, int(fi)))  # zero-copy slices
+                out_id.append(iid)
+                out_fi.append(int(fi))
+                out_nf.append(nf)
+                out_h.append(px.shape[0])
+                out_w.append(px.shape[1])
+                out_psnr.append(
+                    IMG.psnr_vs_synth(f"{iid}#f{int(fi)}", px) if self.verify else np.nan
+                )
+        return pa.table(
+            {
+                "image_id": pa.array(out_id, pa.string()),
+                "frame_idx": pa.array(out_fi, pa.int64()),
+                "n_frames": pa.array(out_nf, pa.int64()),
+                "w": pa.array(out_w, pa.int64()),
+                "h": pa.array(out_h, pa.int64()),
+                "psnr_db": pa.array(out_psnr, pa.float64()),
+            }
+        )
+
+
 # ---------------------------------------------------------------------------
 # kNN over neighboring cells
 # ---------------------------------------------------------------------------

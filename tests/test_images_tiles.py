@@ -190,3 +190,83 @@ def test_tile_pool_sparse_straggler_exact(tmp_path):
     want_ids, want_d = T._knn_brute_arrays(qlat, qlon, lat, lon, ids, 5)
     assert np.array_equal(got_ids.astype("U32"), want_ids.astype("U32"))
     assert np.allclose(got_d, want_d)
+
+
+def test_resize_bilinear_invariants():
+    """Constant image stays constant at any size; identity size is exact; a pure
+    horizontal gradient stays monotone along x after downsample."""
+    from augdiff_pipeline_ray.functions import image as IMG
+
+    const = np.full((24, 20, 3), 77, np.uint8)
+    out = IMG.resize_bilinear(const, 7, 5)
+    assert out.shape == (7, 5, 3) and (out == 77).all()
+    px = IMG.synth_pixels("rz", 16, 12)
+    assert IMG.resize_bilinear(px, 12, 16) is px  # identity: zero-copy
+    grad = np.tile(np.arange(64, dtype=np.uint8)[None, :, None] * 4, (8, 1, 3))
+    small = IMG.resize_bilinear(grad, 4, 9).astype(np.int64)
+    assert (np.diff(small[:, :, 0], axis=1) > 0).all()
+
+
+def test_frame_container_and_sampling():
+    """ADV1 pack/slice round-trips each frame exactly; sampled indices are
+    deterministic, sorted-unique, and cover the strip centers."""
+    from augdiff_pipeline_ray.functions import image as IMG
+
+    frames = [IMG.encode(IMG.synth_pixels(f"v#f{f}", 8, 6), "rawz") for f in range(5)]
+    blob = IMG.pack_frames(frames)
+    assert IMG.frame_count(blob) == 5
+    for f in range(5):
+        assert bytes(IMG.frame_slice(blob, f)) == frames[f]
+        px, fmt = IMG.decode(IMG.frame_slice(blob, f))
+        assert fmt == "rawz" and np.array_equal(px, IMG.synth_pixels(f"v#f{f}", 8, 6))
+    assert IMG.sample_frame_indices(6, 3).tolist() == [1, 3, 5]
+    assert IMG.sample_frame_indices(2, 5).tolist() == [0, 1]
+    assert IMG.sample_frame_indices(0, 3).tolist() == []
+    # memoryview input works end-to-end (the sampler's zero-copy path)
+    mv = memoryview(blob)
+    assert IMG.frame_count(mv) == 5
+    assert bytes(IMG.frame_slice(mv, 2)) == frames[2]
+
+
+def test_resize_and_frame_sample_stages(ray_session):
+    """TileResizer / FrameSampler actor stages over a tiny images table: layout,
+    blob integrity (decode the thumbnail back), sampled-frame PSNR vs source."""
+    import ray.data as rd
+
+    from augdiff_pipeline_ray.functions import image as IMG
+    from augdiff_pipeline_ray.stages import tiles as T
+
+    ids = [f"img{i:03d}" for i in range(6)]
+    rows = {
+        "image_id": ids,
+        "w": [20] * 6,
+        "h": [16] * 6,
+        "bytes": [IMG.encode(IMG.synth_pixels(i, 20, 16), "rawz") for i in ids],
+    }
+    ds = rd.from_arrow(pa.table(rows))
+    out = ds.map_batches(
+        T.TileResizer, fn_constructor_args=(8, 8), batch_format="pyarrow",
+        concurrency=1, num_cpus=1,
+    ).take_all()
+    assert len(out) == 6 and all(r["resize_ok"] for r in out)
+    px, fmt = IMG.decode(out[0]["bytes"])
+    assert px.shape == (8, 8, 3) and fmt == "rawz"
+    want = IMG.resize_bilinear(IMG.synth_pixels(out[0]["image_id"], 20, 16), 8, 8)
+    assert np.array_equal(px, want)
+
+    vids = {
+        "image_id": ids,
+        "video": [
+            IMG.pack_frames(
+                [IMG.encode(IMG.synth_pixels(f"{i}#f{f}", 12, 10), "qz") for f in range(6)]
+            )
+            for i in ids
+        ],
+    }
+    sampled = rd.from_arrow(pa.table(vids)).map_batches(
+        T.FrameSampler, fn_constructor_args=(3,), batch_format="pyarrow",
+        concurrency=1, num_cpus=1,
+    ).take_all()
+    assert len(sampled) == 18  # 3 frames × 6 videos
+    assert sorted({r["frame_idx"] for r in sampled}) == [1, 3, 5]
+    assert all(r["n_frames"] == 6 and r["psnr_db"] >= 40.0 for r in sampled)
