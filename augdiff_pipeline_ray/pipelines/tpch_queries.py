@@ -999,9 +999,12 @@ def q_cosine_neardup_pairs(sf_dir: str):
     # Dataset.join rejects list-typed payload columns — carry the vector as packed
     # float32 bytes through the two fetch joins, unpack in the verify batch
     def pack(t: pa.Table) -> pa.Table:
-        mat = np.ascontiguousarray(SIM.embedding_matrix(t["embedding"]))
-        blobs = [row.tobytes() for row in mat]
-        return pa.table({"vec_id": t["vec_id"], "emb": pa.array(blobs, pa.binary())})
+        mat = np.ascontiguousarray(SIM.embedding_matrix(t["embedding"]), dtype=np.float32)
+        width = mat.shape[1] * 4
+        emb = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(width), len(mat), [None, pa.py_buffer(mat)]
+        )
+        return pa.table({"vec_id": t["vec_id"], "emb": emb})
 
     packed = u.map_batches(pack, batch_format="pyarrow")
     ea = packed.rename_columns({"vec_id": "id_a", "emb": "emb_a"})
@@ -1010,13 +1013,18 @@ def q_cosine_neardup_pairs(sf_dir: str):
         eb, join_type="inner", num_partitions=np_j, on=("id_b",)
     )
 
+    def _unpack(col) -> np.ndarray:
+        # fixed-size-binary column → (n, d) float64 via one zero-copy buffer view
+        a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        d = a.type.byte_width // 4
+        flat = np.frombuffer(a.buffers()[1], np.float32)
+        return flat[a.offset * d : (a.offset + len(a)) * d].reshape(len(a), d).astype(np.float64)
+
     def verify(t: pa.Table) -> pa.Table:
         if not len(t):
             return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-        a = np.frombuffer(b"".join(t["emb_a"].to_pylist()), np.float32)
-        a = a.reshape(len(t), -1).astype(np.float64)
-        b = np.frombuffer(b"".join(t["emb_b"].to_pylist()), np.float32)
-        b = b.reshape(len(t), -1).astype(np.float64)
+        a = _unpack(t["emb_a"])
+        b = _unpack(t["emb_b"])
         num = (a * b).sum(axis=1)
         den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
         keep = num / np.maximum(den, 1e-300) >= 0.999
