@@ -384,6 +384,7 @@ def run_scaling() -> dict:
     world = prepare_scaling_world()
 
     def one(ncpu: int) -> dict:
+        p = host_memory_probe()
         env = dict(os.environ)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child",
@@ -391,7 +392,9 @@ def run_scaling() -> dict:
             env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        r = json.loads(out.strip().splitlines()[-1])
+        r["probe_mb_per_s"] = p["fresh_alloc_mb_per_s"]
+        return r
 
     lo, hi = 8, 32
     # best-of-2 per side, same protocol both widths: single-run wall on this shared
@@ -401,6 +404,13 @@ def run_scaling() -> dict:
     runs_hi = [one(hi), one(hi)]
     r_lo = min(runs_lo, key=lambda r: r["sec_total"])
     r_hi = min(runs_hi, key=lambda r: r["sec_total"])
+
+    def spread(runs):
+        ts = [r["sec_total"] for r in runs]
+        return max(ts) / min(ts)
+
+    healthy = all(r["probe_mb_per_s"] >= HOST_HEALTHY_ALLOC_MB_S for r in runs_lo + runs_hi)
+    tight = spread(runs_lo) <= 1.25 and spread(runs_hi) <= 1.25
     eff = (r_lo["sec_total"] / r_hi["sec_total"]) / (hi / lo)
     result = {
         "metric": "scaling efficiency: identical headline job (tile ingest+assign + "
@@ -419,10 +429,21 @@ def run_scaling() -> dict:
         ),
         "hw_control": run_hw_control(),
         "host_memory_probe": probe,
+        "session_quality": {
+            "per_run_probes_healthy": healthy,
+            "repeats_tight": tight,
+            "spread_lo": round(spread(runs_lo), 2),
+            "spread_hi": round(spread(runs_hi), 2),
+        },
         "detail": {"lo": r_lo, "hi": r_hi, "all_runs": {"lo": runs_lo, "hi": runs_hi}},
     }
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/scaling_latest.json", "w") as f:
+    # a degraded/noisy session must never clobber a clean measurement (same
+    # protocol as run_stream_scaling): it lands in scaling_attempt.json instead
+    dest = ("BENCH/scaling_latest.json" if healthy and tight
+            else "BENCH/scaling_attempt.json")
+    result["recorded"] = dest
+    with open(dest, "w") as f:
         json.dump(result, f, indent=2)
     return result
 
