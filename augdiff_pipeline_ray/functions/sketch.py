@@ -1,0 +1,70 @@
+"""HyperLogLog count-distinct sketch — the mergeable-partial aggregate shape.
+
+A distinct count over 10^12 rows can't shuffle the raw keys; the scale shape is a
+fixed-size sketch built per batch (vectorized, no Python loop), merged with an
+elementwise max — exactly Ray Data's partial-aggregate pattern: ``map_batches``
+emits one (group, registers) row per group per batch, a tiny ``groupby`` merges
+register vectors, and the estimator runs on the merged 4 KB state. Standard HLL
+(Flajolet et al. 2007) with the linear-counting small-range correction.
+
+Beyond-the-reference operator (driver mandate: "a novel sketch"); the reference
+has no distinct-count operator (its dedups are exact, e.g.
+ad/src/main/scala/AugmentedDiff.scala's distinct on augmented rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+P = 12  # 2^12 = 4096 registers (4 KB/sketch), ~1.04/sqrt(m) = 1.6% std error
+M = 1 << P
+_W = 64 - P  # bits hashed into the register's rank
+
+
+def hash64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 over an int64/uint64 vector — deterministic across processes."""
+    z = x.astype(np.uint64, copy=True)
+    z += np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def partial(values: np.ndarray, registers: np.ndarray | None = None) -> np.ndarray:
+    """Fold a batch of int64 keys into an (M,) uint8 register vector, vectorized.
+
+    rho = leading-zero count of the low ``_W`` hash bits + 1; the highest-set-bit
+    position comes from ``np.frexp`` (exact: w < 2^52 fits float64's mantissa).
+    """
+    reg = registers if registers is not None else np.zeros(M, np.uint8)
+    if not len(values):
+        return reg
+    h = hash64(np.asarray(values))
+    idx = (h >> np.uint64(_W)).astype(np.int64)
+    w = h & np.uint64((1 << _W) - 1)
+    rho = np.full(len(h), _W + 1, np.uint8)  # w == 0 → all _W bits are zeros
+    nz = w != 0
+    # highest set bit of w: frexp exponent e has 2^(e-1) <= w < 2^e
+    e = np.frexp(w[nz].astype(np.float64))[1]
+    rho[nz] = (_W - e + 1).astype(np.uint8)
+    np.maximum.at(reg, idx, rho)
+    return reg
+
+
+def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Merge two register vectors (the combiner): elementwise max."""
+    return np.maximum(a, b)
+
+
+_ALPHA = 0.7213 / (1.0 + 1.079 / M)
+
+
+def estimate(registers: np.ndarray) -> float:
+    """Bias-corrected cardinality estimate with the linear-counting correction."""
+    reg = registers.astype(np.float64)
+    e = _ALPHA * M * M / np.sum(np.exp2(-reg))
+    if e <= 2.5 * M:
+        v = int(np.count_nonzero(registers == 0))
+        if v > 0:
+            return M * np.log(M / v)
+    return float(e)

@@ -1444,6 +1444,201 @@ def q_token_bpe(sf_dir: str):
     return ds.map_batches(tok, batch_format="pandas")
 
 
+# -- as-of / range joins (operators Ray Data lacks, composed from its primitives) -----
+
+
+@query(
+    "asof_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+         m AS (
+           SELECT p.event_id AS p_event_id, p.user_id AS user_id,
+                  c.event_id AS c_event_id, c.value AS c_value,
+                  row_number() OVER (PARTITION BY p.event_id
+                                     ORDER BY c.ts DESC, c.event_id DESC) AS rn
+           FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+         )
+    SELECT p_event_id, user_id, c_event_id, c_value FROM m WHERE rn = 1
+    """,
+)
+def q_asof_join(sf_dir: str):
+    """As-of join (each purchase ← the user's latest click at ts' <= ts): ONE hash
+    shuffle on the join key, then a sorted vectorized merge within each group —
+    the distributed as-of shape (Ray Data has no native as-of join). Right side
+    sorted by (ts, event_id) so the backward match tie-breaks to the largest
+    event_id at equal ts, pinning the oracle's ORDER BY c.ts DESC, c.event_id
+    DESC. Partitioning assumption: one user's events fit one group (same as
+    sessionize); a hot key would salt by coarse time range and merge seams."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+    )
+    both = ds.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["event_type"], value_set=pa.array(["purchase", "click"]))
+        ),
+        batch_format="pyarrow",
+    )
+
+    _EMPTY = {
+        "p_event_id": pd.Series([], dtype=np.int64),
+        "user_id": pd.Series([], dtype=np.int64),
+        "c_event_id": pd.Series([], dtype=np.int64),
+        "c_value": pd.Series([], dtype=np.float64),
+    }
+
+    def grp(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == "purchase"]
+        right = g[g["event_type"] == "click"]
+        if not len(left) or not len(right):
+            return pd.DataFrame(_EMPTY)
+        left = left.sort_values(["ts", "event_id"])[["event_id", "user_id", "ts"]]
+        right = right.sort_values(["ts", "event_id"])[["event_id", "ts", "value"]]
+        m = pd.merge_asof(
+            left.rename(columns={"event_id": "p_event_id"}),
+            right.rename(columns={"event_id": "c_event_id", "value": "c_value"}),
+            on="ts",
+            direction="backward",
+        ).dropna(subset=["c_event_id"])
+        if not len(m):
+            return pd.DataFrame(_EMPTY)
+        return pd.DataFrame(
+            {
+                "p_event_id": m["p_event_id"].to_numpy(np.int64),
+                "user_id": m["user_id"].to_numpy(np.int64),
+                "c_event_id": m["c_event_id"].to_numpy(np.int64),
+                "c_value": m["c_value"].to_numpy(np.float64),
+            }
+        )
+
+    return both.groupby("user_id").map_groups(grp, batch_format="pandas")
+
+
+@query(
+    "range_join",
+    """
+    WITH s AS (SELECT event_id AS signup_id, user_id, ts AS t0,
+                      ts + INTERVAL 30 MINUTE AS t1
+               FROM events WHERE event_type = 'signup')
+    SELECT s.signup_id, s.user_id, COUNT(*)::BIGINT AS n_events
+    FROM s JOIN events e ON e.user_id = s.user_id AND e.ts >= s.t0 AND e.ts < s.t1
+    GROUP BY s.signup_id, s.user_id
+    """,
+)
+def q_range_join(sf_dir: str):
+    """Range (interval) join without an all-to-all theta join: every 30-min interval
+    is replicated to the (<=2) fixed 30-min time bins it overlaps, events land in
+    exactly ONE bin — so the equi-join on (user_id, bin) yields each candidate pair
+    once (no post-join dedup), the exact ts filter prunes false bin neighbors, and a
+    per-batch partial count + tiny groupby finishes. Bin width = max interval length
+    bounds replication at 2x; the equi-join is Ray's hash shuffle — the same
+    bucket-then-verify shape as the engine's cell-bucketed spatial join."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.closure import default_join_partitions
+
+    W = 1_800_000_000  # 30 min in µs — bin width == max interval length
+
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def intervals(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "signup"))
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t0, t1 = us, us + W
+        n_bins = ((t1 - 1) // W - t0 // W + 1).astype(np.int64)  # 1 or 2 per interval
+        cum = np.concatenate([[0], np.cumsum(n_bins)[:-1]]) if len(n_bins) else n_bins
+        pos = np.arange(int(n_bins.sum())) - np.repeat(cum, n_bins)
+        return pa.table(
+            {
+                "signup_id": pa.array(np.repeat(t["event_id"].to_numpy(zero_copy_only=False), n_bins)),
+                "user_id": pa.array(np.repeat(t["user_id"].to_numpy(zero_copy_only=False), n_bins)),
+                "t0": pa.array(np.repeat(t0, n_bins)),
+                "t1": pa.array(np.repeat(t1, n_bins)),
+                "bin": pa.array(np.repeat(t0 // W, n_bins) + pos),
+            }
+        )
+
+    def ev_bins(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"user_id": t["user_id"], "e_ts": pa.array(us), "bin": pa.array(us // W)}
+        )
+
+    iv = ds.map_batches(intervals, batch_format="pyarrow")
+    ev = ds.map_batches(ev_bins, batch_format="pyarrow")
+    j = iv.join(ev, join_type="inner", num_partitions=default_join_partitions(),
+                on=("user_id", "bin"))
+
+    def count_hits(t: pa.Table) -> pa.Table:
+        ts = t["e_ts"].to_numpy(zero_copy_only=False)
+        keep = (ts >= t["t0"].to_numpy(zero_copy_only=False)) & (
+            ts < t["t1"].to_numpy(zero_copy_only=False)
+        )
+        sid = t["signup_id"].to_numpy(zero_copy_only=False)[keep]
+        uid = t["user_id"].to_numpy(zero_copy_only=False)[keep]
+        if not len(sid):
+            return pa.table(
+                {"signup_id": pa.array([], pa.int64()), "user_id": pa.array([], pa.int64()),
+                 "n_events": pa.array([], pa.int64())}
+            )
+        order = np.argsort(sid, kind="stable")
+        sid, uid = sid[order], uid[order]
+        bound = np.concatenate([[0], np.nonzero(np.diff(sid) != 0)[0] + 1])
+        n = np.diff(np.concatenate([bound, [len(sid)]]))
+        return pa.table(
+            {"signup_id": pa.array(sid[bound]), "user_id": pa.array(uid[bound]),
+             "n_events": pa.array(n.astype(np.int64))}
+        )
+
+    partials = j.map_batches(count_hits, batch_format="pyarrow")
+    return _merge_partials(
+        partials,
+        ["signup_id", "user_id"],
+        dict(n_events=("n_events", "sum")),
+        [Sum("n_events", alias_name="n_events")],
+    )
+
+
+@query("hll_users_per_type")
+def q_hll_users_per_type(sf_dir: str):
+    """Approximate distinct users per event type via mergeable HyperLogLog sketches
+    (functions/sketch.py): each batch folds its keys into a 4 KB register vector per
+    group (vectorized), a tiny groupby merges registers with elementwise max, and the
+    estimator runs on 4 KB of state — distinct-count over 10^12 rows with NO raw-key
+    shuffle. Rows-only by construction (approximate); pytest pins the error bound and
+    merge associativity (tests/test_sketch_joins.py)."""
+    from ..functions import sketch as SK
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        types, inv = np.unique(et, return_inverse=True)
+        regs = [SK.partial(uid[inv == i]).tobytes() for i in range(len(types))]
+        return pa.table(
+            {"event_type": pa.array(types), "registers": pa.array(regs, pa.binary())}
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        reg = np.zeros(SK.M, np.uint8)
+        for b in g["registers"]:
+            reg = SK.merge(reg, np.frombuffer(b, np.uint8))
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "approx_users": [int(round(SK.estimate(reg)))]}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 # -- rows-only (no SQL equivalent) ----------------------------------------------------
 
 

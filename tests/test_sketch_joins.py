@@ -1,0 +1,151 @@
+"""HLL sketch invariants + as-of / range join vs brute force on synthetic events."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from augdiff_pipeline_ray.functions import sketch as SK
+
+# ---------------------------------------------------------------------------
+# HLL kernel
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [100, 5_000, 200_000])
+def test_hll_error_bound(n):
+    rng = np.random.default_rng(7)
+    # distinct keys with duplicates folded in: cardinality must be n regardless
+    keys = rng.choice(np.arange(n, dtype=np.int64), size=3 * n, replace=True)
+    keys = np.concatenate([np.arange(n, dtype=np.int64), keys])
+    est = SK.estimate(SK.partial(keys))
+    assert abs(est - n) / n < 0.05  # p=12 → 1.6% std error; 5% is > 3 sigma
+
+
+def test_hll_merge_equals_single_pass():
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 10_000, size=50_000).astype(np.int64)
+    whole = SK.partial(keys)
+    parts = [SK.partial(c) for c in np.array_split(keys, 7)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = SK.merge(merged, p)
+    np.testing.assert_array_equal(whole, merged)  # merge is exact, not approximate
+
+
+def test_hll_empty_and_singleton():
+    assert SK.estimate(SK.partial(np.array([], np.int64))) == 0.0
+    est = SK.estimate(SK.partial(np.array([42], np.int64)))
+    assert round(est) == 1
+
+
+# ---------------------------------------------------------------------------
+# synthetic events world (written as sf_dir/events.parquet so the query
+# entrypoints run on it unmodified)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    rng = np.random.default_rng(3)
+    n = 4_000
+    base = np.int64(1_700_000_000_000_000)  # µs epoch
+    ts = base + np.sort(rng.integers(0, 14 * 86_400_000_000, size=n))
+    # duplicate timestamps on purpose: as-of tie-break must be exercised
+    ts[100:110] = ts[99]
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(ts, unit="us"),
+            "user_id": rng.integers(0, 25, size=n).astype(np.int64),
+            "event_type": rng.choice(
+                ["click", "purchase", "signup", "view", "error"], size=n
+            ),
+            "value": np.round(rng.uniform(0, 100, size=n), 2),
+            "props": ['{"k": 1}'] * n,
+        }
+    )
+    d = tmp_path_factory.mktemp("events_world")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), d / "events.parquet")
+    return str(d), df
+
+
+def _brute_asof(df: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    p = df[df.event_type == "purchase"]
+    c = df[df.event_type == "click"]
+    for _, r in p.iterrows():
+        cand = c[(c.user_id == r.user_id) & (c.ts <= r.ts)]
+        if not len(cand):
+            continue
+        best = cand.sort_values(["ts", "event_id"]).iloc[-1]
+        rows.append(
+            (r.event_id, r.user_id, best.event_id, best.value)
+        )
+    return (
+        pd.DataFrame(rows, columns=["p_event_id", "user_id", "c_event_id", "c_value"])
+        .sort_values("p_event_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_asof_join_matches_bruteforce(ray_session, events_dir):
+    d, df = events_dir
+    from augdiff_pipeline_ray.pipelines import tpch_queries as TQ
+
+    got = (
+        TQ.q_asof_join(d)
+        .to_pandas()
+        .sort_values("p_event_id")
+        .reset_index(drop=True)
+        .astype({"c_event_id": np.int64})
+    )
+    want = _brute_asof(df).astype(
+        {"p_event_id": np.int64, "user_id": np.int64, "c_event_id": np.int64}
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def _brute_range(df: pd.DataFrame) -> pd.DataFrame:
+    W = pd.Timedelta(minutes=30)
+    rows = []
+    for _, r in df[df.event_type == "signup"].iterrows():
+        n = len(
+            df[(df.user_id == r.user_id) & (df.ts >= r.ts) & (df.ts < r.ts + W)]
+        )
+        rows.append((r.event_id, r.user_id, n))
+    return (
+        pd.DataFrame(rows, columns=["signup_id", "user_id", "n_events"])
+        .sort_values("signup_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_range_join_matches_bruteforce(ray_session, events_dir):
+    d, df = events_dir
+    from augdiff_pipeline_ray.pipelines import tpch_queries as TQ
+
+    res = TQ.q_range_join(d)
+    got = (res.to_pandas() if hasattr(res, "to_pandas") else res).sort_values(
+        "signup_id"
+    ).reset_index(drop=True)
+    want = _brute_range(df).astype(
+        {"signup_id": np.int64, "user_id": np.int64, "n_events": np.int64}
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_hll_query_close_to_exact(ray_session, events_dir):
+    d, df = events_dir
+    from augdiff_pipeline_ray.pipelines import tpch_queries as TQ
+
+    res = TQ.q_hll_users_per_type(d)
+    got = (res.to_pandas() if hasattr(res, "to_pandas") else res).set_index(
+        "event_type"
+    )["approx_users"]
+    exact = df.groupby("event_type")["user_id"].nunique()
+    for t, n in exact.items():
+        assert abs(got[t] - n) / n < 0.05
