@@ -56,6 +56,51 @@ def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.maximum(a, b)
 
 
+# ---------------------------------------------------------------------------
+# bottom-k uniform sample (mergeable, deterministic) — quantile / sample sketch
+# ---------------------------------------------------------------------------
+#
+# Keeping the k rows with the SMALLEST hash of a unique row key is a uniform
+# random sample that is (a) deterministic across runs/processes (hash-seeded,
+# no RNG state), and (b) mergeable by "concat + keep k smallest" — the same
+# partial/combine shape as HLL. Quantiles of the sample estimate quantiles of
+# the distribution with rank error ~ sqrt(q(1-q)/k). Assumes row keys are
+# unique (duplicate keys would be sampled together); use a composite key
+# otherwise.
+
+BOTTOMK_DEFAULT = 1024
+
+
+def bottomk_partial(
+    keys: np.ndarray, values: np.ndarray, k: int = BOTTOMK_DEFAULT
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fold a batch into a (hashes, values) bottom-k sample, vectorized."""
+    h = hash64(np.asarray(keys))
+    v = np.asarray(values)
+    if len(h) > k:
+        idx = np.argpartition(h, k)[:k]
+        h, v = h[idx], v[idx]
+    return h, v
+
+
+def bottomk_merge(
+    h1: np.ndarray, v1: np.ndarray, h2: np.ndarray, v2: np.ndarray,
+    k: int = BOTTOMK_DEFAULT,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge two bottom-k samples (the combiner): concat, keep the k smallest."""
+    h = np.concatenate([h1, h2])
+    v = np.concatenate([v1, v2])
+    if len(h) > k:
+        idx = np.argpartition(h, k)[:k]
+        h, v = h[idx], v[idx]
+    return h, v
+
+
+def bottomk_quantile(values: np.ndarray, q: float) -> float:
+    """Quantile estimate from the sample (inverted-CDF: an actual sample element)."""
+    return float(np.quantile(values, q, method="inverted_cdf"))
+
+
 _ALPHA = 0.7213 / (1.0 + 1.079 / M)
 
 

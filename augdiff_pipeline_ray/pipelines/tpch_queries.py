@@ -1639,6 +1639,87 @@ def q_hll_users_per_type(sf_dir: str):
     )
 
 
+@query(
+    "quantiles_exact",
+    """
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.95) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def q_quantiles_exact(sf_dir: str):
+    """Exact per-group quantiles: hash shuffle on the group key, one vectorized
+    inverted-CDF quantile per group (numpy's inverted_cdf == DuckDB quantile_disc —
+    both pick an actual element, so the oracle hash-matches with no float
+    interpolation). Partitioning assumption: one group's values fit one task (same
+    as sessionize/topk_per_user); the unbounded-group path is the bottom-k sample
+    sketch below."""
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["event_type", "value"])
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50": [np.quantile(v, 0.5, method="inverted_cdf")],
+                "p95": [np.quantile(v, 0.95, method="inverted_cdf")],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(quant, batch_format="pandas")
+
+
+@query("quantile_sketch")
+def q_quantile_sketch(sf_dir: str):
+    """Approximate per-group quantiles via the deterministic bottom-k sample sketch
+    (functions/sketch.py): each batch keeps the k rows with the smallest hash of the
+    unique row key per group, combiners merge by concat+keep-k — fixed-size state,
+    no full-group shuffle, rank error ~ sqrt(q(1-q)/k). Rows-only (approximate);
+    pytest pins the rank-error bound (tests/test_sketch_joins.py)."""
+    from ..functions import sketch as SK
+
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        types, inv = np.unique(et, return_inverse=True)
+        hs, vs = [], []
+        for i in range(len(types)):
+            h, v = SK.bottomk_partial(eid[inv == i], val[inv == i])
+            hs.append(h.tobytes())
+            vs.append(v.astype(np.float64).tobytes())
+        return pa.table(
+            {"event_type": pa.array(types),
+             "h": pa.array(hs, pa.binary()), "v": pa.array(vs, pa.binary())}
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        h = np.empty(0, np.uint64)
+        v = np.empty(0, np.float64)
+        for hb, vb in zip(g["h"], g["v"]):
+            h, v = SK.bottomk_merge(h, v, np.frombuffer(hb, np.uint64),
+                                    np.frombuffer(vb, np.float64))
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50_est": [SK.bottomk_quantile(v, 0.5)],
+                "p95_est": [SK.bottomk_quantile(v, 0.95)],
+                "sample_n": [len(v)],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 # -- rows-only (no SQL equivalent) ----------------------------------------------------
 
 

@@ -43,6 +43,36 @@ def test_hll_empty_and_singleton():
 
 
 # ---------------------------------------------------------------------------
+# bottom-k sample sketch
+# ---------------------------------------------------------------------------
+
+
+def test_bottomk_merge_equals_single_pass():
+    rng = np.random.default_rng(5)
+    keys = np.arange(100_000, dtype=np.int64)
+    vals = rng.lognormal(0, 2, size=len(keys))
+    h1, v1 = SK.bottomk_partial(keys, vals)
+    hm, vm = np.empty(0, np.uint64), np.empty(0, np.float64)
+    for ks, vs in zip(np.array_split(keys, 9), np.array_split(vals, 9)):
+        h, v = SK.bottomk_partial(ks, vs)
+        hm, vm = SK.bottomk_merge(hm, vm, h, v)
+    # same sample regardless of batching: compare as sorted-by-hash sets
+    np.testing.assert_array_equal(np.sort(h1), np.sort(hm))
+    np.testing.assert_array_equal(v1[np.argsort(h1)], vm[np.argsort(hm)])
+
+
+@pytest.mark.parametrize("q", [0.5, 0.95])
+def test_bottomk_quantile_rank_error(q):
+    rng = np.random.default_rng(13)
+    keys = np.arange(500_000, dtype=np.int64)
+    vals = rng.lognormal(0, 1, size=len(keys))  # heavy-tailed on purpose
+    _, sample = SK.bottomk_partial(keys, vals, k=1024)
+    est = SK.bottomk_quantile(sample, q)
+    true_rank = np.searchsorted(np.sort(vals), est) / len(vals)
+    assert abs(true_rank - q) < 0.05  # ~3 sigma at k=1024
+
+
+# ---------------------------------------------------------------------------
 # synthetic events world (written as sf_dir/events.parquet so the query
 # entrypoints run on it unmodified)
 # ---------------------------------------------------------------------------
@@ -136,6 +166,21 @@ def test_range_join_matches_bruteforce(ray_session, events_dir):
         {"signup_id": np.int64, "user_id": np.int64, "n_events": np.int64}
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_quantile_sketch_rank_error(ray_session, events_dir):
+    d, df = events_dir
+    from augdiff_pipeline_ray.pipelines import tpch_queries as TQ
+
+    res = TQ.q_quantile_sketch(d)
+    got = (res.to_pandas() if hasattr(res, "to_pandas") else res).set_index("event_type")
+    for t, g in df.groupby("event_type"):
+        v = np.sort(g["value"].to_numpy(np.float64))
+        for q, col in [(0.5, "p50_est"), (0.95, "p95_est")]:
+            rank = np.searchsorted(v, got.loc[t, col]) / len(v)
+            # every per-type population here (< ~900 rows) fits the k=1024 sample,
+            # so the estimate is the exact inverted-CDF quantile
+            assert abs(rank - q) < 0.01
 
 
 def test_hll_query_close_to_exact(ray_session, events_dir):
