@@ -649,7 +649,7 @@ def _docs_doubled(sf_dir: str) -> pa.Table:
     FROM u a JOIN u b ON a.text = b.text AND a.doc_id < b.doc_id
     """,
 )
-def q_minhash_dup_pairs(sf_dir: str):
+def q_minhash_dup_pairs(sf_dir: str, local_threshold: int = 2_000_000):
     """Exact dedup at scale via MinHash+LSH prefilter: shingle → minhash → band buckets
     → candidate pairs → content-hash verify. Identical docs always share all bands
     (recall 1.0). DISTRIBUTED verify (r1 broadcast the whole corpus to the driver —
@@ -683,6 +683,47 @@ def q_minhash_dup_pairs(sf_dir: str):
         )
 
     band_rows = ds.map_batches(bands, batch_format="pyarrow").materialize()
+
+    # size-adaptive plan (closure_auto/_merge_partials precedent): below the threshold
+    # the band self-join + pair-distinct shuffles cost seconds of fixed operator
+    # spin-up that dwarf the input; the local plan is the SAME algorithm (group by
+    # (band, bhash), all ordered pairs within the bucket, content-hash verify,
+    # distinct) vectorized in one process. 2M band rows = ~125k docs at 16 bands.
+    if band_rows.count() <= local_threshold:
+        df = band_rows.to_pandas()
+        band = df["band"].to_numpy(np.int64)
+        bh = df["bhash"].to_numpy(np.int64)
+        did = df["doc_id"].to_numpy(np.int64)
+        ch1 = df["ch1"].to_numpy(np.int64)
+        ch2 = df["ch2"].to_numpy(np.int64)
+        order = np.lexsort((did, bh, band))
+        band, bh, did, ch1, ch2 = band[order], bh[order], did[order], ch1[order], ch2[order]
+        gstart = np.nonzero(np.r_[True, (np.diff(band) != 0) | (np.diff(bh) != 0)])[0]
+        gsize = np.diff(np.r_[gstart, len(band)])
+        # pair generation batched by group SIZE (one triu_indices per distinct size,
+        # broadcast over every group of that size) — no per-group Python loop even
+        # with ~100k tiny buckets
+        chunks = []
+        for n in np.unique(gsize):
+            if n < 2:
+                continue
+            starts = gstart[gsize == n]
+            ti, tj = np.triu_indices(int(n), k=1)
+            i = (starts[:, None] + ti[None, :]).ravel()
+            j = (starts[:, None] + tj[None, :]).ravel()
+            ok = (ch1[i] == ch1[j]) & (ch2[i] == ch2[j])
+            ia, ib = did[i][ok], did[j][ok]
+            chunks.append(
+                np.stack([np.minimum(ia, ib), np.maximum(ia, ib)], axis=1)
+            )
+        if not chunks:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=np.int64),
+                 "id_b": pd.Series([], dtype=np.int64)}
+            )
+        arr = np.unique(np.concatenate(chunks), axis=0)
+        return pd.DataFrame({"id_a": arr[:, 0], "id_b": arr[:, 1]})
+
     # candidate generation = hash self-join on (band, bhash) — the shuffle primitive,
     # no per-group python dispatch (16k tiny buckets would cost ~ms each in map_groups)
     left = band_rows.rename_columns(

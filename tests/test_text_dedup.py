@@ -232,3 +232,34 @@ def test_embedding_matrix_zero_copy_unpack():
     ragged = pa.array([[1.0], [2.0, 3.0]], pa.list_(pa.float32()))
     got = [list(map(float, r)) for r in ragged.to_pylist()]
     assert got == [[1.0], [2.0, 3.0]]  # fallback path exercised via to_pylist parity
+
+
+def test_minhash_local_and_distributed_plans_agree(ray_session, tmp_path):
+    """The size-adaptive minhash plan: the local vectorized branch and the
+    band-self-join distributed branch must emit the identical pair set."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(21)
+    texts = []
+    for i in range(60):
+        words = rng.choice(["alpha", "beta", "gamma", "delta", "omega"], size=12)
+        texts.append(" ".join(words))
+    # force duplicate groups beyond the built-in doubling
+    texts[10] = texts[0]
+    texts[11] = texts[0]
+    texts[30] = texts[20]
+    t = pa.table({"doc_id": pa.array(np.arange(60, dtype=np.int64)),
+                  "text": pa.array(texts)})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    from augdiff_pipeline_ray.pipelines import tpch_queries as TQ
+
+    loc = TQ.q_minhash_dup_pairs(str(tmp_path))
+    dist = TQ.q_minhash_dup_pairs(str(tmp_path), local_threshold=0)
+    pd.testing.assert_frame_equal(loc, dist)
+    # sanity: the forced dup groups appear
+    got = set(map(tuple, loc.to_numpy()))
+    assert (0, 10) in got and (0, 11) in got and (20, 30) in got
