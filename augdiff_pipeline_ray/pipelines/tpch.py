@@ -60,6 +60,35 @@ def node_latlon(partkeys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return lat, lon
 
 
+def _const_key_map(key: str, items) -> pa.Array:
+    """``map<string,string>`` column of one ``(key, item)`` entry per row, built from
+    offsets + a repeated key — no per-row Python tuples (the ``[[(k, v)] for v ...]``
+    construction cost seconds at 100k+ rows)."""
+    if isinstance(items, pa.ChunkedArray):
+        items = items.combine_chunks()
+    if not isinstance(items, pa.Array):
+        items = pa.array(items, pa.string())
+    n = len(items)
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32), pa.int32())
+    keys = pa.array(np.full(n, key, dtype=object), pa.string())
+    return pa.MapArray.from_arrays(offsets, keys, items.cast(pa.string()))
+
+
+def _empty_lists(n: int, item_type: pa.DataType) -> pa.Array:
+    """All-empty ``list<item_type>`` column without materializing n Python lists."""
+    return pa.ListArray.from_arrays(
+        pa.array(np.zeros(n + 1, np.int32), pa.int32()), pa.array([], item_type)
+    )
+
+
+def _group_lists(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(unique keys, list offsets) for a SORTED key column — the vectorized
+    equivalent of ``groupby(key).apply(list)``."""
+    starts = np.nonzero(np.r_[True, np.diff(sorted_keys) != 0])[0]
+    offsets = np.r_[starts, len(sorted_keys)].astype(np.int32)
+    return sorted_keys[starts], offsets
+
+
 def nodes_dataset(sf_dir: str) -> rd.Dataset:
     ds = SRC.read_parquet_clean(_p(sf_dir, "part"), columns=["p_partkey", "p_type", "p_size", "p_brand"])
 
@@ -73,16 +102,13 @@ def nodes_dataset(sf_dir: str) -> rd.Dataset:
                 "cell": pa.array(C.cell_of(lat, lon)),
                 "id": pa.array(pk),
                 "type": pa.array(["node"] * n, pa.string()),
-                "tags": pa.array(
-                    [[("part_type", v)] for v in t["p_type"].to_pylist()],
-                    pa.map_(pa.string(), pa.string()),
-                ),
+                "tags": _const_key_map("part_type", t["p_type"]),
                 "lat": pa.array(lat),
                 "lon": pa.array(lon),
-                "nds": pa.array([[]] * n, pa.list_(pa.struct([("ref", pa.int64())]))),
-                "members": pa.array(
-                    [[]] * n,
-                    pa.list_(pa.struct([("type", pa.string()), ("ref", pa.int64()), ("role", pa.string())])),
+                "nds": _empty_lists(n, pa.struct([("ref", pa.int64())])),
+                "members": _empty_lists(
+                    n,
+                    pa.struct([("type", pa.string()), ("ref", pa.int64()), ("role", pa.string())]),
                 ),
                 "changeset": pa.array(t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)),
                 "timestamp": pa.array(
@@ -107,32 +133,33 @@ def ways_table(sf_dir: str) -> pa.Table:
         columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"],
     )
     ldf = li.to_pandas().sort_values(["l_orderkey", "l_linenumber"])
-    nds_map = ldf.groupby("l_orderkey")["l_partkey"].apply(list)
+    lok = ldf["l_orderkey"].to_numpy(np.int64)
+    lpk = ldf["l_partkey"].to_numpy(np.int64)
+    uniq_ok, offsets = _group_lists(lok)
+    nds_arr = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        pa.StructArray.from_arrays([pa.array(lpk)], ["ref"]),
+    )
     odf = od.to_pandas().sort_values("o_orderkey")
-    odf["nds"] = odf["o_orderkey"].map(nds_map)
-    odf = odf[odf["nds"].notna()]
+    keep = np.isin(odf["o_orderkey"].to_numpy(np.int64), uniq_ok)
+    odf = odf[keep]
     ok = odf["o_orderkey"].to_numpy(np.int64)
+    assert np.array_equal(ok, uniq_ok)  # lineitem orderkeys ⊆ orders, both sorted
     n = len(odf)
-    la, lo = node_latlon(np.array([nd[0] for nd in odf["nds"]], np.int64))
+    la, lo = node_latlon(lpk[offsets[:-1]])  # first nd ref per way
     return pa.table(
         {
             "p": pa.array(K.partition_number(ok, np.ones(n, np.int64))),
             "cell": pa.array(C.cell_of(la, lo)),
             "id": pa.array(ok),
             "type": pa.array(["way"] * n, pa.string()),
-            "tags": pa.array(
-                [[("status", s)] for s in odf["o_orderstatus"]],
-                pa.map_(pa.string(), pa.string()),
-            ),
+            "tags": _const_key_map("status", pa.array(odf["o_orderstatus"], pa.string())),
             "lat": pa.array([None] * n, pa.float64()),
             "lon": pa.array([None] * n, pa.float64()),
-            "nds": pa.array(
-                [[{"ref": int(r)} for r in nds] for nds in odf["nds"]],
-                pa.list_(pa.struct([("ref", pa.int64())])),
-            ),
-            "members": pa.array(
-                [[]] * n,
-                pa.list_(pa.struct([("type", pa.string()), ("ref", pa.int64()), ("role", pa.string())])),
+            "nds": nds_arr,
+            "members": _empty_lists(
+                n,
+                pa.struct([("type", pa.string()), ("ref", pa.int64()), ("role", pa.string())]),
             ),
             "changeset": pa.array(odf["o_custkey"].to_numpy(np.int64)),
             "timestamp": pa.array(odf["o_orderdate"].to_numpy().astype("datetime64[ms]")),
@@ -149,11 +176,31 @@ def relations_table(sf_dir: str) -> pa.Table:
     cu = pq.read_table(
         _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey", "c_mktsegment"]
     ).to_pandas()
-    members = od.sort_values("o_orderkey").groupby("o_custkey")["o_orderkey"].apply(list)
+    ods = od.sort_values(["o_custkey", "o_orderkey"])
+    mck = ods["o_custkey"].to_numpy(np.int64)
+    mok = ods["o_orderkey"].to_numpy(np.int64)
+    uniq_ck, offsets = _group_lists(mck)
+    n_flat = len(mok)
+    members_arr = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        pa.StructArray.from_arrays(
+            [
+                pa.array(np.full(n_flat, "way", dtype=object), pa.string()),
+                pa.array(mok),
+                pa.array(np.full(n_flat, "outer", dtype=object), pa.string()),
+            ],
+            ["type", "ref", "role"],
+        ),
+    )
     cu = cu.sort_values("c_custkey")
-    cu["mem"] = cu["c_custkey"].map(members)
-    cu = cu[cu["mem"].notna()]
+    keep = np.isin(cu["c_custkey"].to_numpy(np.int64), uniq_ck)
+    cu = cu[keep]
     ck = cu["c_custkey"].to_numpy(np.int64)
+    # orders may reference custkeys outside the customer table slice; drop those lists
+    mkeep = np.isin(uniq_ck, ck)
+    if not mkeep.all():
+        members_arr = members_arr.take(pa.array(np.nonzero(mkeep)[0]))
+    assert np.array_equal(ck, uniq_ck[mkeep])
     n = len(cu)
     return pa.table(
         {
@@ -161,17 +208,11 @@ def relations_table(sf_dir: str) -> pa.Table:
             "cell": pa.array(np.full(n, -1, np.int64)),
             "id": pa.array(ck),
             "type": pa.array(["relation"] * n, pa.string()),
-            "tags": pa.array(
-                [[("segment", s)] for s in cu["c_mktsegment"]],
-                pa.map_(pa.string(), pa.string()),
-            ),
+            "tags": _const_key_map("segment", pa.array(cu["c_mktsegment"], pa.string())),
             "lat": pa.array([None] * n, pa.float64()),
             "lon": pa.array([None] * n, pa.float64()),
-            "nds": pa.array([[]] * n, pa.list_(pa.struct([("ref", pa.int64())]))),
-            "members": pa.array(
-                [[{"type": "way", "ref": int(o), "role": "outer"} for o in mem] for mem in cu["mem"]],
-                pa.list_(pa.struct([("type", pa.string()), ("ref", pa.int64()), ("role", pa.string())])),
-            ),
+            "nds": _empty_lists(n, pa.struct([("ref", pa.int64())])),
+            "members": members_arr,
             "changeset": pa.array(cu["c_nationkey"].to_numpy(np.int64)),
             "timestamp": pa.array(BASE_TS_MS + ck, pa.timestamp("ms")),
             "uid": pa.array(cu["c_nationkey"].to_numpy(np.int64)),
