@@ -250,25 +250,43 @@ def images_from_documents(sf_dir: str) -> pa.Table:
 
 
 def _images_from_documents_build(sf_dir: str) -> pa.Table:
+    """Synthesize+encode fans out over Ray (zlib compress per tile is CPU-bound and
+    was 14 s single-threaded on the driver at sf0.1); the deterministic per-row
+    kernel makes the fan-out order-independent, re-sorted by doc_id at the end."""
     docs = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    d = docs["doc_id"].to_numpy(zero_copy_only=False)
-    pr = image_params(d)
-    ids = [f"doc-{i:08d}" for i in d]
-    blobs = [
-        IMG.encode(IMG.synth_pixels(iid, int(w), int(h)), str(f))
-        for iid, w, h, f in zip(ids, pr["w"], pr["h"], pr["fmt"])
-    ]
-    return pa.table(
-        {
-            "image_id": pa.array(ids, pa.string()),
-            "bytes": pa.array(blobs, pa.binary()),
-            "w": pa.array(pr["w"]),
-            "h": pa.array(pr["h"]),
-            "fmt": pa.array(pr["fmt"].astype(str), pa.string()),
-            "caption": docs["text"],
-            "phash": pa.array(pr["phash"]),
-        }
+
+    def build(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        pr = image_params(d)
+        ids = [f"doc-{i:08d}" for i in d]
+        blobs = [
+            IMG.encode(IMG.synth_pixels(iid, int(w), int(h)), str(f))
+            for iid, w, h, f in zip(ids, pr["w"], pr["h"], pr["fmt"])
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "w": pa.array(pr["w"]),
+                "h": pa.array(pr["h"]),
+                "fmt": pa.array(pr["fmt"].astype(str), pa.string()),
+                "caption": t["text"],
+                "phash": pa.array(pr["phash"]),
+            }
+        )
+
+    parts = (
+        rd.from_arrow(docs)
+        .repartition(max(4, (os.cpu_count() or 8)))
+        .map_batches(build, batch_format="pyarrow")
+        .to_arrow_refs()
     )
+    import ray as _ray
+
+    t = pa.concat_tables([b for b in _ray.get(parts) if len(b)])
+    t = t.sort_by("doc_id")
+    return t.drop_columns(["doc_id"])
 
 
 # ---------------------------------------------------------------------------
