@@ -83,7 +83,9 @@ def _empty_lists(n: int, item_type: pa.DataType) -> pa.Array:
 
 def _group_lists(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(unique keys, list offsets) for a SORTED key column — the vectorized
-    equivalent of ``groupby(key).apply(list)``."""
+    equivalent of ``groupby(key).apply(list)``. Empty input → ([], [0])."""
+    if not len(sorted_keys):
+        return sorted_keys[:0], np.zeros(1, np.int32)
     starts = np.nonzero(np.r_[True, np.diff(sorted_keys) != 0])[0]
     offsets = np.r_[starts, len(sorted_keys)].astype(np.int32)
     return sorted_keys[starts], offsets
@@ -144,9 +146,15 @@ def ways_table(sf_dir: str) -> pa.Table:
     keep = np.isin(odf["o_orderkey"].to_numpy(np.int64), uniq_ok)
     odf = odf[keep]
     ok = odf["o_orderkey"].to_numpy(np.int64)
-    assert np.array_equal(ok, uniq_ok)  # lineitem orderkeys ⊆ orders, both sorted
+    # lineitem may reference orderkeys outside a sliced orders table; drop those lists
+    mkeep = np.isin(uniq_ok, ok)
+    if not mkeep.all():
+        nds_arr = nds_arr.take(pa.array(np.nonzero(mkeep)[0]))
     n = len(odf)
-    la, lo = node_latlon(lpk[offsets[:-1]])  # first nd ref per way
+    first_ref = nds_arr.values.field("ref").to_numpy(zero_copy_only=False)[
+        nds_arr.offsets.to_numpy(zero_copy_only=False)[:-1]
+    ]
+    la, lo = node_latlon(first_ref)  # first nd ref per kept way
     return pa.table(
         {
             "p": pa.array(K.partition_number(ok, np.ones(n, np.int64))),

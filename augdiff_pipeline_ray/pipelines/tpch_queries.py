@@ -1040,10 +1040,15 @@ def q_cosine_neardup_pairs(sf_dir: str):
     # Dataset.join rejects list-typed payload columns — carry the vector as packed
     # float32 bytes through the two fetch joins, unpack in the verify batch
     def pack(t: pa.Table) -> pa.Table:
+        # variable-width binary (uniform per row) built from one offsets ramp + the
+        # flat float32 buffer — zero per-row Python, and the column TYPE is the same
+        # for every batch (a fixed_size_binary[4d] type would derive d from batch
+        # content and an empty batch would emit an incompatible fixed_size_binary[0])
         mat = np.ascontiguousarray(SIM.embedding_matrix(t["embedding"]), dtype=np.float32)
-        width = mat.shape[1] * 4
-        emb = pa.FixedSizeBinaryArray.from_buffers(
-            pa.binary(width), len(mat), [None, pa.py_buffer(mat)]
+        n, d = mat.shape
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * (d * 4), pa.int32())
+        emb = pa.BinaryArray.from_buffers(
+            pa.binary(), n, [None, offsets.buffers()[1], pa.py_buffer(mat)]
         )
         return pa.table({"vec_id": t["vec_id"], "emb": emb})
 
@@ -1055,11 +1060,12 @@ def q_cosine_neardup_pairs(sf_dir: str):
     )
 
     def _unpack(col) -> np.ndarray:
-        # fixed-size-binary column → (n, d) float64 via one zero-copy buffer view
+        # uniform-width binary column → (n, d) float64 via one zero-copy buffer view
         a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        d = a.type.byte_width // 4
-        flat = np.frombuffer(a.buffers()[1], np.float32)
-        return flat[a.offset * d : (a.offset + len(a)) * d].reshape(len(a), d).astype(np.float64)
+        offs = a.buffers()[1]
+        off = np.frombuffer(offs, np.int32)[a.offset : a.offset + len(a) + 1]
+        flat = np.frombuffer(a.buffers()[2], np.uint8)[off[0] : off[-1]]
+        return flat.view(np.float32).reshape(len(a), -1).astype(np.float64)
 
     def verify(t: pa.Table) -> pa.Table:
         if not len(t):
@@ -1627,10 +1633,10 @@ def q_range_join(sf_dir: str):
             )
         order = np.argsort(sid, kind="stable")
         sid, uid = sid[order], uid[order]
-        bound = np.concatenate([[0], np.nonzero(np.diff(sid) != 0)[0] + 1])
-        n = np.diff(np.concatenate([bound, [len(sid)]]))
+        uniq_sid, offsets = TP._group_lists(sid)
+        n = np.diff(offsets)
         return pa.table(
-            {"signup_id": pa.array(sid[bound]), "user_id": pa.array(uid[bound]),
+            {"signup_id": pa.array(uniq_sid), "user_id": pa.array(uid[offsets[:-1]]),
              "n_events": pa.array(n.astype(np.int64))}
         )
 

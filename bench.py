@@ -522,7 +522,7 @@ def run_stream_scaling() -> dict:
             capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout.strip().splitlines()[-1])
-        r["probe_mb_per_s"] = p["host_memory_probe"]["fresh_alloc_mb_per_s"]
+        r["probe_mb_per_s"] = p["fresh_alloc_mb_per_s"]
         return r
 
     lo, hi = 8, 32
