@@ -48,7 +48,7 @@ from ..sources import geojson as GJ
 from ..sources import osc as OSC
 from ..sources import snapshot as SNAP
 from ..stages import tiles as T
-from ..stages.augment import augment_table
+from ..stages.augment import augment_parts, augment_table, row_hashes
 from ..stages.closure import local_closure_np
 from ..stages.edges import edges_from_rows_np
 from ..heap import retain_heap
@@ -141,6 +141,16 @@ class RenderShard:
         import gc
 
         gc.set_threshold(200_000, 100, 100)
+
+    @ray.method(num_returns=2)
+    def render_part_idx(self, seq: int, big: pa.Table, idx: np.ndarray,
+                        flags: np.ndarray, orders, types, ids
+                        ) -> tuple[pa.Table, pa.Table]:
+        """Index-addressed variant: the batch's undeduped row table arrives ONCE per
+        actor as a broadcast ObjectRef (zero-copy Arrow); the shard takes its subset
+        here, off the driver, and stamps the per-row ``in_update`` provenance."""
+        sub = big.take(pa.array(idx)).append_column("in_update", pa.array(flags))
+        return self.render_part(seq, sub, orders, types, ids)
 
     @ray.method(num_returns=2)
     def render_part(self, seq: int, tbl: pa.Table, orders, types, ids
@@ -398,6 +408,10 @@ class AdiffJob:
         self._tiles: TilePool | None = None
         self._parse_futs: dict[int, "ray.ObjectRef"] = {}
         self._memory_tbls: list[pa.Table] | None = None  # lazy in-process tier cache
+        # identity hashes cached per memory table: a row's hash never changes, so the
+        # augment dedup re-hashes only update+storage rows each batch, not the whole
+        # accumulated tier (the stream's dominant driver-serial growth term)
+        self._memory_hashes: list[tuple[np.ndarray, np.ndarray]] | None = None
 
     def _osc_path(self, seq: int) -> str:
         return str(self.world / "changes" / OSC.sequence_path(seq)) + ".osc"
@@ -499,16 +513,19 @@ class AdiffJob:
 
         # J5: semi-join fetch from memory + storage tiers — stays Arrow end-to-end
         memory = self._read_memory()
-        aug_tbl = augment_table(
+        aug_big, aug_rep, aug_flag, aug_order = augment_parts(
             update_el, memory, (all_a, all_b), self.snapshot_store,
             drop_tags_on_load=self.drop_tags_on_load,
             parallel_fetch=self.parallel_fetch,
+            memory_hashes=self._memory_hash_cat(),
         )
+        aug_sel = aug_rep[aug_order]  # deduped+sorted domain → row index into aug_big
+        aug_flag_sorted = aug_flag[aug_order]
         # entity work-list, vectorized: unique packed keys ordered (type rank, id)
         row_keys = K.pack_typed(
-            aug_tbl["id"].to_numpy(zero_copy_only=False),
-            aug_tbl["type"].to_numpy(zero_copy_only=False),
-        )
+            aug_big["id"].to_numpy(zero_copy_only=False),
+            aug_big["type"].to_numpy(zero_copy_only=False),
+        )[aug_sel]
         ents_sorted = np.unique(row_keys)
         ents_sorted = ents_sorted[np.lexsort((ents_sorted >> 2, ents_sorted & 3))]
         ts = _mark("augment", ts)
@@ -524,10 +541,11 @@ class AdiffJob:
         ts = _mark("emit", ts)
 
         return {
-            "seq": seq, "t0": t0, "stage_t": stage_t, "aug_tbl": aug_tbl,
+            "seq": seq, "t0": t0, "stage_t": stage_t,
+            "aug_big": aug_big, "aug_sel": aug_sel, "aug_flag": aug_flag_sorted,
             "row_keys": row_keys, "ents_sorted": ents_sorted,
             "all_edges": (all_a, all_b),
-            "update_el": update_el, "n_aug": len(aug_tbl),
+            "update_el": update_el, "n_aug": len(aug_sel),
             "n_new_edges": len(new_a),
         }
 
@@ -542,7 +560,8 @@ class AdiffJob:
         ts = time.perf_counter()
         if use_pool and len(ents_sorted) > 0:
             meta_futs, payload_refs = self._render_partition_scatter(
-                pre["aug_tbl"], pre["row_keys"], ents_sorted, pre["all_edges"],
+                pre["aug_big"], pre["aug_sel"], pre["aug_flag"],
+                pre["row_keys"], ents_sorted, pre["all_edges"],
                 pre["seq"],
             )
             out = {"futs": meta_futs, "payload_refs": payload_refs}
@@ -562,7 +581,10 @@ class AdiffJob:
         else:
             ents_sorted = pre["ents_sorted"]
             ents = [(K.TYPE_NAMES[int(k) & 3], int(k) >> 2) for k in ents_sorted]
-            ctx = RenderContext(rows_from_arrow(pre["aug_tbl"]))
+            aug_tbl = pre["aug_big"].combine_chunks().take(
+                pa.array(pre["aug_sel"])
+            ).append_column("in_update", pa.array(pre["aug_flag"]))
+            ctx = RenderContext(rows_from_arrow(aug_tbl))
             meta, payload = self._render_local(ctx, ents)
             payload_refs = [ray.put(payload)] if len(payload) else []
         stage_t = pre["stage_t"]
@@ -658,7 +680,8 @@ class AdiffJob:
         return self._pool_actors
 
     def _render_partition_scatter(
-        self, tbl: pa.Table, row_keys: np.ndarray, ents_sorted: np.ndarray,
+        self, big: pa.Table, sel: np.ndarray, flags_sorted: np.ndarray,
+        row_keys: np.ndarray, ents_sorted: np.ndarray,
         all_edges: tuple[np.ndarray, np.ndarray], seq: int,
     ) -> list:
         """Dependency-partitioned render over the persistent actor pool.
@@ -683,7 +706,7 @@ class AdiffJob:
         uk, first_idx, uk_rows = np.unique(
             row_keys, return_index=True, return_counts=True
         )
-        cells_col = tbl["cell"].to_numpy(zero_copy_only=False)
+        cells_col = big["cell"].to_numpy(zero_copy_only=False)[sel]
         pos_in_uk = np.searchsorted(uk, ents_sorted)
         ent_cell = cells_col[first_idx[pos_in_uk]]
         own_rows = uk_rows[pos_in_uk].astype(np.float64)
@@ -736,6 +759,10 @@ class AdiffJob:
 
         rk_order = np.argsort(row_keys, kind="stable")
         rk_sorted = row_keys[rk_order]
+        # the undeduped concat broadcasts ONCE (zero-copy Arrow in the object store);
+        # each shard takes its own subset in parallel on the actor — the driver ships
+        # index arrays, not N serialized sub-tables (was the scatter's serial cost)
+        big_ref = ray.put(big)
         meta_futs, payload_refs = [], []
         for s in range(N):
             keys_s = dk[ds == s]
@@ -747,11 +774,10 @@ class AdiffJob:
                 np.repeat(lo, lens) + (np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens))
             ]
             flat.sort()  # preserve the table's deterministic row order in the subset
-            sub = tbl.take(pa.array(flat))
             mine = np.flatnonzero(ent_shard == s)  # == these entities' order indices
             mk = ents_sorted[mine]
-            m, p = pool[s].render_part.remote(
-                seq, sub, mine.tolist(),
+            m, p = pool[s].render_part_idx.remote(
+                seq, big_ref, sel[flat], flags_sorted[flat], mine.tolist(),
                 [K.TYPE_NAMES[c] for c in (mk & 3).tolist()],
                 (mk >> 2).tolist(),
             )
@@ -777,9 +803,18 @@ class AdiffJob:
         if self._memory_tbls is None:
             files = sorted(self.memory_root.glob("batch-*.parquet")) if self.memory_root.exists() else []
             self._memory_tbls = [pq.read_table(f) for f in files]
+            self._memory_hashes = [row_hashes(t) for t in self._memory_tbls]
         if not self._memory_tbls:
             return None
         return pa.concat_tables(self._memory_tbls, promote_options="default")
+
+    def _memory_hash_cat(self) -> tuple[np.ndarray, np.ndarray] | None:
+        if not self._memory_hashes:
+            return None
+        return (
+            np.concatenate([h[0] for h in self._memory_hashes]),
+            np.concatenate([h[1] for h in self._memory_hashes]),
+        )
 
     def _write_memory(self, seq: int, table: pa.Table) -> None:
         self.memory_root.mkdir(parents=True, exist_ok=True)
@@ -788,6 +823,7 @@ class AdiffJob:
         os.replace(tmp, self.memory_root / f"batch-{seq:09d}.parquet")
         if self._memory_tbls is not None:
             self._memory_tbls.append(table)
+            self._memory_hashes.append(row_hashes(table))
 
     def _flush_memory(self, seq: int) -> None:
         """Append memory files into the snapshot store's delta tier, then clear them
@@ -808,6 +844,7 @@ class AdiffJob:
             f.unlink()
         SNAP.append_to_cache(self.snapshot_store, rows)
         self._memory_tbls = []
+        self._memory_hashes = []
 
     # -- graft outputs -------------------------------------------------------
 

@@ -99,20 +99,48 @@ IDENT_COLS = [
 ]
 
 
-def dedup_flag_table(tbl: pa.Table, in_update: np.ndarray) -> tuple[pa.Table, np.ndarray]:
+def row_hashes(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit identity hash per row (two independent polars row-hash seeds) over the
+    non-provenance columns. A row's hash never changes, so callers that hold rows
+    across batches (the memory tier) cache these instead of re-hashing the whole
+    augmented set every batch — the stream's dominant driver-serial growth term."""
+    import polars as pl
+
+    if len(tbl) == 0:
+        e = np.empty(0, np.uint64)
+        return e, e
+    df = pl.from_arrow(tbl.combine_chunks().select(IDENT_COLS))
+    return df.hash_rows(seed=1).to_numpy(), df.hash_rows(seed=2).to_numpy()
+
+
+def dedup_flag_table(
+    tbl: pa.Table,
+    in_update: np.ndarray,
+    hashes: tuple[np.ndarray, np.ndarray] | None = None,
+) -> tuple[pa.Table, np.ndarray]:
     """Vectorized full-row dedup (A3) + OR'd ``in_update`` provenance (A4): rows equal on
     every non-provenance column collapse to their FIRST occurrence (callers concat in
     update→memory→storage priority order). Identity = a 128-bit polars row hash over
-    the identity columns (two independent seeds) — no per-row Python."""
-    import polars as pl
-
+    the identity columns (two independent seeds) — no per-row Python. ``hashes``
+    optionally supplies precomputed per-row identity hashes (see :func:`row_hashes`)."""
     n = len(tbl)
     if n == 0:
         return tbl, np.zeros(0, bool)
     tbl = tbl.combine_chunks()  # filter/concat inputs arrive heavily chunked; polars
-    df = pl.from_arrow(tbl.select(IDENT_COLS))  # (and take) degrade per-chunk
-    h1 = df.hash_rows(seed=1).to_numpy()
-    h2 = df.hash_rows(seed=2).to_numpy()
+    h1, h2 = hashes if hashes is not None else row_hashes(tbl)  # (and take) degrade per-chunk
+    rep, flag = _dedup_indices(h1, h2, in_update)
+    return tbl.take(pa.array(rep)), flag
+
+
+def _dedup_indices(
+    h1: np.ndarray, h2: np.ndarray, in_update: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Core of the full-row dedup: per identity-hash group, the FIRST occurrence index
+    (priority = caller's row order) and the OR of ``in_update`` across the group.
+    Group numbering follows the hash sort, so ``rep``'s order is hash order."""
+    n = len(h1)
+    if n == 0:
+        return np.empty(0, np.int64), np.zeros(0, bool)
     order = np.lexsort((h2, h1))
     s1, s2 = h1[order], h2[order]
     new_grp = np.r_[True, (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])]
@@ -123,17 +151,18 @@ def dedup_flag_table(tbl: pa.Table, in_update: np.ndarray) -> tuple[pa.Table, np
     np.minimum.at(rep, gid, np.arange(n))
     flag = np.zeros(n_grp, bool)
     np.logical_or.at(flag, gid, np.asarray(in_update, bool))
-    return tbl.take(pa.array(rep)), flag
+    return rep, flag
 
 
-def augment_table(
+def augment_parts(
     update: pa.Table,
     memory: pa.Table,
     edges: set[tuple[int, int]] | tuple[np.ndarray, np.ndarray],
     snapshot_root: str,
     drop_tags_on_load: bool = True,
     parallel_fetch: bool | str = "auto",
-) -> pa.Table:
+    memory_hashes: tuple[np.ndarray, np.ndarray] | None = None,
+) -> tuple[pa.Table, np.ndarray, np.ndarray, np.ndarray]:
     """→ the deduped, provenance-flagged "rows from everywhere" as ONE Arrow table
     (``in_update`` column carries A4 provenance), deterministically ordered
     (type, id, -timestamp, -version). ``edges`` is either the Python pair set or the
@@ -149,10 +178,12 @@ def augment_table(
 
     parts_list: list[pa.Table] = []
     flags_list: list[np.ndarray] = []
+    hash_list: list[tuple[np.ndarray, np.ndarray]] = []
     cols = update.column_names
 
     parts_list.append(update)
     flags_list.append(np.ones(len(update), bool))
+    hash_list.append(row_hashes(update.select(cols)))
 
     if memory is not None and len(memory):
         mk = K.pack_typed(
@@ -169,6 +200,10 @@ def augment_table(
         mem_f = memory.filter(pa.array(mask)).select(cols)
         parts_list.append(mem_f)
         flags_list.append(np.zeros(len(mem_f), bool))
+        if memory_hashes is not None:  # cached across batches — rows never re-hashed
+            hash_list.append((memory_hashes[0][mask], memory_hashes[1][mask]))
+        else:
+            hash_list.append(row_hashes(mem_f))
 
     _t1 = time.perf_counter()
     storage = SNAP.load_keyed(
@@ -181,23 +216,52 @@ def augment_table(
         storage = storage.select(cols)
         parts_list.append(storage)
         flags_list.append(np.zeros(len(storage), bool))
+        hash_list.append(row_hashes(storage))
 
     big = pa.concat_tables(parts_list, promote_options="default")
-    dedup, flag = dedup_flag_table(big, np.concatenate(flags_list))
+    rep, flag = _dedup_indices(
+        np.concatenate([h[0] for h in hash_list]),
+        np.concatenate([h[1] for h in hash_list]),
+        np.concatenate(flags_list),
+    )
 
     # deterministic order (type rank, id, -timestamp, -version; stable on source
-    # priority) — vectorized; ``in_update`` travels as a column so downstream stages
-    # can stay Arrow (the distributed render ships sub-tables, not dict rows)
-    types = dedup["type"].to_numpy(zero_copy_only=False)
+    # priority) over the DEDUPED domain — all numpy gathers on ``big``; the 10^5-row
+    # nested-column table is never materialized on the driver (the render scatter
+    # takes per-shard subsets straight from ``big`` via ``rep[order]``)
+    types = big["type"].to_numpy(zero_copy_only=False)[rep]
     trank = K.type_code(types)
-    ids = dedup["id"].to_numpy(zero_copy_only=False)
-    ts = dedup["timestamp"].combine_chunks().cast(pa.timestamp("ms")).cast(pa.int64()).to_numpy(zero_copy_only=False)
-    ver = dedup["version"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((np.arange(len(dedup)), -ver, -ts, ids, trank))
-    dedup = dedup.take(pa.array(order))
+    ids = big["id"].to_numpy(zero_copy_only=False)[rep]
+    ts = big["timestamp"].combine_chunks().cast(pa.timestamp("ms")).cast(pa.int64()).to_numpy(zero_copy_only=False)[rep]
+    ver = big["version"].to_numpy(zero_copy_only=False)[rep]
+    order = np.lexsort((np.arange(len(rep)), -ver, -ts, ids, trank))
     if _dbg:
         print(f"[augment] keys={_t1-_t0:.3f} fetch={_t2-_t1:.3f} "
-              f"dedup+sort={time.perf_counter()-_t2:.3f} rows={len(dedup)}", flush=True)
+              f"dedup+order={time.perf_counter()-_t2:.3f} rows={len(rep)}", flush=True)
+    return big, rep, flag, order
+
+
+def augment_table(
+    update: pa.Table,
+    memory: pa.Table,
+    edges: set[tuple[int, int]] | tuple[np.ndarray, np.ndarray],
+    snapshot_root: str,
+    drop_tags_on_load: bool = True,
+    parallel_fetch: bool | str = "auto",
+    memory_hashes: tuple[np.ndarray, np.ndarray] | None = None,
+) -> pa.Table:
+    """Materialized view of :func:`augment_parts`: the deduped, provenance-flagged
+    "rows from everywhere" as ONE Arrow table, deterministically ordered
+    (type, id, -timestamp, -version). The stream's scatter path uses
+    :func:`augment_parts` directly to avoid this driver-side take."""
+    big, rep, flag, order = augment_parts(
+        update, memory, edges, snapshot_root,
+        drop_tags_on_load=drop_tags_on_load,
+        parallel_fetch=parallel_fetch,
+        memory_hashes=memory_hashes,
+    )
+    sel = rep[order]
+    dedup = big.combine_chunks().take(pa.array(sel))
     return dedup.append_column("in_update", pa.array(flag[order]))
 
 
