@@ -44,9 +44,16 @@ def _as_np(x, dtype=np.int64) -> np.ndarray:
 
 
 def type_code(types) -> np.ndarray:
-    """Map type strings ("node"|"way"|"relation") to codes 0|1|2, vectorized."""
+    """Map type strings ("node"|"way"|"relation") to codes 0|1|2, vectorized.
+
+    Arrow inputs stay in C++ (``index_in`` against the 3-value set) — converting a
+    10^5-row string column to a numpy object array costs one Python object per row
+    and sat inside the stream's per-batch augment path."""
     if isinstance(types, (pa.Array, pa.ChunkedArray)):
-        types = types.to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        idx = pc.index_in(types, value_set=pa.array(["node", "way", "relation"]))
+        return idx.cast(pa.int64()).to_numpy(zero_copy_only=False)
     arr = np.asarray(types)
     out = np.zeros(arr.shape, dtype=np.int64)
     out[arr == "way"] = WAY

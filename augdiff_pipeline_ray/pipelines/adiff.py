@@ -164,10 +164,7 @@ class RenderShard:
         steady-state conversion touches only the new rows. ``in_update`` is per-batch
         provenance — (re)stamped on every row after cache assembly."""
         t0 = time.perf_counter()
-        keys = K.pack_typed(
-            tbl["id"].to_numpy(zero_copy_only=False),
-            tbl["type"].to_numpy(zero_copy_only=False),
-        )
+        keys = K.pack_typed(tbl["id"], tbl["type"])
         ver = tbl["version"].to_numpy(zero_copy_only=False)
         ts = (
             tbl["timestamp"].combine_chunks().cast(pa.timestamp("ms"))
@@ -522,10 +519,7 @@ class AdiffJob:
         aug_sel = aug_rep[aug_order]  # deduped+sorted domain → row index into aug_big
         aug_flag_sorted = aug_flag[aug_order]
         # entity work-list, vectorized: unique packed keys ordered (type rank, id)
-        row_keys = K.pack_typed(
-            aug_big["id"].to_numpy(zero_copy_only=False),
-            aug_big["type"].to_numpy(zero_copy_only=False),
-        )[aug_sel]
+        row_keys = K.pack_typed(aug_big["id"], aug_big["type"])[aug_sel]
         ents_sorted = np.unique(row_keys)
         ents_sorted = ents_sorted[np.lexsort((ents_sorted >> 2, ents_sorted & 3))]
         ts = _mark("augment", ts)

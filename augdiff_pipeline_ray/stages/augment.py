@@ -186,10 +186,7 @@ def augment_parts(
     hash_list.append(row_hashes(update.select(cols)))
 
     if memory is not None and len(memory):
-        mk = K.pack_typed(
-            memory["id"].to_numpy(zero_copy_only=False),
-            memory["type"].to_numpy(zero_copy_only=False),
-        )
+        mk = K.pack_typed(memory["id"], memory["type"])
         if len(ks) == 0:
             mask = np.zeros(len(memory), bool)
         elif isinstance(ks, np.ndarray):  # ks sorted-unique → searchsorted beats isin
@@ -229,8 +226,7 @@ def augment_parts(
     # priority) over the DEDUPED domain — all numpy gathers on ``big``; the 10^5-row
     # nested-column table is never materialized on the driver (the render scatter
     # takes per-shard subsets straight from ``big`` via ``rep[order]``)
-    types = big["type"].to_numpy(zero_copy_only=False)[rep]
-    trank = K.type_code(types)
+    trank = K.type_code(big["type"])[rep]
     ids = big["id"].to_numpy(zero_copy_only=False)[rep]
     ts = big["timestamp"].combine_chunks().cast(pa.timestamp("ms")).cast(pa.int64()).to_numpy(zero_copy_only=False)[rep]
     ver = big["version"].to_numpy(zero_copy_only=False)[rep]
