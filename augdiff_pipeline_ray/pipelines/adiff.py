@@ -142,6 +142,10 @@ class RenderShard:
 
         gc.set_threshold(200_000, 100, 100)
 
+    def ping(self) -> bool:
+        """Startup barrier: returns once the actor process is live with imports done."""
+        return True
+
     @ray.method(num_returns=2)
     def render_part_idx(self, seq: int, big: pa.Table, idx: np.ndarray,
                         flags: np.ndarray, orders, types, ids
@@ -236,6 +240,14 @@ def _rep_point(geom_json: dict) -> tuple[float, float] | None:
 @ray.remote(num_cpus=0)
 def _parse_osc_task(path: str, seq: int) -> pa.Table:
     return OSC.read_osc_file(path, batch_seq=seq)
+
+
+@ray.remote(num_cpus=0)
+def _warm_worker() -> bool:
+    """Startup no-op: holding the worker ~0.2 s forces the concurrent warm calls onto
+    DISTINCT worker processes, each paying its package import now, not in batch 1."""
+    time.sleep(0.2)
+    return True
 
 
 def _atomic_pq_write(d: str, seq: int, t: pa.Table) -> None:
@@ -452,10 +464,15 @@ class AdiffJob:
         self._tile_pool().warm()
         SNAP.warm_cache(self.snapshot_store)
         if self.distributed_render:
-            self._render_pool()
+            # block until every render actor's process is up with the by-value
+            # package imported — otherwise batch 1's render pays the cold start
+            ray.get([a.ping.remote() for a in self._render_pool()])
         if self.store is None:
             self.store = IndexStore(self.index_root, num_shards=self.num_shards)
             self.store.start_pool()
+        # spin a few task workers with the package imported: the parse/tail remote
+        # FUNCTIONS otherwise pay worker spawn + import inside batch 1's tail_wait
+        ray.get([_warm_worker.remote() for _ in range(8)])
 
     def _tile_pool(self) -> TilePool:
         """Cell-sharded tile index + overlay bank actor pool (persistent across batches):
