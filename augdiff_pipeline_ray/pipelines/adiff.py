@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from pathlib import Path
 
@@ -421,6 +422,8 @@ class AdiffJob:
         # augment dedup re-hashes only update+storage rows each batch, not the whole
         # accumulated tier (the stream's dominant driver-serial growth term)
         self._memory_hashes: list[tuple[np.ndarray, np.ndarray]] | None = None
+        self._pending_index_futs: list = []  # live-shard appends, joined at next pre
+        self._file_threads: dict[int, threading.Thread] = {}  # durability writers
 
     def _osc_path(self, seq: int) -> str:
         return str(self.world / "changes" / OSC.sequence_path(seq)) + ".osc"
@@ -521,17 +524,22 @@ class AdiffJob:
         # stream's largest driver-serial term at real churn (equivalence pytest-asserted
         # against the set-based transcription in tests/test_closure.py).
         row_a, row_b = edges_from_rows_np(update_el)
+        if self._pending_index_futs:  # previous batch's live-shard appends land here,
+            ray.get(self._pending_index_futs)  # before this batch's 2-hop fetch
+            self._pending_index_futs = []
         ex_a, ex_b = self.store.load_edges_np(np.unique(row_b))
         new_a, new_b, all_a, all_b = local_closure_np(row_a, row_b, ex_a, ex_b)
         ts = _mark("closure", ts)
 
         # J5: semi-join fetch from memory + storage tiers — stays Arrow end-to-end
         memory = self._read_memory()
+        upd_hashes = row_hashes(update_el)  # shared: augment dedup + memory-tier cache
         aug_big, aug_rep, aug_flag, aug_order = augment_parts(
             update_el, memory, (all_a, all_b), self.snapshot_store,
             drop_tags_on_load=self.drop_tags_on_load,
             parallel_fetch=self.parallel_fetch,
             memory_hashes=self._memory_hash_cat(),
+            update_hashes=upd_hashes,
         )
         aug_sel = aug_rep[aug_order]  # deduped+sorted domain → row index into aug_big
         aug_flag_sorted = aug_flag[aug_order]
@@ -544,11 +552,28 @@ class AdiffJob:
         # durable state the NEXT batch's pre reads — memory tier append (T2) + index
         # incremental append (S10) — lands HERE, before render, so batch k+1's pre can
         # start while k renders. Idempotent by batch name (crash → recompute).
-        self._write_memory(seq, update_el)
-        self.store.append_batch_np(new_a, new_b, seq)
-        # flush every save_interval batches (reference parity)
+        # RAM state (memory-tier cache + live index shards) advances now — batch k+1's
+        # pre reads it; the DURABILITY file writes run off the serial path and are
+        # joined before this batch's lineage commit (crash before commit → the batch
+        # recomputes and rewrites the same idempotent files)
+        self._write_memory_cache(update_el, upd_hashes)
+        self._pending_index_futs = self.store.append_pool_futures(new_a, new_b)
         if seq % self.save_interval == 0:
+            # the flush reads the memory FILES — this batch stays fully synchronous
+            for t in list(self._file_threads.values()):
+                t.join()
+            self._file_threads.clear()
+            self._write_memory_file(seq, update_el)
+            self.store.append_batch_files(new_a, new_b, seq)
+            ray.get(self._pending_index_futs)
+            self._pending_index_futs = []
             self._flush_memory(seq)
+        else:
+            th = threading.Thread(
+                target=self._durable_writes, args=(seq, update_el, new_a, new_b)
+            )
+            th.start()
+            self._file_threads[seq] = th
         ts = _mark("emit", ts)
 
         return {
@@ -659,6 +684,10 @@ class AdiffJob:
 
         # tail components (emit + kNN + overlay, each with its writes) as 3 futures
         nbytes, knn_rows, n_overlay = ray.get(list(tail["futs"]))
+        # durability files (memory tier + index batch) must land before the commit
+        th = self._file_threads.pop(seq, None)
+        if th is not None:
+            th.join()
         stage_t["tail_wait"] = round(time.perf_counter() - ts, 3)
 
         # lineage commit — marks the batch done
@@ -828,13 +857,27 @@ class AdiffJob:
         )
 
     def _write_memory(self, seq: int, table: pa.Table) -> None:
+        self._write_memory_file(seq, table)
+        self._write_memory_cache(table, row_hashes(table))
+
+    def _write_memory_file(self, seq: int, table: pa.Table) -> None:
         self.memory_root.mkdir(parents=True, exist_ok=True)
         tmp = self.memory_root / f"batch-{seq:09d}.tmp"
         pq.write_table(table, tmp)
         os.replace(tmp, self.memory_root / f"batch-{seq:09d}.parquet")
+
+    def _write_memory_cache(
+        self, table: pa.Table, hashes: tuple[np.ndarray, np.ndarray]
+    ) -> None:
         if self._memory_tbls is not None:
             self._memory_tbls.append(table)
-            self._memory_hashes.append(row_hashes(table))
+            self._memory_hashes.append(hashes)
+
+    def _durable_writes(self, seq: int, table: pa.Table, new_a, new_b) -> None:
+        """File-durability half of the per-batch emit (runs in a worker thread —
+        Arrow tables are immutable and pq.write_table releases the GIL)."""
+        self._write_memory_file(seq, table)
+        self.store.append_batch_files(new_a, new_b, seq)
 
     def _flush_memory(self, seq: int) -> None:
         """Append memory files into the snapshot store's delta tier, then clear them
@@ -933,6 +976,9 @@ class AdiffJob:
         return {"batches": stats, "skipped": sorted(done - {0}), "end": end}
 
     def close(self) -> None:
+        for t in list(self._file_threads.values()):  # stragglers from aborted batches
+            t.join()
+        self._file_threads.clear()
         if self.store is not None:
             self.store.stop_pool()
             self.store = None

@@ -162,6 +162,7 @@ def augment_parts(
     drop_tags_on_load: bool = True,
     parallel_fetch: bool | str = "auto",
     memory_hashes: tuple[np.ndarray, np.ndarray] | None = None,
+    update_hashes: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> tuple[pa.Table, np.ndarray, np.ndarray, np.ndarray]:
     """→ the deduped, provenance-flagged "rows from everywhere" as ONE Arrow table
     (``in_update`` column carries A4 provenance), deterministically ordered
@@ -183,7 +184,9 @@ def augment_parts(
 
     parts_list.append(update)
     flags_list.append(np.ones(len(update), bool))
-    hash_list.append(row_hashes(update.select(cols)))
+    hash_list.append(
+        update_hashes if update_hashes is not None else row_hashes(update.select(cols))
+    )
 
     if memory is not None and len(memory):
         mk = K.pack_typed(memory["id"], memory["type"])

@@ -238,6 +238,13 @@ class IndexStore:
     def append_batch_np(self, a: np.ndarray, b: np.ndarray, batch_seq: int) -> None:
         """Array-input append (the stream's numpy edge path); (a, b)-sorted input
         expected (local_closure_np output is)."""
+        self.append_batch_files(a, b, batch_seq)
+        ray.get(self.append_pool_futures(a, b))
+
+    def append_batch_files(self, a: np.ndarray, b: np.ndarray, batch_seq: int) -> None:
+        """Durability half of the append: idempotent per-(side, shard) batch files.
+        Safe to run off the serial path — a crash before the batch's lineage commit
+        recomputes the batch and rewrites the same files."""
         if len(a) == 0:
             return
         for side, keys in (("by_a", a), ("by_b", b)):
@@ -250,8 +257,13 @@ class IndexStore:
                     pa.table({"a": a[mask], "b": b[mask]}),
                     d / f"batch-{batch_seq:09d}.parquet",
                 )
-        if self._pool is not None:
-            ray.get([sh.append.remote(a, b) for sh in self._pool])
+
+    def append_pool_futures(self, a: np.ndarray, b: np.ndarray) -> list:
+        """Serving half: live shard-actor appends as futures — the caller joins them
+        before the NEXT batch's 2-hop fetch (the only reader of the live shards)."""
+        if len(a) == 0 or self._pool is None:
+            return []
+        return [sh.append.remote(a, b) for sh in self._pool]
 
     # -- actor pool ----------------------------------------------------------
 

@@ -221,7 +221,11 @@ SCALING_BATCHES = int(os.environ.get("AUGDIFF_SCALING_BATCHES", "12"))
 # render entities), not a latency measurement of fixed per-batch overheads — the
 # north rule's N-vs-4N criterion compares the same large job, so both phases of the
 # job (bulk ingest AND stream) must carry real parallel work per unit of wall time
-SCALING_CHURN = int(os.environ.get("AUGDIFF_SCALING_CHURN", "24000"))
+# 96k rows/batch: at the engine's current stream speed, 24k-row batches measured
+# per-batch fixed latency (driver floor ~0.6 s vs ~1 s of parallel work) rather than
+# throughput; 96k keeps each batch's parallel work (~76k features) dominant — the
+# regime the 10^12-scale minutely stream actually runs in
+SCALING_CHURN = int(os.environ.get("AUGDIFF_SCALING_CHURN", "96000"))
 
 
 def _scaling_world_dir() -> str:
