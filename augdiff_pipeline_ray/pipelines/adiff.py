@@ -890,9 +890,12 @@ class AdiffJob:
         files = sorted(self.memory_root.glob("batch-*.parquet"))
         if not files:
             return
-        rows = pa.concat_tables(
-            [pq.read_table(f) for f in files], promote_options="default"
-        )
+        if self._memory_tbls:  # in-RAM tier mirrors the files (appended in lockstep)
+            rows = pa.concat_tables(self._memory_tbls, promote_options="default")
+        else:
+            rows = pa.concat_tables(
+                [pq.read_table(f) for f in files], promote_options="default"
+            )
         SNAP.append_delta(rows, self.snapshot_store, seq)
         for f in files:
             f.unlink()
