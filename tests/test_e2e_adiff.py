@@ -241,3 +241,33 @@ def test_empty_change_batch(world, tmp_path_factory):
     # resume: the committed empty batch is skipped
     stats2 = AD.run_stream(str(world2), str(out), num_shards=2)
     assert stats2["skipped"] == [1] and len(stats2["batches"]) == 0
+
+
+def test_crash_after_durable_writes_before_commit(world, full_run, tmp_path_factory):
+    """The async-durability crash window: batch k's memory/index FILES are written and
+    the RAM state advanced, but the lineage commit never lands. The resumed run must
+    recompute k (its orphaned files are overwritten idempotently; its memory rows dedup
+    against the recomputed update with the update's provenance winning) and produce
+    byte-identical outputs."""
+    out_full, _ = full_run
+    out = tmp_path_factory.mktemp("out_durablecrash")
+    job = AD.AdiffJob(str(world), str(out), num_shards=2)
+    job.run_stream(start=1, end=2)
+    # batch 3: run ONLY the pre stage (durable writes incl. async thread), then "crash"
+    pre = job._run_pre(3)
+    for t in list(job._file_threads.values()):
+        t.join()
+    job._file_threads.clear()
+    job.close()
+    assert (out / "memory" / "batch-000000003.parquet").exists()
+    assert not (out / "lineage" / "batch-000000003.parquet").exists()
+
+    job2 = AD.AdiffJob(str(world), str(out), num_shards=2)
+    stats = job2.run_stream()
+    job2.close()
+    assert stats["skipped"] == [1, 2]
+    assert [b["seq"] for b in stats["batches"]] == [3, 4, 5, 6]
+    assert _read_all_ndjson(out_full) == _read_all_ndjson(out)
+    asg_a = pq.read_table(out_full / "assignments").to_pylist()
+    asg_b = pq.read_table(out / "assignments").to_pylist()
+    assert asg_a == asg_b
