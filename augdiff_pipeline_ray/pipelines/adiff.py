@@ -856,10 +856,6 @@ class AdiffJob:
             np.concatenate([h[1] for h in self._memory_hashes]),
         )
 
-    def _write_memory(self, seq: int, table: pa.Table) -> None:
-        self._write_memory_file(seq, table)
-        self._write_memory_cache(table, row_hashes(table))
-
     def _write_memory_file(self, seq: int, table: pa.Table) -> None:
         self.memory_root.mkdir(parents=True, exist_ok=True)
         tmp = self.memory_root / f"batch-{seq:09d}.tmp"
