@@ -99,3 +99,44 @@ def partition_number(ids, codes) -> np.ndarray:
 
 def partition_number_typed(ids, types) -> np.ndarray:
     return partition_number(ids, type_code(types))
+
+
+def latest_ts_mask(group: np.ndarray, ts: np.ndarray, cand: np.ndarray) -> np.ndarray:
+    """Keep-mask: rows OUTSIDE ``cand`` all survive; within ``cand``, only each
+    ``group``-key's max-``ts`` rows survive (ALL ties kept, so stable downstream
+    sorts resolve them exactly as the unmasked input would).
+
+    Shared kernel of the render-domain node-history prune (stages.augment
+    ``node_history_prune``) and the storage-tier latest-version mask
+    (sources.snapshot ``prune_node_latest``)."""
+    keep = np.ones(len(group), bool)
+    idx = np.flatnonzero(cand)
+    if len(idx) == 0:
+        return keep
+    k, t = group[idx], ts[idx]
+    o = np.lexsort((-t, k))
+    ks, tsr = k[o], t[o]
+    head = np.r_[True, ks[1:] != ks[:-1]]
+    # per-row max ts of its key group = ts at the group head (sorted -ts within key)
+    gmax = tsr[np.maximum.accumulate(np.where(head, np.arange(len(ks)), 0))]
+    keep[idx[o]] = tsr == gmax
+    return keep
+
+
+def mix_key_ts(keys: np.ndarray, ts: np.ndarray) -> np.ndarray:
+    """64-bit hash-combine of (packed key, epoch-ms ts) pairs — the tier-side
+    node-history prunes use it to detect "suspect" rows whose (key, ts) matches a
+    current-update row (a re-delivered identical row turns in_update=True after the
+    dedup OR, so its OLDER sibling is the true before-window version and must not be
+    pruned). A collision only marks an extra suspect, i.e. prunes less — safe."""
+    a = keys.astype(np.uint64, copy=False) * np.uint64(0x9E3779B97F4A7C15)
+    b = ts.astype(np.uint64, copy=False) * np.uint64(0xC2B2AE3D27D4EB4F)
+    return a ^ (b + np.uint64(0x9E3779B9) + (a << np.uint64(6)) + (a >> np.uint64(2)))
+
+
+def isin_sorted(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Membership of ``values`` in a SORTED array — searchsorted beats np.isin."""
+    if len(sorted_set) == 0:
+        return np.zeros(len(values), bool)
+    pos = np.minimum(np.searchsorted(sorted_set, values), len(sorted_set) - 1)
+    return sorted_set[pos] == values

@@ -49,7 +49,7 @@ from ..sources import geojson as GJ
 from ..sources import osc as OSC
 from ..sources import snapshot as SNAP
 from ..stages import tiles as T
-from ..stages.augment import augment_parts, augment_table, row_hashes
+from ..stages.augment import augment_parts, augment_table, row_hashes, table_meta
 from ..stages.closure import local_closure_np
 from ..stages.edges import edges_from_rows_np
 from ..heap import retain_heap
@@ -392,6 +392,7 @@ class AdiffJob:
         max_overlay_tiles_per_batch: int = 64,
         parallel_fetch: bool | str = "auto",
         distributed_render: bool = True,
+        node_latest_only: bool = True,
     ):
         self.world = Path(world_root)
         self.out = Path(out_root)
@@ -408,6 +409,7 @@ class AdiffJob:
         self.max_overlay = max_overlay_tiles_per_batch
         self.parallel_fetch = parallel_fetch
         self.distributed_render = distributed_render
+        self.node_latest_only = node_latest_only
 
         self.snapshot_store = str(self.out / "snapshot_store")
         self.index_root = str(self.out / "index")
@@ -422,6 +424,10 @@ class AdiffJob:
         # augment dedup re-hashes only update+storage rows each batch, not the whole
         # accumulated tier (the stream's dominant driver-serial growth term)
         self._memory_hashes: list[tuple[np.ndarray, np.ndarray]] | None = None
+        # (packed key, ts, trank) per memory table, same lifecycle as the hashes —
+        # the augment semi-join + tier prune read these instead of re-deriving them
+        # from the whole accumulated tier every batch
+        self._memory_meta: list[tuple[np.ndarray, np.ndarray, np.ndarray]] | None = None
         self._pending_index_futs: list = []  # live-shard appends, joined at next pre
         self._file_threads: dict[int, threading.Thread] = {}  # durability writers
 
@@ -540,6 +546,12 @@ class AdiffJob:
             parallel_fetch=self.parallel_fetch,
             memory_hashes=self._memory_hash_cat(),
             update_hashes=upd_hashes,
+            memory_meta=self._memory_meta_cat(),
+            # drop dead node versions from the render domain (output-identical —
+            # see stages.augment.node_history_prune; equivalence pytest-asserted):
+            # hot keys otherwise re-ship their whole accumulated history to every
+            # render shard every batch, a per-batch cost that grows with stream length
+            node_latest_only=self.node_latest_only,
         )
         aug_sel = aug_rep[aug_order]  # deduped+sorted domain → row index into aug_big
         aug_flag_sorted = aug_flag[aug_order]
@@ -844,6 +856,7 @@ class AdiffJob:
             files = sorted(self.memory_root.glob("batch-*.parquet")) if self.memory_root.exists() else []
             self._memory_tbls = [pq.read_table(f) for f in files]
             self._memory_hashes = [row_hashes(t) for t in self._memory_tbls]
+            self._memory_meta = [table_meta(t) for t in self._memory_tbls]
         if not self._memory_tbls:
             return None
         return pa.concat_tables(self._memory_tbls, promote_options="default")
@@ -854,6 +867,13 @@ class AdiffJob:
         return (
             np.concatenate([h[0] for h in self._memory_hashes]),
             np.concatenate([h[1] for h in self._memory_hashes]),
+        )
+
+    def _memory_meta_cat(self) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+        if not self._memory_meta:
+            return None
+        return tuple(
+            np.concatenate([m[i] for m in self._memory_meta]) for i in range(3)
         )
 
     def _write_memory_file(self, seq: int, table: pa.Table) -> None:
@@ -868,6 +888,7 @@ class AdiffJob:
         if self._memory_tbls is not None:
             self._memory_tbls.append(table)
             self._memory_hashes.append(hashes)
+            self._memory_meta.append(table_meta(table))
 
     def _durable_writes(self, seq: int, table: pa.Table, new_a, new_b) -> None:
         """File-durability half of the per-batch emit (runs in a worker thread —
@@ -898,6 +919,7 @@ class AdiffJob:
         SNAP.append_to_cache(self.snapshot_store, rows)
         self._memory_tbls = []
         self._memory_hashes = []
+        self._memory_meta = []
 
     # -- graft outputs -------------------------------------------------------
 

@@ -176,6 +176,49 @@ def _apply_tag_drop(tbl: pa.Table, drop: bool) -> pa.Table:
     return tbl
 
 
+def _ts_ms(tbl: pa.Table) -> np.ndarray:
+    return (
+        tbl["timestamp"].combine_chunks().cast(pa.timestamp("ms"))
+        .cast(pa.int64()).to_numpy(zero_copy_only=False)
+    )
+
+
+def _node_latest_mask(
+    keys: np.ndarray, ts: np.ndarray, suspect: np.ndarray | None = None
+) -> np.ndarray:
+    """Per-row bool: True unless the row is a NODE version (packed-key low bits 0)
+    older than its key's max timestamp among non-``suspect`` rows. Suspect rows
+    (possible full-row duplicates of a current-update row — they'd turn
+    ``in_update=True`` after the augment dedup OR) neither prune nor suppress."""
+    cand = (keys & 3) == 0
+    if suspect is not None:
+        cand &= ~suspect
+    return K.latest_ts_mask(keys, ts, cand)
+
+
+def prune_node_latest(tbl: pa.Table, protect_mix: np.ndarray | None = None) -> pa.Table:
+    """Drop node rows that are not their key's latest version WITHIN ``tbl``.
+
+    Point-read pushdown for the stream's render domain (see stages.augment
+    ``node_history_prune`` for the output-equivalence argument): a keyed fetch
+    returns every stored version of a hot key — history that the augment stage
+    would prune anyway, after paying to hash/sort/ship it. Because a keyed fetch
+    is per-key complete, the within-table latest IS the storage-tier latest.
+    ``protect_mix``: sorted ``K.mix_key_ts`` of the current update's rows —
+    matching rows are suspects (see :func:`_node_latest_mask`)."""
+    if len(tbl) == 0:
+        return tbl
+    keys = tbl["key"].to_numpy(zero_copy_only=False)
+    ts = _ts_ms(tbl)
+    suspect = None
+    if protect_mix is not None and len(protect_mix):
+        suspect = K.isin_sorted(K.mix_key_ts(keys, ts), protect_mix)
+    keep = _node_latest_mask(keys, ts, suspect)
+    if keep.all():
+        return tbl
+    return tbl.filter(pa.array(keep))
+
+
 def _build_whole_cache(root: str) -> pa.Table:
     """Base part files + delta tier → one combined, single-chunk in-memory table.
     (One chunk: a thousands-of-part-files store pays ~10x per-chunk overhead on
@@ -204,9 +247,18 @@ def append_to_cache(root: str, table: pa.Table) -> None:
     if len(table) == 0:
         return
     table = with_part_and_key(table).drop_columns(["part"]).select(cached.column_names)
-    _TABLE_CACHE[root] = pa.concat_tables(
+    whole = _TABLE_CACHE[root] = pa.concat_tables(
         [cached, table], promote_options="default"
     ).combine_chunks()
+    if _LATEST_CACHE.pop(root, None) is not None:
+        # recompute NOW (inside the flush batch, already the synchronous one) rather
+        # than lazily — lazy recompute landed the whole-cache sort on the serial path
+        # of the first post-flush stream batch
+        ck = whole["key"].to_numpy(zero_copy_only=False)
+        cts = _ts_ms(whole)
+        _LATEST_CACHE[root] = (
+            ck, cts, K.mix_key_ts(ck, cts), _node_latest_mask(ck, cts)
+        )
 
 
 def list_partitions(root: str) -> set[int]:
@@ -223,6 +275,7 @@ PARALLEL_LOAD_MIN_BYTES = 64 * 1024 * 1024  # below this, Ray startup dwarfs the
 
 _PADS_CACHE: dict = {}
 _TABLE_CACHE: dict = {}
+_LATEST_CACHE: dict = {}  # root → _node_latest_mask over _TABLE_CACHE[root]'s rows
 TABLE_CACHE_MAX_BYTES = 128 * 1024 * 1024
 
 
@@ -230,6 +283,7 @@ def invalidate_pads_cache(root: str) -> None:
     """Drop cached handles/tables for ``root`` (call after appending files)."""
     _PADS_CACHE.pop(root, None)
     _TABLE_CACHE.pop(root, None)
+    _LATEST_CACHE.pop(root, None)
 
 
 def warm_cache(root: str) -> None:
@@ -258,10 +312,18 @@ def load_keyed(
     wanted_keys: "set[int] | np.ndarray",
     drop_tags_on_load: bool = True,
     parallel: bool | str = "auto",
+    node_latest_only: bool = False,
+    protect_mix: np.ndarray | None = None,
 ) -> pa.Table:
     """Partition-pruned point read: rows whose packed key ∈ wanted_keys (a Python set
     or an int64 numpy array — the stream's numpy edge path passes the latter,
-    zero-copy into Arrow), scanning only partition dirs in wanted_parts."""
+    zero-copy into Arrow), scanning only partition dirs in wanted_parts.
+
+    ``node_latest_only=True`` additionally drops non-latest node versions
+    (:func:`prune_node_latest`) — on the whole-table-cache path via per-row metadata
+    precomputed once per cache build, not once per read. ``protect_mix`` (sorted
+    ``K.mix_key_ts`` of the current update) marks suspect re-delivered rows that
+    must neither prune nor suppress."""
     avail = list_partitions(root)
     scan = sorted(wanted_parts & avail)
     if not scan or len(wanted_keys) == 0:
@@ -318,7 +380,9 @@ def load_keyed(
                 [base] + [t.select(base.column_names) for t in deltas],
                 promote_options="default",
             )
-        return base
+        # prune AFTER base+delta concat: a key's versions span both tiers, and the
+        # latest must be the latest across the whole fetch
+        return prune_node_latest(base, protect_mix) if node_latest_only else base
     # local path. A small store (sandbox scale: thousands of ~100-row part files) pays
     # more in per-file footer reads than the data is worth — cache the WHOLE store in
     # memory once (the hot-snapshot-cache tier; invalidated on flush) and serve point
@@ -333,7 +397,28 @@ def load_keyed(
         if total_bytes <= TABLE_CACHE_MAX_BYTES:
             cached = _TABLE_CACHE[root] = _build_whole_cache(root)
     if cached is not None:
-        tbl = cached.filter(pc.is_in(cached["key"], value_set=keys_arr))
+        hit = pc.is_in(cached["key"], value_set=keys_arr)
+        if node_latest_only:
+            meta = _LATEST_CACHE.get(root)
+            if meta is None or len(meta[0]) != len(cached):
+                ck = cached["key"].to_numpy(zero_copy_only=False)
+                cts = _ts_ms(cached)
+                meta = _LATEST_CACHE[root] = (
+                    ck, cts, K.mix_key_ts(ck, cts), _node_latest_mask(ck, cts)
+                )
+            ck, cts, cmix, latest = meta
+            hit_np = hit.to_numpy(zero_copy_only=False)
+            if protect_mix is not None and len(protect_mix):
+                suspect = hit_np & K.isin_sorted(cmix, protect_mix)
+                if suspect.any():
+                    # repair the precomputed mask for the suspect keys only: rerun
+                    # the group-max over their (fetched, hence per-key complete) rows
+                    aff = hit_np & K.isin_sorted(ck, np.unique(ck[suspect]))
+                    idx = np.flatnonzero(aff)
+                    latest = latest.copy()
+                    latest[idx] = _node_latest_mask(ck[idx], cts[idx], suspect[idx])
+            hit = pa.array(hit_np & latest)
+        return _apply_tag_drop(cached.filter(hit), drop_tags_on_load)
     else:
         pads_ds = _PADS_CACHE.get(root)
         if pads_ds is None:
@@ -350,6 +435,8 @@ def load_keyed(
                 [tbl] + [t.select(tbl.column_names) for t in deltas],
                 promote_options="default",
             )
+    if node_latest_only:
+        tbl = prune_node_latest(tbl, protect_mix)
     return _apply_tag_drop(tbl, drop_tags_on_load)
 
 

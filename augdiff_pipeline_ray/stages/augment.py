@@ -99,6 +99,19 @@ IDENT_COLS = [
 ]
 
 
+def table_meta(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(packed key, epoch-ms timestamp, type rank) per row — the arrays the augment
+    semi-join + node-history prune need. Computed ONCE per memory-tier table at append
+    time and cached (``AdiffJob._memory_meta``): recomputing them over the whole
+    accumulated tier every batch was a driver-serial term that grew with the tier."""
+    keys = K.pack_typed(tbl["id"], tbl["type"])
+    ts = (
+        tbl["timestamp"].combine_chunks().cast(pa.timestamp("ms"))
+        .cast(pa.int64()).to_numpy(zero_copy_only=False)
+    )
+    return keys, ts, keys & 3
+
+
 def row_hashes(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """128-bit identity hash per row (two independent polars row-hash seeds) over the
     non-provenance columns. A row's hash never changes, so callers that hold rows
@@ -154,6 +167,26 @@ def _dedup_indices(
     return rep, flag
 
 
+def node_history_prune(
+    trank: np.ndarray, ids: np.ndarray, ts: np.ndarray, flag: np.ndarray
+) -> np.ndarray:
+    """Keep-mask for the augmented domain that drops DEAD node versions.
+
+    Node render histories (stages/render.py ``RenderContext``: node ``complete_p`` is
+    constant-True) read exactly two rows per node key: the latest ``in_update`` row and
+    the latest non-update row (``_histories`` sorts by -timestamp and takes the first of
+    each class). Every older non-update node version can never influence any emitted
+    feature, assignment, or kNN row — but the storage/memory tiers return the key's
+    whole accumulated history, which for hot keys grows linearly with stream length
+    (the per-batch sort/ship/context-build growth term). Ways and relations are NOT
+    pruned: their completeness predicates can fall through to older versions.
+
+    Ties at the per-key max timestamp are all kept, so the downstream stable sort
+    resolves them exactly as the unpruned domain would."""
+    cand = (trank == 0) & ~np.asarray(flag, bool)  # non-update node rows
+    return K.latest_ts_mask(ids, ts, cand)
+
+
 def augment_parts(
     update: pa.Table,
     memory: pa.Table,
@@ -163,11 +196,17 @@ def augment_parts(
     parallel_fetch: bool | str = "auto",
     memory_hashes: tuple[np.ndarray, np.ndarray] | None = None,
     update_hashes: tuple[np.ndarray, np.ndarray] | None = None,
+    node_latest_only: bool = False,
+    memory_meta: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
 ) -> tuple[pa.Table, np.ndarray, np.ndarray, np.ndarray]:
     """→ the deduped, provenance-flagged "rows from everywhere" as ONE Arrow table
     (``in_update`` column carries A4 provenance), deterministically ordered
     (type, id, -timestamp, -version). ``edges`` is either the Python pair set or the
-    stream's numpy ``(a, b)`` arrays (no driver-side tuple churn)."""
+    stream's numpy ``(a, b)`` arrays (no driver-side tuple churn).
+
+    ``node_latest_only`` applies :func:`node_history_prune` to the deduped domain —
+    the stream's render path opts in (output-identical, pytest-asserted); the
+    reference-semantics ``augment_semijoin`` query keeps the full row set."""
     import os
     import time
     _dbg = bool(os.environ.get("AUGDIFF_STAGE_DEBUG"))
@@ -176,6 +215,15 @@ def augment_parts(
         ks, parts = needed_keys_np(update, *edges)
     else:
         ks, parts = needed_keys(update, edges)
+
+    protect_mix = None
+    if node_latest_only and len(update):
+        # (key, ts) fingerprints of the update rows: tier rows matching one are
+        # possible re-delivered duplicates — in_update=True after the dedup OR — so
+        # the tier-side prunes must treat them as update rows (neither prune nor
+        # let them suppress an older sibling). Collisions only reduce pruning.
+        uk, uts, _ = table_meta(update)
+        protect_mix = np.sort(K.mix_key_ts(uk, uts))
 
     parts_list: list[pa.Table] = []
     flags_list: list[np.ndarray] = []
@@ -189,7 +237,9 @@ def augment_parts(
     )
 
     if memory is not None and len(memory):
-        mk = K.pack_typed(memory["id"], memory["type"])
+        mk = memory_meta[0] if memory_meta is not None else K.pack_typed(
+            memory["id"], memory["type"]
+        )
         if len(ks) == 0:
             mask = np.zeros(len(memory), bool)
         elif isinstance(ks, np.ndarray):  # ks sorted-unique → searchsorted beats isin
@@ -197,6 +247,22 @@ def augment_parts(
             mask = ks[pos] == mk
         else:
             mask = np.isin(mk, np.fromiter(ks, np.int64, len(ks)))
+        if node_latest_only and mask.any():
+            # tier-side prune (conservative superset of node_history_prune, which
+            # still runs globally below): the semi-join mask is per-key complete, so
+            # the within-tier latest node version is well-defined on the subset
+            if memory_meta is not None:
+                mts, mtr = memory_meta[1], memory_meta[2]
+            else:
+                _, mts, mtr = table_meta(memory)
+            idx = np.flatnonzero(mask)
+            cand = mtr[idx] == 0
+            if protect_mix is not None:
+                cand &= ~K.isin_sorted(
+                    K.mix_key_ts(mk[idx], mts[idx]), protect_mix
+                )
+            keep = K.latest_ts_mask(mk[idx], mts[idx], cand)
+            mask[idx[~keep]] = False
         mem_f = memory.filter(pa.array(mask)).select(cols)
         parts_list.append(mem_f)
         flags_list.append(np.zeros(len(mem_f), bool))
@@ -210,6 +276,8 @@ def augment_parts(
         snapshot_root, parts, ks,
         drop_tags_on_load=drop_tags_on_load,
         parallel=parallel_fetch,
+        node_latest_only=node_latest_only,
+        protect_mix=protect_mix,
     )
     _t2 = time.perf_counter()
     if len(storage):
@@ -217,13 +285,16 @@ def augment_parts(
         parts_list.append(storage)
         flags_list.append(np.zeros(len(storage), bool))
         hash_list.append(row_hashes(storage))
+    _t3 = time.perf_counter()
 
     big = pa.concat_tables(parts_list, promote_options="default")
+    _t4 = time.perf_counter()
     rep, flag = _dedup_indices(
         np.concatenate([h[0] for h in hash_list]),
         np.concatenate([h[1] for h in hash_list]),
         np.concatenate(flags_list),
     )
+    _t5 = time.perf_counter()
 
     # deterministic order (type rank, id, -timestamp, -version; stable on source
     # priority) over the DEDUPED domain — all numpy gathers on ``big``; the 10^5-row
@@ -233,10 +304,17 @@ def augment_parts(
     ids = big["id"].to_numpy(zero_copy_only=False)[rep]
     ts = big["timestamp"].combine_chunks().cast(pa.timestamp("ms")).cast(pa.int64()).to_numpy(zero_copy_only=False)[rep]
     ver = big["version"].to_numpy(zero_copy_only=False)[rep]
+    if node_latest_only:
+        keep = node_history_prune(trank, ids, ts, flag)
+        rep, flag = rep[keep], flag[keep]
+        trank, ids, ts, ver = trank[keep], ids[keep], ts[keep], ver[keep]
+    _t6 = time.perf_counter()
     order = np.lexsort((np.arange(len(rep)), -ver, -ts, ids, trank))
     if _dbg:
         print(f"[augment] keys={_t1-_t0:.3f} fetch={_t2-_t1:.3f} "
-              f"dedup+order={time.perf_counter()-_t2:.3f} rows={len(rep)}", flush=True)
+              f"shash={_t3-_t2:.3f} concat={_t4-_t3:.3f} didx={_t5-_t4:.3f} "
+              f"gather={_t6-_t5:.3f} lex={time.perf_counter()-_t6:.3f} "
+              f"rows={len(rep)} nstore={len(storage)} nbig={len(big)}", flush=True)
     return big, rep, flag, order
 
 

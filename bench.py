@@ -509,6 +509,10 @@ def run_stream_scaling_child(world: str, out: str, num_cpus: int) -> dict:
     job.close()
     ray.shutdown()
     n_feat = sum(b["features"] for b in stats["batches"])
+    dump = os.environ.get("AUGDIFF_STREAM_STAGEDUMP")
+    if dump:  # per-batch stage timings for scaling diagnosis (not part of the metric)
+        with open(f"{dump}.{num_cpus}.json", "w") as f:
+            json.dump(stats["batches"], f, indent=1)
     return {"num_cpus": num_cpus, "sec_stream": round(t_stream, 3),
             "adiff_features": n_feat,
             "feat_per_sec": round(n_feat / t_stream, 2)}

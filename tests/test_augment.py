@@ -106,3 +106,100 @@ def test_dedup_indices_empty():
         np.empty(0, np.uint64), np.empty(0, np.uint64), np.empty(0, bool)
     )
     assert len(rep) == 0 and len(flag) == 0
+
+
+def test_node_history_prune_mask():
+    # keys: node 10 (3 versions non-update + 1 update), node 11 (tie at max ts),
+    # way 20 (2 versions — NEVER pruned), relation 30
+    trank = np.array([0, 0, 0, 0, 0, 0, 1, 1, 2])
+    ids = np.array([10, 10, 10, 10, 11, 11, 20, 20, 30])
+    ts = np.array([5, 3, 1, 2, 7, 7, 1, 9, 4])
+    flag = np.array([False, False, False, True, False, False, False, False, False])
+    keep = AUG.node_history_prune(trank, ids, ts, flag)
+    # node 10: latest non-update (ts=5) + the update row survive; ts=3, ts=1 die
+    # node 11: BOTH rows tied at max ts=7 survive (stable-order tie semantics)
+    # way/relation rows always survive
+    assert keep.tolist() == [True, False, False, True, True, True, True, True, True]
+
+
+def test_stream_prune_is_byte_identical(ray_session, tmp_path_factory):
+    """The stream's node_latest_only render-domain prune must not change ONE byte of
+    any output: ndjson features, assignments, knn, overlay. Uses a world whose churn
+    revisits the same nodes across batches (multi-version histories)."""
+    from pathlib import Path
+
+    from augdiff_pipeline_ray.pipelines import adiff as AD
+    from augdiff_pipeline_ray.pipelines import worldgen as W
+
+    root = tmp_path_factory.mktemp("prune_world")
+    W.write_world(str(root), W.WorldConfig(grid=8, n_images=48, n_batches=6,
+                                           churn_nodes=6))
+
+    def run(prune: bool) -> Path:
+        out = tmp_path_factory.mktemp(f"out_prune_{prune}")
+        job = AD.AdiffJob(str(root), str(out), num_shards=2, render_concurrency=2,
+                          distributed_render="force", node_latest_only=prune)
+        try:
+            job.run_stream()
+        finally:
+            job.close()
+        return out
+
+    a, b = run(True), run(False)
+    files_a = sorted(p.relative_to(a) for p in a.rglob("*.ndjson"))
+    files_b = sorted(p.relative_to(b) for p in b.rglob("*.ndjson"))
+    assert files_a and files_a == files_b
+    for rel in files_a:
+        assert (a / rel).read_bytes() == (b / rel).read_bytes(), rel
+    import pyarrow.parquet as pq
+
+    for sub in ("assignments", "knn", "overlay"):
+        fa = sorted((a / sub).glob("*.parquet"))
+        fb = sorted((b / sub).glob("*.parquet"))
+        assert [f.name for f in fa] == [f.name for f in fb]
+        for x, y in zip(fa, fb):
+            assert pq.read_table(x).equals(pq.read_table(y)), (sub, x.name)
+
+
+def _features_of(parts_result) -> list[dict]:
+    from augdiff_pipeline_ray.stages.render import RenderContext, rows_from_arrow
+
+    big, rep, flag, order = parts_result
+    sel = rep[order]
+    tbl = big.combine_chunks().take(pa.array(sel)).append_column(
+        "in_update", pa.array(flag[order])
+    )
+    return RenderContext(rows_from_arrow(tbl)).all_features()
+
+
+def test_prune_redelivered_row_keeps_before_window(store, ray_session):
+    """A batch that re-delivers a row identical to the tier's newest version turns it
+    in_update=True after the dedup OR — the OLDER version is then the true
+    before_window and the tier-side latest-only prunes must not drop it."""
+    root, snap = store
+    nodes = snap.filter(pa.compute.equal(snap["type"], "node"))
+    base = nodes.slice(0, 1)
+
+    def at(t: pa.Table, dv: int, dts: int) -> pa.Table:
+        t = _bump(t, dv)
+        ts = t["timestamp"].combine_chunks().cast(pa.timestamp("ms")).cast(pa.int64())
+        ts = pa.array(ts.to_numpy(zero_copy_only=False) + dts).cast(
+            pa.timestamp("ms")).cast(t.schema.field("timestamp").type)
+        return t.set_column(t.schema.get_field_index("timestamp"), "timestamp", ts)
+
+    older = at(base, 1, 1000)   # version v+1, older ts
+    newest = at(base, 2, 2000)  # version v+2, newest ts
+    memory = pa.concat_tables([older, newest])
+    update = newest             # re-delivery: byte-identical to the tier's newest
+    edges = (np.empty(0, np.int64), np.empty(0, np.int64))
+
+    full = AUG.augment_parts(update, memory, edges, root)
+    pruned = AUG.augment_parts(update, memory, edges, root, node_latest_only=True)
+    f_full, f_pruned = _features_of(full), _features_of(pruned)
+    assert f_full == f_pruned
+    # and the case is non-vacuous: the older version must appear as the before-feature
+    assert any(not f["properties"]["visible"] or
+               f["properties"]["version"] == older["version"][0].as_py()
+               for f in f_pruned)
+    vers = {f["properties"]["version"] for f in f_pruned}
+    assert older["version"][0].as_py() in vers
