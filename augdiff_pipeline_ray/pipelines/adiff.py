@@ -517,10 +517,12 @@ class AdiffJob:
 
         ts = time.perf_counter()
         fut = self._parse_futs.pop(seq, None)
-        ready = fut is not None and bool(ray.wait([fut], timeout=0)[0])
-        if ready:
-            update = ray.get(fut)  # prefetched by run_stream while batch seq-1 rendered
-        else:  # cold prefetch worker (first batch): parsing locally is cheaper than waiting
+        if fut is not None:
+            # block on the prefetched parse (launched ≥1 batch ago): re-parsing
+            # locally on a not-ready-this-instant future duplicated the whole XML
+            # decode on the driver's serial path
+            update = ray.get(fut)
+        else:  # no prefetch was possible (direct run_batch call)
             update = OSC.read_osc_file(self._osc_path(seq), batch_seq=seq)
         update_el = update.drop_columns(["batch_seq", "action"])
         ts = _mark("parse", ts)
@@ -956,6 +958,10 @@ class AdiffJob:
             # infer from world: count osc files
             osc_files = sorted((self.world / "changes").rglob("*.osc"))
             end = len(osc_files)
+        done = self.lineage.completed()
+        todo_head = [s for s in range(start, end + 1) if s not in done][:2]
+        for s in todo_head:  # overlap the first parses with bootstrap/warm below
+            self._prefetch_parse(s)
         self.bootstrap()
         self.warm()
         if self.store is None:
@@ -966,34 +972,39 @@ class AdiffJob:
         # three-stage software pipeline: while batch k renders on the actor pool, the
         # driver runs k+1's PRE (parse/closure/augment + state writes — legal because
         # k's pre already committed the memory/index state k+1 reads); k's TAIL task
-        # (emit/kNN/overlay) overlaps k+1's render. At every pool width the critical
-        # path is max(serial pre, render), not their sum. Lineage commit for k stays
-        # ordered after k's tail is durable.
+        # (emit/kNN/overlay) overlaps the render of k+1 AND k+2 (depth 2: the tails
+        # are the heaviest parallel stage, and one batch window wasn't enough for
+        # them at full pool width — the driver sat in tail_wait). At every pool
+        # width the critical path is max(serial pre, render, tails/2), not their
+        # sum. Lineage commits stay strictly ordered after each batch's tail is
+        # durable; a kill simply recomputes the (≤2) uncommitted batches
+        # (idempotent writes → byte-identical, tested).
+        from collections import deque
+
         pend_render: tuple[dict, dict] | None = None  # (pre, scatter)
-        pend_tail: tuple[dict, dict] | None = None    # (head, tail)
+        tails: deque = deque()                        # pending (head, tail) finishes
         todo = [s for s in range(start, end + 1) if s not in done]
         for s in todo[:2]:
             self._prefetch_parse(s)
+
+        def _collect_launch(pr) -> None:
+            head = self._render_collect(*pr)
+            tails.append((head, self._launch_tail(head)))
+
         for i, seq in enumerate(todo):
             if i + 2 < len(todo):
                 self._prefetch_parse(todo[i + 2])
             pre = self._run_pre(seq)
             sc = self._render_scatter(pre)
             if pend_render is not None:
-                head = self._render_collect(*pend_render)
-                tail = self._launch_tail(head)
-                if pend_tail is not None:
-                    stats.append(self._finish_batch(*pend_tail))
-                pend_tail = (head, tail)
+                _collect_launch(pend_render)
+                if len(tails) > 2:
+                    stats.append(self._finish_batch(*tails.popleft()))
             pend_render = (pre, sc)
         if pend_render is not None:
-            head = self._render_collect(*pend_render)
-            tail = self._launch_tail(head)
-            if pend_tail is not None:
-                stats.append(self._finish_batch(*pend_tail))
-            pend_tail = (head, tail)
-        if pend_tail is not None:
-            stats.append(self._finish_batch(*pend_tail))
+            _collect_launch(pend_render)
+        while tails:
+            stats.append(self._finish_batch(*tails.popleft()))
         return {"batches": stats, "skipped": sorted(done - {0}), "end": end}
 
     def close(self) -> None:
