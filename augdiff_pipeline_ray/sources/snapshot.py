@@ -196,6 +196,46 @@ def _node_latest_mask(
     return K.latest_ts_mask(keys, ts, cand)
 
 
+def _latest_merge(
+    meta: tuple, nk: np.ndarray, nts: np.ndarray
+) -> tuple:
+    """Fold appended rows (nk, nts) into latest-version metadata
+    ``(keys, ts, mix, latest)`` — exactly equivalent to recomputing
+    ``_node_latest_mask`` over the concatenation (pytest-asserted), but touching
+    only the appended rows and the previously-latest rows of the keys they name.
+
+    Invariant used: every node row with ``latest=True`` carries its key's max
+    timestamp (ties are all kept), so the OLD per-key max is readable from any
+    True row without scanning history."""
+    ck, cts, cmix, latest = meta
+    nn = (nk & 3) == 0
+    app_keep = np.ones(len(nk), bool)
+    latest = latest.copy()
+    if nn.any():
+        k2, t2 = nk[nn], nts[nn]
+        o = np.lexsort((-t2, k2))
+        ks, tsr = k2[o], t2[o]
+        head = np.r_[True, ks[1:] != ks[:-1]]
+        app_keys, app_max = ks[head], tsr[head]  # sorted unique keys + their max ts
+        # previously-latest node rows of the touched keys: flip if superseded,
+        # and read the OLD per-key max from them
+        tr = np.flatnonzero(latest & ((ck & 3) == 0))
+        pos = np.searchsorted(app_keys, ck[tr])
+        hit = (pos < len(app_keys)) & (app_keys[np.minimum(pos, len(app_keys) - 1)] == ck[tr])
+        old_max = np.full(len(app_keys), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(old_max, pos[hit], cts[tr[hit]])
+        latest[tr[hit]] = cts[tr[hit]] >= app_max[pos[hit]]
+        gmax = np.maximum(app_max, old_max)
+        p2 = np.searchsorted(app_keys, k2)
+        app_keep[np.flatnonzero(nn)] = t2 == gmax[p2]
+    return (
+        np.concatenate([ck, nk]),
+        np.concatenate([cts, nts]),
+        np.concatenate([cmix, K.mix_key_ts(nk, nts)]),
+        np.concatenate([latest, app_keep]),
+    )
+
+
 def prune_node_latest(tbl: pa.Table, protect_mix: np.ndarray | None = None) -> pa.Table:
     """Drop node rows that are not their key's latest version WITHIN ``tbl``.
 
@@ -250,15 +290,14 @@ def append_to_cache(root: str, table: pa.Table) -> None:
     whole = _TABLE_CACHE[root] = pa.concat_tables(
         [cached, table], promote_options="default"
     ).combine_chunks()
-    if _LATEST_CACHE.pop(root, None) is not None:
-        # recompute NOW (inside the flush batch, already the synchronous one) rather
-        # than lazily — lazy recompute landed the whole-cache sort on the serial path
-        # of the first post-flush stream batch
-        ck = whole["key"].to_numpy(zero_copy_only=False)
-        cts = _ts_ms(whole)
-        _LATEST_CACHE[root] = (
-            ck, cts, K.mix_key_ts(ck, cts), _node_latest_mask(ck, cts)
-        )
+    meta = _LATEST_CACHE.pop(root, None)
+    if meta is not None:
+        # merge the appended rows into the latest-version metadata incrementally:
+        # O(append + latest-rows of touched keys), NOT a whole-cache recompute —
+        # the flush-time cost must stay flat as the store's history accumulates
+        nk = table["key"].to_numpy(zero_copy_only=False)
+        nts = _ts_ms(table)
+        _LATEST_CACHE[root] = _latest_merge(meta, nk, nts)
 
 
 def list_partitions(root: str) -> set[int]:

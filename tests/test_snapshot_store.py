@@ -140,3 +140,31 @@ def test_storage_format_dispatch(ray_session, tmp_path, monkeypatch):
     assert SRC.storage_format(p) == "lance"
     with pytest.raises(ImportError, match="stand-in"):
         SRC.read_dataset(p)
+
+
+def test_latest_merge_matches_full_recompute():
+    """Incremental latest-version metadata merge == whole-table recompute, across
+    random key/ts streams with hot keys, ties, and mixed node/way rows."""
+    import numpy as np
+
+    from augdiff_pipeline_ray import keys as K
+    from augdiff_pipeline_ray.sources.snapshot import _latest_merge, _node_latest_mask
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n0, n1 = rng.integers(1, 400, 2)
+        def mk(n):
+            ids = rng.integers(0, 40, n)
+            code = rng.choice([0, 0, 0, 1, 2], n)  # node-heavy
+            keys = (ids.astype(np.int64) << 2) | code
+            ts = rng.integers(0, 50, n).astype(np.int64)  # many ties
+            return keys, ts
+        k0, t0 = mk(n0)
+        k1, t1 = mk(n1)
+        meta0 = (k0, t0, K.mix_key_ts(k0, t0), _node_latest_mask(k0, t0))
+        merged = _latest_merge(meta0, k1, t1)
+        ka, ta = np.concatenate([k0, k1]), np.concatenate([t0, t1])
+        want = _node_latest_mask(ka, ta)
+        assert (merged[0] == ka).all() and (merged[1] == ta).all()
+        assert (merged[3] == want).all(), trial
+        assert (merged[2] == K.mix_key_ts(ka, ta)).all()
