@@ -275,7 +275,15 @@ def _build_whole_cache(root: str) -> pa.Table:
             [whole] + [t.select(whole.column_names) for t in deltas],
             promote_options="default",
         )
-    return whole.combine_chunks()
+    whole = whole.combine_chunks()
+    # KEY-SORTED (stable): point reads become searchsorted range gathers, O(hits)
+    # instead of an O(cache) is_in scan per micro-batch (a growth term: the cache
+    # accumulates the store's whole history across flushes)
+    keys = whole["key"].to_numpy(zero_copy_only=False)
+    if not (keys[1:] >= keys[:-1]).all():  # already sorted → skip the copy
+        order = np.argsort(keys, kind="stable")
+        whole = whole.take(pa.array(order)).combine_chunks()
+    return whole
 
 
 def append_to_cache(root: str, table: pa.Table) -> None:
@@ -287,7 +295,7 @@ def append_to_cache(root: str, table: pa.Table) -> None:
     if len(table) == 0:
         return
     table = with_part_and_key(table).drop_columns(["part"]).select(cached.column_names)
-    whole = _TABLE_CACHE[root] = pa.concat_tables(
+    whole = pa.concat_tables(
         [cached, table], promote_options="default"
     ).combine_chunks()
     meta = _LATEST_CACHE.pop(root, None)
@@ -297,7 +305,17 @@ def append_to_cache(root: str, table: pa.Table) -> None:
         # the flush-time cost must stay flat as the store's history accumulates
         nk = table["key"].to_numpy(zero_copy_only=False)
         nts = _ts_ms(table)
-        _LATEST_CACHE[root] = _latest_merge(meta, nk, nts)
+        meta = _latest_merge(meta, nk, nts)
+    # restore the key-sort invariant (stable) and permute the metadata with it
+    keys = whole["key"].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    if not (keys[1:] >= keys[:-1]).all():
+        whole = whole.take(pa.array(order)).combine_chunks()
+        if meta is not None:
+            meta = tuple(arr[order] for arr in meta)
+    _TABLE_CACHE[root] = whole
+    if meta is not None:
+        _LATEST_CACHE[root] = meta
 
 
 def list_partitions(root: str) -> set[int]:
@@ -436,28 +454,43 @@ def load_keyed(
         if total_bytes <= TABLE_CACHE_MAX_BYTES:
             cached = _TABLE_CACHE[root] = _build_whole_cache(root)
     if cached is not None:
-        hit = pc.is_in(cached["key"], value_set=keys_arr)
-        if node_latest_only:
-            meta = _LATEST_CACHE.get(root)
-            if meta is None or len(meta[0]) != len(cached):
-                ck = cached["key"].to_numpy(zero_copy_only=False)
-                cts = _ts_ms(cached)
-                meta = _LATEST_CACHE[root] = (
-                    ck, cts, K.mix_key_ts(ck, cts), _node_latest_mask(ck, cts)
-                )
-            ck, cts, cmix, latest = meta
-            hit_np = hit.to_numpy(zero_copy_only=False)
+        meta = _LATEST_CACHE.get(root)
+        if meta is None or len(meta[0]) != len(cached):
+            ck = cached["key"].to_numpy(zero_copy_only=False)
+            cts = _ts_ms(cached)
+            meta = _LATEST_CACHE[root] = (
+                ck, cts, K.mix_key_ts(ck, cts), _node_latest_mask(ck, cts)
+            )
+        ck, cts, cmix, latest = meta
+        # the cache is KEY-SORTED: gather the wanted keys' row ranges directly —
+        # O(|keys| log n + hits), not an O(cache) is_in scan per micro-batch
+        if isinstance(wanted_keys, np.ndarray):
+            wk = np.unique(wanted_keys)  # sorted unique
+        else:
+            wk = np.unique(np.fromiter(wanted_keys, np.int64, len(wanted_keys)))
+        lo = np.searchsorted(ck, wk, side="left")
+        hi = np.searchsorted(ck, wk, side="right")
+        lens = hi - lo
+        total = int(lens.sum())
+        idx = np.repeat(lo, lens) + (
+            np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        if node_latest_only and len(idx):
+            keep = latest[idx]
             if protect_mix is not None and len(protect_mix):
-                suspect = hit_np & K.isin_sorted(cmix, protect_mix)
+                suspect = K.isin_sorted(cmix[idx], protect_mix)
                 if suspect.any():
                     # repair the precomputed mask for the suspect keys only: rerun
                     # the group-max over their (fetched, hence per-key complete) rows
-                    aff = hit_np & K.isin_sorted(ck, np.unique(ck[suspect]))
-                    idx = np.flatnonzero(aff)
-                    latest = latest.copy()
-                    latest[idx] = _node_latest_mask(ck[idx], cts[idx], suspect[idx])
-            hit = pa.array(hit_np & latest)
-        return _apply_tag_drop(cached.filter(hit), drop_tags_on_load)
+                    aff = K.isin_sorted(ck[idx], np.unique(ck[idx][suspect]))
+                    keep = keep.copy()
+                    keep[aff] = _node_latest_mask(
+                        ck[idx][aff], cts[idx][aff], suspect[aff]
+                    )
+            idx = idx[keep]
+        return _apply_tag_drop(
+            cached.take(pa.array(idx, pa.int64())), drop_tags_on_load
+        )
     else:
         pads_ds = _PADS_CACHE.get(root)
         if pads_ds is None:
