@@ -168,3 +168,84 @@ def test_latest_merge_matches_full_recompute():
         assert (merged[0] == ka).all() and (merged[1] == ta).all()
         assert (merged[3] == want).all(), trial
         assert (merged[2] == K.mix_key_ts(ka, ta)).all()
+
+
+def test_load_keyed_node_latest_only_all_paths(store, tmp_path_factory, ray_session):
+    """node_latest_only must behave identically on the three load_keyed paths
+    (whole-table cache, pads dataset, parallel Ray read): keep only each node key's
+    max-ts versions, keep way/relation history whole, and keep protect_mix suspects
+    AND the rows they would otherwise suppress."""
+    snap, _ = store
+    root = str(tmp_path_factory.mktemp("latest_store") / "store")
+    # multi-version store: 3 versions of every row, distinct ts; build from rd
+    def bump(t, dv, dts):
+        v = pa.array(t["version"].to_numpy(zero_copy_only=False) + dv)
+        ts = t["timestamp"].combine_chunks().cast(pa.timestamp("ms")).cast(pa.int64())
+        ts = pa.array(ts.to_numpy(zero_copy_only=False) + dts).cast(
+            pa.timestamp("ms")).cast(t.schema.field("timestamp").type)
+        t = t.set_column(t.schema.get_field_index("version"), "version", v)
+        return t.set_column(t.schema.get_field_index("timestamp"), "timestamp", ts)
+
+    multi = pa.concat_tables([snap, bump(snap, 1, 1000), bump(snap, 2, 2000)])
+    SNAP.write_snapshot(rd.from_arrow(multi), root)
+
+    keys = np.unique(K.pack_typed(snap["id"], snap["type"]))
+    parts = set(SNAP.parts_of_keys(keys).tolist())
+
+    def norm(t):
+        return sorted(zip(t["key"].to_pylist(), t["version"].to_pylist(),
+                          t["timestamp"].to_pylist()))
+
+    results = {}
+    for name, kw in (
+        ("cached", dict(parallel=False)),
+        ("pads", dict(parallel=False)),
+        ("parallel", dict(parallel=True)),
+    ):
+        SNAP.invalidate_pads_cache(root)
+        if name == "pads":  # force the pads path by forbidding the whole-table cache
+            old = SNAP.TABLE_CACHE_MAX_BYTES
+            SNAP.TABLE_CACHE_MAX_BYTES = 0
+        try:
+            results[name] = SNAP.load_keyed(root, parts, keys,
+                                            node_latest_only=True, **kw)
+        finally:
+            if name == "pads":
+                SNAP.TABLE_CACHE_MAX_BYTES = old
+    SNAP.invalidate_pads_cache(root)
+
+    a, b, c = (norm(results[n]) for n in ("cached", "pads", "parallel"))
+    assert a == b == c
+    got = results["cached"]
+    gk = got["key"].to_numpy(zero_copy_only=False)
+    gts = got["timestamp"].combine_chunks().cast(pa.timestamp("ms")).cast(
+        pa.int64()).to_numpy(zero_copy_only=False)
+    full = SNAP.load_keyed(root, parts, keys, parallel=False)
+    fk = full["key"].to_numpy(zero_copy_only=False)
+    fts = full["timestamp"].combine_chunks().cast(pa.timestamp("ms")).cast(
+        pa.int64()).to_numpy(zero_copy_only=False)
+    for k in keys:
+        if k & 3 == 0:  # node: only the max-ts version survives
+            assert set(gts[gk == k]) == {fts[fk == k].max()}, k
+        else:  # way/relation: full history survives
+            assert (gk == k).sum() == (fk == k).sum(), k
+
+    # protect_mix: mark every key's NEWEST version suspect → the middle version
+    # must re-appear (the suspect neither prunes nor suppresses), on all paths
+    nk = keys[(keys & 3) == 0][:5]
+    sel = np.isin(fk, nk)
+    newest_ts = np.array([fts[fk == k].max() for k in nk])
+    pm = np.sort(K.mix_key_ts(nk, newest_ts))
+    for name, kw in (("cached", dict(parallel=False)), ("parallel", dict(parallel=True))):
+        SNAP.invalidate_pads_cache(root)
+        got_p = SNAP.load_keyed(root, parts, nk, node_latest_only=True,
+                                protect_mix=pm, **kw)
+        pk = got_p["key"].to_numpy(zero_copy_only=False)
+        pts = got_p["timestamp"].combine_chunks().cast(pa.timestamp("ms")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        for k, mx in zip(nk, newest_ts):
+            have = set(pts[pk == k].tolist())
+            rest = fts[(fk == k)]
+            second = rest[rest < mx].max()
+            assert have == {int(mx), int(second)}, (name, k, have)
+    SNAP.invalidate_pads_cache(root)
