@@ -406,6 +406,12 @@ def load_keyed(
         out = batch
         if "part" in out.column_names:  # hive-inferred; local path drops it too
             out = out.drop_columns(["part"])
+        if node_latest_only and len(out):
+            # per-read-task pre-prune (a key's versions may span tasks, so this is a
+            # conservative superset — sound by the same suppressor argument as the
+            # tier prunes since suspects are respected); the driver-side
+            # prune_node_latest on the concat stays the exact final word
+            out = prune_node_latest(out, protect_mix)
         if drop_tags_on_load and len(out):
             empty = pa.array([[]] * len(out), type=out.schema.field("tags").type)
             i = out.schema.get_field_index("tags")
