@@ -95,13 +95,17 @@ def assign_tiles(
     """
     out = Path(out_root)
     out.mkdir(parents=True, exist_ok=True)
-    if concurrency is None:
-        # decode dominates this stage; the feeding read is I/O-light, so the pool takes
-        # most of the node (leaving a slice for the read/collect stages)
-        concurrency = pool_size(frac=0.85, cap=64)
     import pyarrow.dataset as pads
 
     n_imgs = pads.dataset(images_parquet).count_rows()
+    if concurrency is None:
+        # decode dominates this stage; the feeding read is I/O-light, so the pool takes
+        # most of the node (leaving a slice for the read/collect stages) — but never
+        # more actors than ~a quarter of the batch count: per-actor process spawn +
+        # package import costs ~1-2 s, which dominates small bootstrap worlds
+        concurrency = max(
+            2, min(pool_size(frac=0.85, cap=64), n_imgs // (batch_size * 4) + 1)
+        )
     bank_rate = max(1, n_imgs // 4096)  # ≤ ~4096 sampled blobs for the overlay bank
     kwargs = {"verify": verify, "bank_rate": bank_rate}
     files = (
