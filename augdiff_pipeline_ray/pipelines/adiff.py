@@ -430,6 +430,8 @@ class AdiffJob:
         self._memory_meta: list[tuple[np.ndarray, np.ndarray, np.ndarray]] | None = None
         self._pending_index_futs: list = []  # live-shard appends, joined at next pre
         self._file_threads: dict[int, threading.Thread] = {}  # durability writers
+        self._flush_inflight: tuple | None = None  # (seq, thread, tier-prefix len)
+        self._flush_result: tuple | None = None  # set by _flush_build thread
 
     def _osc_path(self, seq: int) -> str:
         return str(self.world / "changes" / OSC.sequence_path(seq)) + ".osc"
@@ -468,8 +470,15 @@ class AdiffJob:
 
     def warm(self) -> None:
         """Build the serving state once, before the first batch: tile-pool shard loads
-        (blocking), snapshot hot-cache tier, render actor pool. Idempotent — belongs to
-        startup, not to the first request's latency."""
+        (blocking), snapshot hot-cache tier, render actor pool, first OSC parses.
+        Idempotent (and ~free on a second call) — belongs to startup, not to the first
+        request's latency."""
+        if getattr(self, "_warmed", False):
+            return
+        # launch the first parses NOW so the XML decode overlaps the shard/cache
+        # loads below — in steady state parse is prefetched batches ahead (~0 on the
+        # critical path); without this the stream-window EDGE pays it serially
+        self._prefetch_first_parses(2)
         self._tile_pool().warm()
         SNAP.warm_cache(self.snapshot_store)
         if self.distributed_render:
@@ -479,9 +488,23 @@ class AdiffJob:
         if self.store is None:
             self.store = IndexStore(self.index_root, num_shards=self.num_shards)
             self.store.start_pool()
-        # spin a few task workers with the package imported: the parse/tail remote
-        # FUNCTIONS otherwise pay worker spawn + import inside batch 1's tail_wait
-        ray.get([_warm_worker.remote() for _ in range(8)])
+        # spin task workers with the package imported: the parse/tail remote FUNCTIONS
+        # (num_cpus=0 — they all run concurrently, each on its OWN worker process)
+        # otherwise pay worker spawn + by-value package import inside batch 1's
+        # tail_wait. Sized to the in-flight task census at full pipeline depth
+        # (3 tail tasks × depth 2 + parse prefetches + durability), capped by the
+        # node width Ray keeps as its idle-worker soft limit.
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        ray.get([_warm_worker.remote() for _ in range(max(8, min(24, n_cpus)))])
+        self._warmed = True
+
+    def _prefetch_first_parses(self, n: int = 2) -> None:
+        """Prefetch-parse the first ``n`` uncommitted batches (idempotent)."""
+        osc_files = sorted((self.world / "changes").rglob("*.osc"))
+        done = self.lineage.completed()
+        todo = [s for s in range(1, len(osc_files) + 1) if s not in done][:n]
+        for s in todo:
+            self._prefetch_parse(s)
 
     def _tile_pool(self) -> TilePool:
         """Cell-sharded tile index + overlay bank actor pool (persistent across batches):
@@ -509,6 +532,11 @@ class AdiffJob:
 
     def _run_pre(self, seq: int) -> dict:
         t0 = time.perf_counter()
+        # publish a finished background flush; cap the adoption lag at 2 batches —
+        # until adoption the RAM tier keeps the flushed rows, so unbounded lag would
+        # reintroduce the O(tier)-per-batch augment growth the flush exists to bound
+        fl = self._flush_inflight
+        self._adopt_flush(block=fl is not None and seq - fl[0] >= 2)
         stage_t: dict[str, float] = {}
 
         def _mark(name, t_start):
@@ -573,15 +601,27 @@ class AdiffJob:
         self._write_memory_cache(update_el, upd_hashes)
         self._pending_index_futs = self.store.append_pool_futures(new_a, new_b)
         if seq % self.save_interval == 0:
-            # the flush reads the memory FILES — this batch stays fully synchronous
-            for t in list(self._file_threads.values()):
-                t.join()
+            # ASYNC flush: the build half (join prior durability writes, write this
+            # batch's files, concat the tier, write the delta file, fold the rows
+            # into a NEW hot-cache table) runs in a background thread over immutable
+            # inputs; the driver adopts the result (dict swap + tier-prefix drop +
+            # file unlinks) at a later batch boundary (_adopt_flush). Until adoption
+            # the stream keeps serving the un-flushed tier — the delta file already
+            # existing on disk is exactly the tested mid-flush-crash/resume state
+            # (suspect-fingerprint dedup makes tier-duplicated rows byte-identical).
+            # The lineage commit of ``seq`` still joins this thread first
+            # (_file_threads[seq]), so commit ⇒ flush durable.
+            self._adopt_flush(block=True)  # at most one flush in flight
+            prev = list(self._file_threads.values())
             self._file_threads.clear()
-            self._write_memory_file(seq, update_el)
-            self.store.append_batch_files(new_a, new_b, seq)
-            ray.get(self._pending_index_futs)
-            self._pending_index_futs = []
-            self._flush_memory(seq)
+            tbls = list(self._memory_tbls) if self._memory_tbls else None
+            th = threading.Thread(
+                target=self._flush_build,
+                args=(seq, update_el, new_a, new_b, prev, tbls),
+            )
+            th.start()
+            self._file_threads[seq] = th
+            self._flush_inflight = (seq, th, len(tbls) if tbls else 0)
         else:
             th = threading.Thread(
                 target=self._durable_writes, args=(seq, update_el, new_a, new_b)
@@ -698,7 +738,11 @@ class AdiffJob:
 
         # tail components (emit + kNN + overlay, each with its writes) as 3 futures
         nbytes, knn_rows, n_overlay = ray.get(list(tail["futs"]))
-        # durability files (memory tier + index batch) must land before the commit
+        # durability files (memory tier + index batch) must land before the commit;
+        # for a flush batch the registered thread is the flush build — adopt it
+        # (join + publish) rather than bare-joining
+        if self._flush_inflight is not None and self._flush_inflight[0] == seq:
+            self._adopt_flush(block=True)
         th = self._file_threads.pop(seq, None)
         if th is not None:
             th.join()
@@ -898,6 +942,62 @@ class AdiffJob:
         self._write_memory_file(seq, table)
         self.store.append_batch_files(new_a, new_b, seq)
 
+    def _flush_build(
+        self, seq: int, update_el: pa.Table, new_a, new_b, prev_threads, tbls
+    ) -> None:
+        """Background half of the memory-tier flush (same durable result as
+        :meth:`_flush_memory`, split so the driver's critical path never blocks on
+        it). Touches NO shared driver state — only files and immutable tables; the
+        driver publishes via :meth:`_adopt_flush`."""
+        for t in prev_threads:  # all memory/index files < seq land first
+            t.join()
+        self._write_memory_file(seq, update_el)
+        self.store.append_batch_files(new_a, new_b, seq)
+        files = [
+            f for f in sorted(self.memory_root.glob("batch-*.parquet"))
+            if int(f.name.split("-")[1].split(".")[0]) <= seq
+        ]
+        if tbls:
+            rows = pa.concat_tables(tbls, promote_options="default")
+        elif files:  # resume path: the RAM tier was never built this process
+            rows = pa.concat_tables(
+                [pq.read_table(f) for f in files], promote_options="default"
+            )
+        else:
+            self._flush_result = (seq, None, None, [])
+            return
+        SNAP.append_delta(rows, self.snapshot_store, seq)
+        merged = SNAP.merged_cache(self.snapshot_store, rows)
+        self._flush_result = (seq, rows, merged, files)
+
+    def _adopt_flush(self, block: bool = False) -> None:
+        """Publish a finished background flush: swap in the pre-merged hot cache,
+        drop the flushed prefix of the RAM tier, unlink the flushed memory files.
+        Driver thread only; O(swap + unlinks), the heavy work happened off-path."""
+        fl = getattr(self, "_flush_inflight", None)
+        if fl is None:
+            return
+        seq, th, n_tbls = fl
+        if th.is_alive():
+            if not block:
+                return
+            th.join()
+        self._flush_inflight = None
+        self._file_threads.pop(seq, None)  # joined ⇒ durable; commit-join also pops
+        _seq, rows, merged, files = self._flush_result
+        self._flush_result = None
+        if rows is None:
+            return
+        SNAP.adopt_cache(self.snapshot_store, merged)
+        for f in files:
+            f.unlink(missing_ok=True)
+        if self._memory_tbls is not None:
+            self._memory_tbls = self._memory_tbls[n_tbls:]
+            self._memory_hashes = self._memory_hashes[n_tbls:]
+            self._memory_meta = self._memory_meta[n_tbls:]
+        else:  # tier was flushed from files (resume path) — now empty
+            self._memory_tbls, self._memory_hashes, self._memory_meta = [], [], []
+
     def _flush_memory(self, seq: int) -> None:
         """Append memory files into the snapshot store's delta tier, then clear them
         (reference flush, AugmentedDiff.scala:226-233 — idempotent by flush seq).
@@ -1008,6 +1108,7 @@ class AdiffJob:
         return {"batches": stats, "skipped": sorted(done - {0}), "end": end}
 
     def close(self) -> None:
+        self._adopt_flush(block=True)  # finalize an un-published background flush
         for t in list(self._file_threads.values()):  # stragglers from aborted batches
             t.join()
         self._file_threads.clear()

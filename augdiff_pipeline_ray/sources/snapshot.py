@@ -286,19 +286,20 @@ def _build_whole_cache(root: str) -> pa.Table:
     return whole
 
 
-def append_to_cache(root: str, table: pa.Table) -> None:
-    """Fold freshly-flushed rows into the hot-store cache in place — rescanning a
-    many-thousand-file store after every flush was a multi-second stall per interval."""
+def merged_cache(root: str, table: pa.Table):
+    """Compute (but do NOT publish) the hot-store cache with ``table``'s rows folded
+    in — the expensive half of :func:`append_to_cache` (concat + key re-sort + latest
+    metadata merge), side-effect-free over immutable inputs so the stream's async
+    flush can run it in a background thread. Returns ``(whole, meta)`` or ``None``
+    when there is no cache to fold into (or nothing to fold)."""
     cached = _TABLE_CACHE.get(root)
-    if cached is None:
-        return
-    if len(table) == 0:
-        return
+    if cached is None or len(table) == 0:
+        return None
     table = with_part_and_key(table).drop_columns(["part"]).select(cached.column_names)
     whole = pa.concat_tables(
         [cached, table], promote_options="default"
     ).combine_chunks()
-    meta = _LATEST_CACHE.pop(root, None)
+    meta = _LATEST_CACHE.get(root)
     if meta is not None:
         # merge the appended rows into the latest-version metadata incrementally:
         # O(append + latest-rows of touched keys), NOT a whole-cache recompute —
@@ -308,14 +309,30 @@ def append_to_cache(root: str, table: pa.Table) -> None:
         meta = _latest_merge(meta, nk, nts)
     # restore the key-sort invariant (stable) and permute the metadata with it
     keys = whole["key"].to_numpy(zero_copy_only=False)
-    order = np.argsort(keys, kind="stable")
     if not (keys[1:] >= keys[:-1]).all():
+        order = np.argsort(keys, kind="stable")
         whole = whole.take(pa.array(order)).combine_chunks()
         if meta is not None:
             meta = tuple(arr[order] for arr in meta)
+    return whole, meta
+
+
+def adopt_cache(root: str, merged) -> None:
+    """Publish a :func:`merged_cache` result (atomic dict swaps — driver thread only)."""
+    if merged is None:
+        return
+    whole, meta = merged
     _TABLE_CACHE[root] = whole
     if meta is not None:
         _LATEST_CACHE[root] = meta
+    else:
+        _LATEST_CACHE.pop(root, None)
+
+
+def append_to_cache(root: str, table: pa.Table) -> None:
+    """Fold freshly-flushed rows into the hot-store cache in place — rescanning a
+    many-thousand-file store after every flush was a multi-second stall per interval."""
+    adopt_cache(root, merged_cache(root, table))
 
 
 def list_partitions(root: str) -> set[int]:
