@@ -532,11 +532,14 @@ class AdiffJob:
 
     def _run_pre(self, seq: int) -> dict:
         t0 = time.perf_counter()
-        # publish a finished background flush; cap the adoption lag at 2 batches —
-        # until adoption the RAM tier keeps the flushed rows, so unbounded lag would
-        # reintroduce the O(tier)-per-batch augment growth the flush exists to bound
-        fl = self._flush_inflight
-        self._adopt_flush(block=fl is not None and seq - fl[0] >= 2)
+        # publish the background flush BEFORE this batch reads any tier state, and
+        # BLOCK for it: which tier serves a row is output-visible (storage rows drop
+        # tags — reference parity, SURVEY §4.4.1), so the tier→storage boundary must
+        # be deterministic, not thread-timing-dependent. Flushed rows become
+        # storage-visible exactly at the next batch — the same boundary as the old
+        # synchronous flush; the flush WORK still overlaps the flush batch's own
+        # render + tails (≈ one batch cycle of it off the critical path).
+        self._adopt_flush(block=True)
         stage_t: dict[str, float] = {}
 
         def _mark(name, t_start):

@@ -25,11 +25,11 @@ Replaces the reference's Hive/ORC backend (common/src/main/scala/OrcBackend.scal
 from __future__ import annotations
 
 import os
+import time
 from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data as rd
@@ -155,7 +155,14 @@ def append_delta(table: pa.Table, root: str, batch_seq: int) -> None:
     d.mkdir(parents=True, exist_ok=True)
     tmp = d / f".batch-{batch_seq:09d}.tmp"
     pq.write_table(table, tmp)
-    os.replace(tmp, d / f"batch-{batch_seq:09d}.parquet")
+    final = d / f"batch-{batch_seq:09d}.parquet"
+    os.replace(tmp, final)
+    # prime the in-process delta cache with the rows just written: the flushing
+    # process's own point reads otherwise re-read every delta FILE on every
+    # micro-batch (an O(flushed-history) per-batch growth term)
+    _DELTA_TBL_CACHE.setdefault(root, {})[str(final)] = (
+        table, table["key"].to_numpy(zero_copy_only=False)
+    )
 
 
 def _delta_files(root: str) -> list[str]:
@@ -165,6 +172,47 @@ def _delta_files(root: str) -> list[str]:
     return sorted(
         os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
     )
+
+
+DELTA_CACHE_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _delta_hits_for(root: str, wk: np.ndarray) -> list[pa.Table]:
+    """Point-read hits from the delta tier for sorted-unique keys ``wk``.
+
+    Delta files are key-sorted (:func:`append_delta`), so each file serves hits as a
+    searchsorted range gather — O(|wk| log n + hits) — from an in-process table cache
+    (byte-capped; cold files are read once). Re-reading and is_in-scanning EVERY delta
+    file on every micro-batch made the stream's point-read cost grow with the number
+    of completed flushes. Ascending gather indices reproduce the file row order, so
+    hits are byte-identical to the old filter path."""
+    files = _delta_files(root)
+    if not files:
+        return []
+    cache = _DELTA_TBL_CACHE.setdefault(root, {})
+    for stale in set(cache) - set(files):  # compaction/cleanup removed a file
+        del cache[stale]
+    hits: list[pa.Table] = []
+    for f in files:
+        ent = cache.get(f)
+        if ent is None:
+            t = pq.read_table(f)
+            k = t["key"].to_numpy(zero_copy_only=False)
+            if sum(e[0].nbytes for e in cache.values()) + t.nbytes <= DELTA_CACHE_MAX_BYTES:
+                cache[f] = (t, k)
+        else:
+            t, k = ent
+        lo = np.searchsorted(k, wk, side="left")
+        hi = np.searchsorted(k, wk, side="right")
+        lens = hi - lo
+        total = int(lens.sum())
+        if not total:
+            continue
+        idx = np.repeat(lo, lens) + (
+            np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        hits.append(t.take(pa.array(idx, pa.int64())))
+    return hits
 
 
 def _apply_tag_drop(tbl: pa.Table, drop: bool) -> pa.Table:
@@ -314,19 +362,24 @@ def merged_cache(root: str, table: pa.Table):
         whole = whole.take(pa.array(order)).combine_chunks()
         if meta is not None:
             meta = tuple(arr[order] for arr in meta)
-    return whole, meta
+    serve = _build_serve_view(meta) if meta is not None else None
+    return whole, meta, serve
 
 
 def adopt_cache(root: str, merged) -> None:
     """Publish a :func:`merged_cache` result (atomic dict swaps — driver thread only)."""
     if merged is None:
         return
-    whole, meta = merged
+    whole, meta, serve = merged
     _TABLE_CACHE[root] = whole
     if meta is not None:
         _LATEST_CACHE[root] = meta
     else:
         _LATEST_CACHE.pop(root, None)
+    if serve is not None:
+        _SERVE_CACHE[root] = serve
+    else:
+        _SERVE_CACHE.pop(root, None)
 
 
 def append_to_cache(root: str, table: pa.Table) -> None:
@@ -350,6 +403,25 @@ PARALLEL_LOAD_MIN_BYTES = 64 * 1024 * 1024  # below this, Ray startup dwarfs the
 _PADS_CACHE: dict = {}
 _TABLE_CACHE: dict = {}
 _LATEST_CACHE: dict = {}  # root → _node_latest_mask over _TABLE_CACHE[root]'s rows
+_DELTA_TBL_CACHE: dict = {}  # root → {delta path: (table, sorted key array)}
+_SERVE_CACHE: dict = {}  # root → _build_serve_view over _LATEST_CACHE[root]
+
+
+def _build_serve_view(meta: tuple) -> tuple:
+    """Latest-only serving view over the key-sorted cache: positions of the rows a
+    ``node_latest_only`` point read can serve (latest node versions + all non-node
+    rows) plus a (mix → row) index for suspect lookups.
+
+    Without it, the gather had to enumerate EVERY stored version of each wanted key
+    before masking — the per-batch fetch cost grew linearly with the stream's
+    flushed history (hot keys accumulate one version per churn batch, forever).
+    With it: O(served hits) per read, flat; suspects (re-delivered rows, normally
+    zero mid-stream) are located via the sorted mix index in O(|update| log n) and
+    only their keys pay a full-history repair."""
+    ck, cts, cmix, latest = meta
+    pos_keep = np.flatnonzero(latest)
+    cmix_order = np.argsort(cmix, kind="stable")
+    return (len(ck), pos_keep, ck[pos_keep], cmix[cmix_order], cmix_order)
 TABLE_CACHE_MAX_BYTES = 128 * 1024 * 1024
 
 
@@ -358,6 +430,8 @@ def invalidate_pads_cache(root: str) -> None:
     _PADS_CACHE.pop(root, None)
     _TABLE_CACHE.pop(root, None)
     _LATEST_CACHE.pop(root, None)
+    _DELTA_TBL_CACHE.pop(root, None)
+    _SERVE_CACHE.pop(root, None)
 
 
 def warm_cache(root: str) -> None:
@@ -412,9 +486,10 @@ def load_keyed(
     if not dirs:
         return ELEMENT_SCHEMA.empty_table()
     if isinstance(wanted_keys, np.ndarray):
-        keys_arr = pa.array(wanted_keys)
+        wk = np.unique(wanted_keys)  # sorted unique — all read paths gather on this
     else:
-        keys_arr = pa.array(np.fromiter(wanted_keys, np.int64, len(wanted_keys)))
+        wk = np.unique(np.fromiter(wanted_keys, np.int64, len(wanted_keys)))
+    keys_arr = pa.array(wk)
 
     def _filter(batch: pa.Table) -> pa.Table:
         # the scanner already applied the key predicate (pushed down via
@@ -436,13 +511,7 @@ def load_keyed(
         return out
 
     def _delta_hits() -> list[pa.Table]:
-        hits = []
-        for f in _delta_files(root):
-            t = pq.read_table(f)
-            t = t.filter(pc.is_in(t["key"], value_set=keys_arr))
-            if len(t):
-                hits.append(t)
-        return hits
+        return _delta_hits_for(root, wk)
 
     if parallel == "auto":
         total = sum(os.path.getsize(f) for f in dirs)
@@ -485,32 +554,49 @@ def load_keyed(
                 ck, cts, K.mix_key_ts(ck, cts), _node_latest_mask(ck, cts)
             )
         ck, cts, cmix, latest = meta
-        # the cache is KEY-SORTED: gather the wanted keys' row ranges directly —
-        # O(|keys| log n + hits), not an O(cache) is_in scan per micro-batch
-        if isinstance(wanted_keys, np.ndarray):
-            wk = np.unique(wanted_keys)  # sorted unique
-        else:
-            wk = np.unique(np.fromiter(wanted_keys, np.int64, len(wanted_keys)))
-        lo = np.searchsorted(ck, wk, side="left")
-        hi = np.searchsorted(ck, wk, side="right")
-        lens = hi - lo
-        total = int(lens.sum())
-        idx = np.repeat(lo, lens) + (
-            np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
-        )
-        if node_latest_only and len(idx):
-            keep = latest[idx]
-            if protect_mix is not None and len(protect_mix):
-                suspect = K.isin_sorted(cmix[idx], protect_mix)
-                if suspect.any():
-                    # repair the precomputed mask for the suspect keys only: rerun
-                    # the group-max over their (fetched, hence per-key complete) rows
-                    aff = K.isin_sorted(ck[idx], np.unique(ck[idx][suspect]))
-                    keep = keep.copy()
-                    keep[aff] = _node_latest_mask(
-                        ck[idx][aff], cts[idx][aff], suspect[aff]
+
+        def _ranges(sorted_keys: np.ndarray, want: np.ndarray) -> np.ndarray:
+            lo = np.searchsorted(sorted_keys, want, side="left")
+            hi = np.searchsorted(sorted_keys, want, side="right")
+            lens = hi - lo
+            total = int(lens.sum())
+            return np.repeat(lo, lens) + (
+                np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+            )
+
+        if not node_latest_only:
+            # full-history fetch (reference-exact semantics): every stored version
+            # of every wanted key, via the key-sorted range gather
+            idx = _ranges(ck, wk)
+            return _apply_tag_drop(
+                cached.take(pa.array(idx, pa.int64())), drop_tags_on_load
+            )
+        # latest-only fetch: gather from the precomputed serving view — O(served
+        # hits) per read, NOT O(all stored versions of the wanted keys), which grew
+        # linearly with the stream's flushed history (see _build_serve_view)
+        serve = _SERVE_CACHE.get(root)
+        if serve is None or serve[0] != len(ck):
+            serve = _SERVE_CACHE[root] = _build_serve_view(meta)
+        _, pos_keep, ck_keep, cmix_sorted, cmix_order = serve
+        idx = pos_keep[_ranges(ck_keep, wk)]
+        if protect_mix is not None and len(protect_mix):
+            # suspects = stored rows matching an update row's (key, ts) fingerprint
+            # (normally none mid-stream; nonzero on re-delivery/recompute). Located
+            # via the sorted mix index in O(|update| log cache); their keys get the
+            # exact full-history repair — suspects neither prune nor suppress.
+            spos = cmix_order[_ranges(cmix_sorted, protect_mix)]
+            if len(spos):
+                skeys = np.unique(ck[spos])
+                akeys = skeys[K.isin_sorted(skeys, wk)]
+                if len(akeys):
+                    aidx = _ranges(ck, akeys)  # full history of affected keys
+                    keep_a = _node_latest_mask(
+                        ck[aidx], cts[aidx],
+                        K.isin_sorted(cmix[aidx], protect_mix),
                     )
-            idx = idx[keep]
+                    drop = K.isin_sorted(ck[idx], akeys)
+                    idx = np.concatenate([idx[~drop], aidx[keep_a]])
+                    idx.sort()  # restore the ascending (cache-order) gather
         return _apply_tag_drop(
             cached.take(pa.array(idx, pa.int64())), drop_tags_on_load
         )
