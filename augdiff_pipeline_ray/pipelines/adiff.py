@@ -511,10 +511,17 @@ class AdiffJob:
         each shard holds only its cells' centroid rows and bank blobs — the driver never
         materializes the tile table (VERDICT r1 #3)."""
         if self._tiles is None:
+            from .indexer import pool_size
+
+            # kNN is the tails' heaviest parallel stage and each shard serves one
+            # call at a time — size the pool to HALF the node, not to the render
+            # pool's quarter: the ring routing still touches only the 1-3 shards a
+            # query's cell interval intersects, so more shards divide per-actor
+            # queue time (the pipeline-fill convoy) without broadcasting work
             self._tiles = TilePool(
                 str(self.out / "tiles_decoded.parquet"),
                 str(self.out / "overlay_bank.parquet"),
-                num_shards=max(2, self.render_concurrency),
+                num_shards=max(2, pool_size(frac=0.5, cap=32)),
             )
         return self._tiles
 

@@ -236,6 +236,7 @@ def augment_parts(
         update_hashes if update_hashes is not None else row_hashes(update.select(cols))
     )
 
+    _m0 = time.perf_counter()
     if memory is not None and len(memory):
         mk = memory_meta[0] if memory_meta is not None else K.pack_typed(
             memory["id"], memory["type"]
@@ -247,6 +248,7 @@ def augment_parts(
             mask = ks[pos] == mk
         else:
             mask = np.isin(mk, np.fromiter(ks, np.int64, len(ks)))
+        _m1 = time.perf_counter()
         if node_latest_only and mask.any():
             # tier-side prune (conservative superset of node_history_prune, which
             # still runs globally below): the semi-join mask is per-key complete, so
@@ -263,13 +265,20 @@ def augment_parts(
                 )
             keep = K.latest_ts_mask(mk[idx], mts[idx], cand)
             mask[idx[~keep]] = False
+        _m2 = time.perf_counter()
         mem_f = memory.filter(pa.array(mask)).select(cols)
+        _m3 = time.perf_counter()
         parts_list.append(mem_f)
         flags_list.append(np.zeros(len(mem_f), bool))
         if memory_hashes is not None:  # cached across batches — rows never re-hashed
             hash_list.append((memory_hashes[0][mask], memory_hashes[1][mask]))
         else:
             hash_list.append(row_hashes(mem_f))
+        if _dbg:
+            print(f"[aug.keys] tier={len(memory)} hits={len(mem_f)} "
+                  f"nk={_m0-_t0:.3f} mask={_m1-_m0:.3f} prune={_m2-_m1:.3f} "
+                  f"filter={_m3-_m2:.3f} hcat={time.perf_counter()-_m3:.3f}",
+                  flush=True)
 
     _t1 = time.perf_counter()
     storage = SNAP.load_keyed(

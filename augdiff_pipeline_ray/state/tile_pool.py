@@ -88,7 +88,16 @@ class TileShard:
     def count(self) -> int:
         return len(self.ids)
 
-    # -- kNN ------------------------------------------------------------------
+    def prime(self, n: int = 8192, k: int = 3) -> int:
+        """Run one representative ring query over this shard's own centroids —
+        the first kernel call otherwise pays the actor's scratch-buffer heap growth
+        (page faults) inside batch 1's tail latency; after it, malloc reuses the
+        pages. Called from TilePool.warm(); result discarded."""
+        if not self.ids:
+            return 0
+        m = min(n, len(self.ids))
+        self.knn_ring(self.lat[:m], self.lon[:m], k, 1)
+        return m
 
     def knn(self, qlat: np.ndarray, qlon: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Local top-k per query (expanding-ring / brute under threshold) as dense
@@ -159,6 +168,13 @@ class BankShard:
 
     def count(self) -> int:
         return 0 if self.bank is None else len(self.bank)
+
+    def prime(self, n: int = 8) -> int:
+        """Open the bank parquet handle and pull a few blobs through the decode path
+        so batch 1's overlay doesn't pay the file-open + first heap growth."""
+        if self.bank is None:
+            return 0
+        return len(self._blobs_for(self._bank_ids[:n]))
 
     def overlay_select(self, touched: np.ndarray) -> list[str]:
         """Phase 1: image_ids of this shard's bank tiles inside the touched cells."""
@@ -324,11 +340,13 @@ class TilePool:
         ] if bank_path else []
 
     def warm(self) -> int:
-        """Block until every shard finished loading (serving-index build — call from
-        bootstrap so the first stream batch doesn't pay the load)."""
+        """Block until every shard finished loading AND ran one representative query
+        (serving-index build + scratch-heap growth — startup cost, not the first
+        stream batch's tail latency)."""
         n = int(sum(ray.get([a.count.remote() for a in self._actors])))
-        if self._bank_actors:
-            ray.get([a.count.remote() for a in self._bank_actors])
+        futs = [a.prime.remote() for a in self._actors]
+        futs += [a.prime.remote() for a in self._bank_actors]
+        ray.get(futs)
         return n
 
     def close(self) -> None:
