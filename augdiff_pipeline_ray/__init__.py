@@ -33,7 +33,7 @@ def _register_pickle_by_value() -> None:
         "functions.similarity", "functions.image", "functions.sketch",
         "sources", "sources.osc", "sources.snapshot", "sources.geojson",
         "stages", "stages.edges", "stages.closure", "stages.augment",
-        "stages.render", "stages.tiles", "stages.shuffle",
+        "stages.render", "stages.tiles", "stages.shuffle", "stages.components",
         "state", "state.index_store", "state.strtree", "state.lineage",
         "state.tile_pool",
         "pipelines", "pipelines.worldgen", "pipelines.indexer", "pipelines.adiff",

@@ -1941,3 +1941,223 @@ def q_tile_decode_verify(sf_dir: str):
         num_cpus=1,
     )
     return out.select_columns(["image_id", "cell", "decode_ok", "psnr_db"])
+
+
+# -- near-dup clustering: pairs → connected components → canonical doc ----------------
+
+
+@query(
+    "dup_clusters",
+    """
+    WITH u AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 1000000, text FROM documents)
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS cluster_id FROM u
+    """,
+)
+def q_dup_clusters(sf_dir: str):
+    """The cluster step of dedup: MinHash+LSH candidate pairs (the distributed
+    pipeline behind ``minhash_dup_pairs``) → connected components → every doc labeled
+    with the min doc_id of its duplicate component (singletons label themselves).
+    CC is ``stages/components.components_auto``: min-label propagation with pointer
+    jumping — O(log n) rounds of hash-join + groupby-min when the pair table exceeds
+    one worker (Kiveris et al. 2014), a single vectorized numpy fixpoint below that
+    (the pair table is output-sized, so the local plan covers every sandbox scale;
+    the Dataset plan is equivalence-tested in tests/test_components.py). The oracle
+    is the window-min over equal text: identical docs share all LSH bands, so the
+    verified pair graph's components are exactly the equal-text groups."""
+    from ..stages import components as CC
+
+    pairs = q_minhash_dup_pairs(sf_dir)
+    edges = pa.table(
+        {
+            "a": pa.array(pairs["id_a"].to_numpy(np.int64)),
+            "b": pa.array(pairs["id_b"].to_numpy(np.int64)),
+        }
+    )
+    lab = CC.components_auto(edges)
+    if isinstance(lab, rd.Dataset):  # pragma: no cover - corpus-scale plan
+        lab = pa.concat_tables(
+            list(lab.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+    nodes = lab["node"].to_numpy(zero_copy_only=False)
+    clus = lab["cluster"].to_numpy(zero_copy_only=False)
+    all_ids = _docs_doubled(sf_dir)["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cluster = all_ids.copy()
+    if len(nodes):
+        pos = np.clip(np.searchsorted(nodes, all_ids), 0, len(nodes) - 1)
+        hit = nodes[pos] == all_ids
+        cluster[hit] = clus[pos[hit]]
+    return pd.DataFrame({"doc_id": all_ids, "cluster_id": cluster})
+
+
+# -- anti-join: customers with no open orders ----------------------------------------
+
+
+@query(
+    "anti_join",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def q_anti_join(sf_dir: str):
+    """Distributed LEFT ANTI join (NOT EXISTS): customers that have no open order.
+    Both sides hash-partition on the key (``Dataset.join(join_type='left_anti')``);
+    the right side is filtered + column-pruned BEFORE the shuffle so only the key
+    column of the matching orders moves."""
+    from ..stages.closure import default_join_partitions
+
+    np_j = default_join_partitions()
+    cust = SRC.read_parquet_clean(
+        TP._p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    open_keys = SRC.read_parquet_clean(
+        TP._p(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"c_custkey": t.filter(pc.equal(t["o_orderstatus"], "O"))["o_custkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return cust.join(open_keys, join_type="left_anti", num_partitions=np_j, on=("c_custkey",))
+
+
+# -- deterministic stratified sampling ------------------------------------------------
+
+
+@query(
+    "stratified_sample",
+    """
+    SELECT event_id, event_type, user_id FROM events
+    WHERE (event_id * 2654435761) % 4294967296 <
+          CASE event_type WHEN 'click' THEN 429496730
+               WHEN 'view' THEN 858993459
+               WHEN 'purchase' THEN 2147483648
+               ELSE 3865470566 END
+    """,
+)
+def q_stratified_sample(sf_dir: str):
+    """Stratified Bernoulli sampling with a DETERMINISTIC hash (Knuth multiplicative
+    mod 2^32), per-stratum rates (click 10%, view 20%, purchase 50%, rest 90%) — the
+    curation primitive for rebalancing a corpus by source/type. Embarrassingly
+    parallel: one vectorized filter per batch, no shuffle, no RNG state; the same
+    arithmetic runs on both engines so the sample is reproducible anywhere."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["event_id", "event_type", "user_id"]
+    )
+    rates = [("click", 429496730), ("view", 858993459), ("purchase", 2147483648)]
+    default_thr = 3865470566
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * np.int64(2654435761)) % np.int64(4294967296)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        thr = np.full(len(t), default_thr, np.int64)
+        for name, v in rates:
+            thr[et == name] = v
+        return t.filter(pa.array(h < thr))
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+# -- rollup aggregate (grouping sets) -------------------------------------------------
+
+
+@query(
+    "rollup_events",
+    """
+    SELECT COALESCE(event_type, '<all>') AS event_type,
+           COALESCE(day, '<all>') AS day,
+           COUNT(*) AS n
+    FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day FROM events)
+    GROUP BY ROLLUP (event_type, day)
+    """,
+)
+def q_rollup_events(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, day): per-(type, day) counts plus per-type and
+    grand totals. Scale shape: per-batch Arrow ``Table.group_by`` partials (only
+    (type, day, n) rows leave each batch) → one small groupby-sum shuffle at
+    (type × day) cardinality → the two coarser rollup levels are derived from that
+    output-sized aggregate in-process (re-aggregating a types×days table is driver
+    arithmetic, not data motion)."""
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        g = pa.table({"event_type": t["event_type"], "day": day}).group_by(
+            ["event_type", "day"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "day": g["day"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    fine = fine.astype({"n": np.int64})
+    by_type = fine.groupby("event_type", as_index=False)["n"].sum()
+    by_type["day"] = "<all>"
+    total = pd.DataFrame(
+        {"event_type": ["<all>"], "day": ["<all>"], "n": [fine["n"].sum()]}
+    )
+    out = pd.concat([fine, by_type, total], ignore_index=True)[
+        ["event_type", "day", "n"]
+    ]
+    return out.astype({"n": np.int64})
+
+
+# -- corpus vocabulary stats (inverted-index statistics) ------------------------------
+
+
+@query(
+    "vocab_stats",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                  FROM documents),
+         t AS (SELECT doc_id, token FROM toks WHERE token <> '')
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY token
+    """,
+)
+def q_vocab_stats(sf_dir: str):
+    """Corpus vocabulary statistics (the aggregate form of an inverted index): per
+    token, total occurrences (tf) and document frequency (df). Scale shape: per-batch
+    combiner (tokenize each doc once, fold into Counter partials — each doc lives in
+    exactly one batch, so per-batch distinct-doc counts sum exactly) → ONE
+    vocabulary-sized groupby-sum; the raw (doc, token) posting rows never shuffle."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tf: Counter = Counter()
+        df: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            toks = [w for w in txt.lower().split(" ") if w]
+            tf.update(toks)
+            df.update(set(toks))
+        keys = sorted(tf)
+        return pa.table(
+            {
+                "token": pa.array(keys, pa.string()),
+                "tf": pa.array([tf[k] for k in keys], pa.int64()),
+                "df": pa.array([df[k] for k in keys], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
+    )
