@@ -222,3 +222,113 @@ def hyperplane_oracle_sql(table: str = "embeddings", vec_col: str = "embedding",
         )
     return (f"SELECT {id_col}, CAST(" + " + ".join(terms)
             + f" AS BIGINT) AS bucket FROM {table}")
+
+
+# -- distributed k-means (semantic clustering over the embeddings table) --------------
+
+
+def _min_ids_partial(t: pa.Table, k: int) -> pa.Table:
+    """Per-batch combiner for the deterministic init: keep the k smallest vec_ids and
+    their vectors (global init = fold of these tiny partials)."""
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = np.argsort(ids, kind="stable")[:k]
+    return t.take(pa.array(keep))
+
+
+def kmeans_init(ds, k: int) -> np.ndarray:
+    """Deterministic seeds: the embeddings of the k smallest vec_ids (one streaming
+    pass of per-batch min-k partials; the driver folds k rows per block)."""
+    import pyarrow as _pa
+
+    parts = ds.map_batches(
+        lambda t: _min_ids_partial(t, k), batch_format="pyarrow"
+    )
+    t = _pa.concat_tables(
+        list(parts.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sel = np.argsort(ids, kind="stable")[:k]
+    return normalize(embedding_matrix(t["embedding"]).astype(np.float64)[sel])
+
+
+def kmeans_iterate(ds, cent: np.ndarray, iters: int = 8) -> np.ndarray:
+    """Distributed Lloyd's on the cosine sphere: per iteration, broadcast the (k, d)
+    centroid matrix (``ray.put`` once, read per task), one ``map_batches`` pass emits
+    k partial rows per batch (cluster, count, float64 vector sum), the driver folds
+    the (k × nblocks)-row partial table and renormalizes. Nothing but k-row partials
+    ever leaves a worker; the embedding table streams k·iters times and never
+    materializes."""
+    import ray as _ray
+
+    k, d = cent.shape
+    for _ in range(iters):
+        ref = _ray.put(np.ascontiguousarray(cent))
+
+        def partial(t: pa.Table, _ref=ref, _k=k, _d=d) -> pa.Table:
+            c = _ray.get(_ref)
+            x = normalize(embedding_matrix(t["embedding"]).astype(np.float64))
+            assign = (x @ c.T).argmax(axis=1)
+            counts = np.bincount(assign, minlength=_k).astype(np.int64)
+            sums = np.zeros((_k, _d), np.float64)
+            for ci in range(_k):
+                m = assign == ci
+                if m.any():
+                    sums[ci] = x[m].sum(axis=0)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(_k, dtype=np.int64)),
+                    "n": pa.array(counts),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        parts = pa.concat_tables(
+            list(
+                ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+            )
+        )
+        cl = parts["cluster"].to_numpy(zero_copy_only=False)
+        n = parts["n"].to_numpy(zero_copy_only=False)
+        vs = embedding_matrix(parts["vsum"], dtype=np.float64)
+        counts = np.zeros(k, np.int64)
+        sums = np.zeros((k, d), np.float64)
+        np.add.at(counts, cl, n)
+        np.add.at(sums, cl, vs)
+        nz = counts > 0
+        cent = cent.copy()
+        cent[nz] = normalize(sums[nz] / counts[nz, None])
+    return cent
+
+
+def kmeans_assign(ds, cent: np.ndarray):
+    """Final labeling pass: (vec_id, cluster) rows, centroids broadcast once."""
+    import ray as _ray
+
+    ref = _ray.put(np.ascontiguousarray(cent))
+
+    def label(t: pa.Table) -> pa.Table:
+        c = _ray.get(ref)
+        x = normalize(embedding_matrix(t["embedding"]).astype(np.float64))
+        assign = (x @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table({"vec_id": t["vec_id"], "cluster": pa.array(assign)})
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+def kmeans_local_reference(
+    embs: np.ndarray, ids: np.ndarray, k: int, iters: int = 8
+) -> np.ndarray:
+    """Single-process Lloyd's with the same init/update rules — the pytest oracle for
+    the distributed path (same float64 math; per-cluster sums are order-stable)."""
+    x = normalize(np.asarray(embs, np.float64))
+    order = np.argsort(np.asarray(ids, np.int64), kind="stable")[:k]
+    cent = x[order].copy()
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for ci in range(k):
+            m = assign == ci
+            if m.any():
+                cent[ci] = normalize(x[m].sum(axis=0, keepdims=True) / m.sum())[0]
+    return (x @ cent.T).argmax(axis=1).astype(np.int64)

@@ -2161,3 +2161,54 @@ def q_vocab_stats(sf_dir: str):
         .groupby("token")
         .aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
     )
+
+
+# -- semi-join: customers with at least one open order --------------------------------
+
+
+@query(
+    "semi_join",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def q_semi_join(sf_dir: str):
+    """Distributed LEFT SEMI join (EXISTS) — the dual of ``anti_join``; completes the
+    join family (inner/broadcast/as-of/range/anti/semi). Right side filtered +
+    pruned to the key column before the hash shuffle."""
+    from ..stages.closure import default_join_partitions
+
+    np_j = default_join_partitions()
+    cust = SRC.read_parquet_clean(
+        TP._p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    open_keys = SRC.read_parquet_clean(
+        TP._p(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"c_custkey": t.filter(pc.equal(t["o_orderstatus"], "O"))["o_custkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return cust.join(open_keys, join_type="left_semi", num_partitions=np_j, on=("c_custkey",))
+
+
+# -- distributed k-means over the embeddings table ------------------------------------
+
+
+@query("kmeans_clusters")
+def q_kmeans_clusters(sf_dir: str):
+    """Semantic clustering: distributed Lloyd's k-means on the cosine sphere
+    (k=10, 8 iterations, deterministic min-vec_id init). Per iteration the (k, d)
+    centroid matrix is broadcast (``ray.put``), one map_batches pass emits k-row
+    partials (count + float64 vector sum per cluster), and the driver folds the tiny
+    partial table — embeddings stream, only k-row partials move. Iterative → not
+    SQL-expressible → rows-only; equivalence with a single-process Lloyd's,
+    objective improvement, and run-to-run determinism are pytest-pinned
+    (tests/test_kmeans.py)."""
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    cent = SIM.kmeans_init(ds, k=10)
+    cent = SIM.kmeans_iterate(ds, cent, iters=8)
+    return SIM.kmeans_assign(ds, cent)
