@@ -2212,3 +2212,84 @@ def q_kmeans_clusters(sf_dir: str):
     cent = SIM.kmeans_init(ds, k=10)
     cent = SIM.kmeans_iterate(ds, cent, iters=8)
     return SIM.kmeans_assign(ds, cent)
+
+
+# -- TF-IDF characteristic terms per document ------------------------------------------
+
+
+@query(
+    "tfidf_topk",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                 FROM documents),
+         tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+         t AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY doc_id, token),
+         d AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY token)
+    SELECT doc_id, token, tf, df, rank FROM (
+      SELECT t.doc_id, t.token, t.tf, d.df,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY t.tf DESC, d.df ASC, t.token ASC) - 1 AS rank
+      FROM t JOIN d USING (token))
+    WHERE rank < 5
+    """,
+)
+def q_tfidf_topk(sf_dir: str):
+    """Top-5 characteristic terms per document, TF-IDF ranked with an INTEGER-EXACT
+    ordering (tf desc — most frequent in the doc; df asc — rarest in the corpus;
+    token tie-break): the float ``tf·ln(N/df)`` score orders identically for fixed N
+    whenever tf ties break by df, but cross-engine ``ln`` bit-determinism is not
+    contractual, so the rank is computed from the integers on both sides. Scale
+    shape: pass 1 = the ``vocab_stats`` combiner → vocabulary-sized df table →
+    broadcast (``ray.put``); pass 2 = per-batch per-doc Counter + partial sort — each
+    doc's rows never leave its batch, no shuffle at all."""
+    from collections import Counter
+
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        df: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            df.update({w for w in txt.lower().split(" ") if w})
+        keys = sorted(df)
+        return pa.table(
+            {"token": pa.array(keys, pa.string()),
+             "df": pa.array([df[k] for k in keys], pa.int64())}
+        )
+
+    df_tab = pa.concat_tables(
+        list(
+            ds.map_batches(df_partial, batch_format="pyarrow")
+            .groupby("token")
+            .aggregate(Sum("df", alias_name="df"))
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    df_ref = _ray.put(dict(zip(df_tab["token"].to_pylist(), df_tab["df"].to_pylist())))
+
+    def topk(t: pa.Table, k: int = 5) -> pa.Table:
+        dfm = _ray.get(df_ref)
+        out_id, out_tok, out_tf, out_df, out_rk = [], [], [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            tf = Counter(w for w in txt.lower().split(" ") if w)
+            ranked = sorted(tf.items(), key=lambda kv: (-kv[1], dfm[kv[0]], kv[0]))[:k]
+            for r, (tok, c) in enumerate(ranked):
+                out_id.append(did)
+                out_tok.append(tok)
+                out_tf.append(c)
+                out_df.append(dfm[tok])
+                out_rk.append(r)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "token": pa.array(out_tok, pa.string()),
+                "tf": pa.array(out_tf, pa.int64()),
+                "df": pa.array(out_df, pa.int64()),
+                "rank": pa.array(out_rk, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow")
