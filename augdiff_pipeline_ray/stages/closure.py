@@ -28,7 +28,14 @@ import ray.data as rd
 
 def _distinct_pairs(ds: rd.Dataset) -> rd.Dataset:
     """Exact dedup of (a, b) pairs: hash-partition groupby + per-group head(1) semantics
-    via map_groups drop_duplicates (scales: only the pair columns move)."""
+    via map_groups drop_duplicates (scales: only the pair columns move).
+
+    Known Ray 2.49 hazard (see stages/components.py): a groupby whose FIRST output
+    partition is empty emits a zero-column block, and a downstream ``Dataset.join``
+    crashes on it. Here the join inputs carry thousands+ of pairs over ≤64 partitions
+    (P(partition 0 empty) ≈ (1-1/n)^rows ≈ 0) and tiny graphs take ``closure_auto``'s
+    local plan, so no repartition pass is spent on it; genuinely small join inputs
+    must ``.repartition()`` first (components.py does)."""
     return ds.groupby(["a", "b"]).map_groups(
         lambda t: t.slice(0, 1), batch_format="pyarrow"
     )
