@@ -2293,3 +2293,94 @@ def q_tfidf_topk(sf_dir: str):
         )
 
     return ds.map_batches(topk, batch_format="pyarrow")
+
+
+# -- exact distinct-count per group (the HLL sketch's exact twin) ----------------------
+
+
+@query(
+    "distinct_per_group",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS nuniq FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_per_group(sf_dir: str):
+    """Exact COUNT(DISTINCT) per group — the exact twin of ``hll_users_per_type``
+    (functions/sketch.py): per-batch np.unique combiner first (duplicate (type, user)
+    rows never shuffle twice), one groupby on the pair collapses cross-batch dups,
+    then a vocabulary-sized groupby-count. Two shuffles, both at distinct-pair (not
+    row) cardinality; when even the distinct pairs are too wide, the HLL path is the
+    fixed-state fallback."""
+    from ray.data.aggregate import Count
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        types, inv = np.unique(et, return_inverse=True)
+        key = inv.astype(np.int64) * (uid.max() + 1 if len(uid) else 1) + uid
+        _, first = np.unique(key, return_index=True)
+        return pa.table(
+            {"event_type": pa.array(et[first]), "user_id": pa.array(uid[first])}
+        )
+
+    pairs = (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    )
+    return (
+        pairs.groupby("event_type")
+        .aggregate(Count(alias_name="nuniq"))
+    )
+
+
+# -- filter by a per-group corpus statistic (exact P90) --------------------------------
+
+
+@query(
+    "quantile_filter",
+    """
+    WITH thr AS (SELECT event_type, quantile_disc(value, 0.9) AS p90
+                 FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN thr USING (event_type)
+    WHERE e.value >= thr.p90
+    """,
+)
+def q_quantile_filter(sf_dir: str):
+    """Curation-style statistic filter: keep the rows at or above their group's exact
+    P90. Pass 1 computes the per-group threshold with the proven inverted-CDF
+    quantile (== DuckDB ``quantile_disc``, an actual element — so the >= comparison
+    is float-exact on both engines); the group-count-sized threshold table broadcasts
+    (``ray.put``) and pass 2 is a shuffle-free vectorized filter per batch."""
+    import ray as _ray
+
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def thr_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "p90": [np.quantile(v, 0.9, method="inverted_cdf")]}
+        )
+
+    thr_df = (
+        ds.groupby("event_type")
+        .map_groups(thr_group, batch_format="pandas")
+        .to_pandas()
+    )
+    thr_ref = _ray.put(dict(zip(thr_df["event_type"], thr_df["p90"])))
+
+    def keep(t: pa.Table) -> pa.Table:
+        thr = _ray.get(thr_ref)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        types, inv = np.unique(et, return_inverse=True)
+        cut = np.array([thr[x] for x in types], np.float64)[inv]
+        return t.filter(pa.array(val >= cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
