@@ -23,7 +23,11 @@ Two plans, auto-selected by input size (the ``closure_auto`` precedent):
   detected with a scalar ``sum(lab)``: labels only ever decrease, so the sum strictly
   decreases until the fixpoint — one cheap aggregate per round instead of a change
   join. All shuffles are hash-partitioned on the node id; nothing ever collects the
-  edge list to the driver.
+  edge list to the driver. After each round the edge set is CONTRACTED into label
+  space (two joins + distinct): edges internal to an already-agreed component become
+  self-loops and vanish, so the dominant per-round cost — re-joining the full edge
+  table — shrinks geometrically; once the super-graph is empty, the remaining rounds
+  are label-table-only pointer jumps.
 """
 
 from __future__ import annotations
@@ -132,25 +136,29 @@ def components_dataset(
         .materialize()
     )
     prev_sum = labels.sum("lab")
+    sym_rows = sym.count()
     for _ in range(max_rounds):
-        # propagate: every edge offers its src's current label to its dst
-        lab_by_src = labels.map_batches(
-            lambda t: _retab(t, {"src": "node", "plab": "lab"}), batch_format="pyarrow"
-        )
-        cand = sym.join(lab_by_src, join_type="inner", num_partitions=np_j, on=("src",))
-        cand = cand.map_batches(
-            lambda t: _retab(t, {"node": "dst", "lab": "plab"}), batch_format="pyarrow"
-        )
-        merged = (
-            labels.union(cand)
-            .groupby("node")
-            .aggregate(Min("lab", alias_name="lab"))
-            .map_batches(
-                lambda t: _retab(t, {"node": "node", "lab": "lab"}), batch_format="pyarrow"
+        if sym_rows:
+            # propagate: every edge offers its src's current label to its dst
+            lab_by_src = labels.map_batches(
+                lambda t: _retab(t, {"src": "node", "plab": "lab"}), batch_format="pyarrow"
             )
-            .repartition(np_j)  # join input: must be free of zero-column empties
-            .materialize()
-        )
+            cand = sym.join(lab_by_src, join_type="inner", num_partitions=np_j, on=("src",))
+            cand = cand.map_batches(
+                lambda t: _retab(t, {"node": "dst", "lab": "plab"}), batch_format="pyarrow"
+            )
+            merged = (
+                labels.union(cand)
+                .groupby("node")
+                .aggregate(Min("lab", alias_name="lab"))
+                .map_batches(
+                    lambda t: _retab(t, {"node": "node", "lab": "lab"}), batch_format="pyarrow"
+                )
+                .repartition(np_j)  # join input: must be free of zero-column empties
+                .materialize()
+            )
+        else:
+            merged = labels  # edge set fully contracted away; only jumps remain
         # pointer jump: lab ← lab's lab (labels are node ids, every lab has a row)
         jump_side = merged.map_batches(
             lambda t: _retab(t, {"lab": "node", "jlab": "lab"}), batch_format="pyarrow"
@@ -167,6 +175,47 @@ def components_dataset(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+        if sym_rows:
+            # CONTRACTION (Kiveris et al. 2014 family): rewrite the edge set into
+            # label space with the freshly-jumped labels. Edges internal to an
+            # already-agreed component become self-loops and vanish, so the biggest
+            # table in the loop shrinks geometrically — later rounds touch only the
+            # not-yet-merged super-graph instead of re-joining all E edges forever.
+            lab_s = labels.map_batches(
+                lambda t: _retab(t, {"src": "node", "slab": "lab"}), batch_format="pyarrow"
+            )
+            lab_d = labels.map_batches(
+                lambda t: _retab(t, {"dst": "node", "dlab": "lab"}), batch_format="pyarrow"
+            )
+            e1 = sym.join(lab_s, join_type="inner", num_partitions=np_j, on=("src",))
+            e2 = e1.map_batches(
+                lambda t: _retab(t, {"dst": "dst", "slab": "slab"}), batch_format="pyarrow"
+            ).join(lab_d, join_type="inner", num_partitions=np_j, on=("dst",))
+
+            def canon(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return pa.table(
+                        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+                    )
+                s = t["slab"].to_numpy(zero_copy_only=False)
+                d = t["dlab"].to_numpy(zero_copy_only=False)
+                keep = s != d
+                s, d = s[keep], d[keep]
+                # canonical undirected pair + per-block dedup before the shuffle
+                arr = np.stack([np.minimum(s, d), np.maximum(s, d)], axis=1)
+                arr = np.unique(arr, axis=0) if len(arr) else arr.reshape(0, 2)
+                return pa.table({"src": pa.array(arr[:, 0]), "dst": pa.array(arr[:, 1])})
+
+            contracted = (
+                e2.map_batches(canon, batch_format="pyarrow")
+                .groupby(["src", "dst"])
+                .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+                .map_batches(
+                    lambda t: _retab(t, {"a": "src", "b": "dst"}), batch_format="pyarrow"
+                )
+            )
+            sym = _edges_symmetric(contracted).repartition(np_j).materialize()
+            sym_rows = sym.count()
     return labels.map_batches(
         lambda t: _retab(t, {"node": "node", "cluster": "lab"}), batch_format="pyarrow"
     )

@@ -150,3 +150,28 @@ def test_dup_clusters_query_transitivity(tmp_path):
     hit = nodes[pos] == all_ids
     cluster[hit] = clus[pos[hit]]
     assert cluster.tolist() == [99, 100, 100, 100, 103]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dataset_plan_high_diameter_with_contraction():
+    """A 300-node path plus a 50-spoke star: the path stresses pointer jumping and
+    edge contraction across many rounds; the star contracts away in round one."""
+    import ray.data as rd
+
+    pa_ = np.arange(299, dtype=np.int64) + 500
+    pb_ = pa_ + 1
+    sa = np.full(50, 5_000, np.int64)
+    sb = np.arange(50, dtype=np.int64) + 5_001
+    a = np.concatenate([pa_, sa])
+    b = np.concatenate([pb_, sb])
+    want = as_dict(*CC.local_components_np(a, b))
+    out = CC.components_dataset(
+        rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)})).repartition(2),
+        num_partitions=2,
+    )
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
+    got = as_dict(
+        t["node"].to_numpy(zero_copy_only=False), t["cluster"].to_numpy(zero_copy_only=False)
+    )
+    assert got == want
+    assert got[799] == 500 and got[5_050] == 5_000
