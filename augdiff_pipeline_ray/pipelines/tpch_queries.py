@@ -2384,3 +2384,84 @@ def q_quantile_filter(sf_dir: str):
         return t.filter(pa.array(val >= cut))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# -- ordered window per key: LAG / time-since-previous ---------------------------------
+
+
+@query(
+    "lag_diff",
+    """
+    SELECT event_id, user_id,
+           COALESCE(epoch_ms(ts) - epoch_ms(LAG(ts) OVER w), -1) AS ms_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_lag_diff(sf_dir: str):
+    """Per-key ordered window (LAG): milliseconds since the user's previous event
+    (first event → NULL-free sentinel handled below). Scale shape: hash shuffle on
+    user_id, one vectorized sort + diff per group (sessionize's partitioning
+    assumption: one user's history fits one task). Integer-exact output."""
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        # force ns resolution before the int view: parquet timestamp[us] loads as
+        # datetime64[us] in pandas 2.x, and a raw astype(int64) would be µs not ms
+        ms = g["ts"].astype("datetime64[ns]").astype("int64").to_numpy(np.int64) // 1_000_000
+        prev = np.empty(len(ms), np.int64)
+        prev[0] = -1
+        prev[1:] = ms[1:] - ms[:-1]
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(np.int64),
+             "user_id": g["user_id"].to_numpy(np.int64),
+             "ms_since_prev": prev}
+        )
+
+    return ds.groupby("user_id").map_groups(lag, batch_format="pandas")
+
+
+# -- pivot: long → wide conditional aggregation ----------------------------------------
+
+
+@query(
+    "pivot_counts",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (event_type = 'view')     AS n_view,
+           COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (event_type = 'error')    AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_counts(sf_dir: str):
+    """Long → wide pivot (conditional aggregation): per user, one count column per
+    event type. Scale shape: the pivot happens INSIDE the batch combiner (each batch
+    emits one already-wide row per (user, type-counts) via np.unique on the packed
+    pair), so the shuffle is a plain groupby-sum over wide rows — no per-type pass,
+    no post-shuffle reshape."""
+    from ray.data.aggregate import Sum
+
+    types = ["click", "view", "purchase", "signup", "error"]
+    cols = [f"n_{t}" for t in types]
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def wide(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        users, uinv = np.unique(uid, return_inverse=True)
+        out = {"user_id": pa.array(users)}
+        for name, col in zip(types, cols):
+            mask = et == name
+            cnt = np.bincount(uinv[mask], minlength=len(users)).astype(np.int64)
+            out[col] = pa.array(cnt)
+        return pa.table(out)
+
+    return (
+        ds.map_batches(wide, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
