@@ -2241,7 +2241,9 @@ def q_tfidf_topk(sf_dir: str):
     contractual, so the rank is computed from the integers on both sides. Scale
     shape: pass 1 = the ``vocab_stats`` combiner → vocabulary-sized df table →
     broadcast (``ray.put``); pass 2 = per-batch per-doc Counter + partial sort — each
-    doc's rows never leave its batch, no shuffle at all."""
+    doc's rows never leave its batch, no shuffle at all. Partitioning assumption: the
+    vocabulary fits one worker (natural-language vocabs do); beyond that, replace the
+    broadcast with a token-keyed hash join of the (doc, token, tf) rows against df."""
     from collections import Counter
 
     import ray as _ray
