@@ -113,3 +113,52 @@ def estimate(registers: np.ndarray) -> float:
         if v > 0:
             return M * np.log(M / v)
     return float(e)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (heavy hitters) — mergeable frequency-overestimate state
+# ---------------------------------------------------------------------------
+#
+# A frequency table over 10^12 rows can't shuffle raw keys either; the count-min
+# sketch (Cormode & Muthukrishnan 2005) is the fixed-size partial: each batch
+# folds its keys into a (CMS_D, CMS_W) int64 grid (vectorized np.add.at per
+# row), grids merge by elementwise SUM, and a point query takes the MIN across
+# rows — an OVERestimate, never an under-estimate. Heavy-hitter detection uses
+# that one-sided error: probe the merged sketch per row, keep rows whose
+# estimate clears the threshold (a superset of the true heavy keys), then run
+# the exact groupby-count only over that pruned subset. Error bound:
+# overcount <= 2N/CMS_W per row with prob 1 - 2^-CMS_D.
+
+CMS_D = 4
+CMS_W = 4096
+_CMS_SEEDS = np.array(
+    [0x243F6A8885A308D3, 0x13198A2E03707344, 0xA4093822299F31D0, 0x082EFA98EC4E6C89],
+    np.uint64,
+)  # pi digits — fixed, deterministic across processes
+
+
+def cms_partial(keys: np.ndarray, sketch: np.ndarray | None = None) -> np.ndarray:
+    """Fold a batch of int64 keys into a (CMS_D, CMS_W) int64 sketch, vectorized."""
+    sk = sketch if sketch is not None else np.zeros((CMS_D, CMS_W), np.int64)
+    if not len(keys):
+        return sk
+    k = np.asarray(keys).astype(np.uint64)
+    for r in range(CMS_D):
+        idx = (hash64(k ^ _CMS_SEEDS[r]) % np.uint64(CMS_W)).astype(np.int64)
+        np.add.at(sk[r], idx, 1)
+    return sk
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Merge two sketches (the combiner): elementwise sum."""
+    return a + b
+
+
+def cms_query(sketch: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Frequency over-estimate per key: min across the CMS_D hashed rows."""
+    k = np.asarray(keys).astype(np.uint64)
+    est = np.full(len(k), np.iinfo(np.int64).max, np.int64)
+    for r in range(CMS_D):
+        idx = (hash64(k ^ _CMS_SEEDS[r]) % np.uint64(CMS_W)).astype(np.int64)
+        np.minimum(est, sketch[r][idx], out=est)
+    return est

@@ -2467,3 +2467,303 @@ def q_pivot_counts(sf_dir: str):
         .groupby("user_id")
         .aggregate(*[Sum(c, alias_name=c) for c in cols])
     )
+
+
+# -- passage-level exact dedup (sub-document granularity) ------------------------------
+
+
+@query(
+    "passage_dedup",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+      FROM documents
+    )
+    SELECT passage, COUNT(*) AS n_dups, MIN(doc_id) AS first_doc FROM (
+      SELECT doc_id, (i-1)//16 AS chunk, string_agg(word, ' ' ORDER BY i) AS passage
+      FROM w GROUP BY doc_id, (i-1)//16
+    ) GROUP BY passage
+    """,
+)
+def q_passage_dedup(sf_dir: str):
+    """Sub-document (passage-level) exact dedup: every non-overlapping 16-word chunk
+    of every document, deduped corpus-wide — the curation granularity that catches
+    boilerplate shared across otherwise-distinct pages. Chunking is fully
+    Arrow-vectorized: ``split_pattern`` gives a word ListArray, new list offsets are
+    laid down at 16-word boundaries with numpy (no per-row loop), and
+    ``binary_join`` reassembles chunk strings zero-copy from the shared word values
+    buffer. A per-batch combiner (dictionary-encode + bincount/minimum.at) collapses
+    in-batch dups so the groupby shuffles one row per distinct in-batch passage; at
+    100 TB the group key would be the passage hash with the text carried alongside
+    (collision-checked), same plan shape."""
+    from ray.data.aggregate import Min, Sum
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+    CH = 16
+
+    def chunks(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts, ends = off[:-1], off[1:]
+        nw = ends - starts  # words per doc
+        nch = -(-nw // CH)  # chunks per doc (ceil)
+        # chunk boundaries: for each doc, start + CH*{0..nch}; consecutive docs share
+        # the boundary at the doc edge, so emit per-doc [start + CH*k for k<nch] + end
+        doc_of_chunk = np.repeat(np.arange(len(nw)), nch)
+        k_in_doc = np.arange(len(doc_of_chunk)) - np.repeat(
+            np.concatenate([[0], np.cumsum(nch)[:-1]]), nch
+        )
+        chunk_starts = starts[doc_of_chunk] + CH * k_in_doc
+        bounds = np.append(chunk_starts, off[-1]).astype(np.int32)
+        # end of chunk j is min(start_j + CH, doc end) == next boundary except at doc
+        # edges, where the next chunk's start equals this doc's end only if aligned —
+        # so build explicit ends instead of relying on adjacency
+        chunk_ends = np.minimum(chunk_starts + CH, ends[doc_of_chunk]).astype(np.int32)
+        # ListArray offsets must be monotone, and a chunk's end may not equal the next
+        # chunk's start (short last chunk) — so lay down [s0,e0,s1,e1,...] and keep
+        # every other list: the even-indexed lists are exactly the chunks
+        inter = pa.ListArray.from_arrays(
+            pa.array(np.stack([chunk_starts, chunk_ends], 1).reshape(-1), pa.int32()),
+            words.values,
+        )
+        passages_all = pc.binary_join(inter, " ")
+        passages = passages_all.take(np.arange(0, len(passages_all), 2))
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)[doc_of_chunk]
+        # in-batch combiner: one row per distinct passage
+        enc = pc.dictionary_encode(passages)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        first = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(first, codes, docs)
+        return pa.table(
+            {"passage": uniq, "n_dups": pa.array(n), "first_doc": pa.array(first)}
+        )
+
+    return (
+        ds.map_batches(chunks, batch_format="pyarrow")
+        .groupby("passage")
+        .aggregate(Sum("n_dups", alias_name="n_dups"),
+                   Min("first_doc", alias_name="first_doc"))
+    )
+
+
+# -- heavy hitters: count-min sketch prune + exact verify ------------------------------
+
+
+@query(
+    "heavy_hitters",
+    """
+    SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    HAVING COUNT(*) * 125 >= (SELECT COUNT(*) FROM events)
+    """,
+)
+def q_heavy_hitters(sf_dir: str):
+    """Heavy hitters (keys with >= 1/125 of all rows) via count-min sketch
+    (functions/sketch.py, Cormode & Muthukrishnan 2005): pass 1 folds each batch
+    into a fixed 4x4096 int64 grid (one small row per batch; merged by elementwise
+    sum — at 10^12 rows this is the only state that moves, never the keys). Pass 2
+    probes the broadcast merged sketch per batch and keeps only rows whose
+    OVER-estimate clears the threshold — a superset of the true heavy keys, so the
+    exact groupby-count that follows runs over the pruned stream and the final
+    integer filter is exact. Oracle-exact output despite the sketch."""
+    from ray.data.aggregate import Count
+
+    from ..functions import sketch as SK
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["user_id"])
+    total = ds.count()  # parquet metadata count — no scan
+
+    def fold(t: pa.Table) -> pa.Table:
+        sk = SK.cms_partial(t["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([sk.tobytes()], pa.binary())})
+
+    # fixed-size reduce: one 128 KB row per input block; the driver sums the tiny
+    # stack (a tree-reduce at real block counts — the payload is block-count bound,
+    # not data bound)
+    merged = np.zeros((SK.CMS_D, SK.CMS_W), np.int64)
+    for row in ds.map_batches(fold, batch_format="pyarrow").take_all():
+        merged = SK.cms_merge(
+            merged, np.frombuffer(row["sketch"], np.int64).reshape(SK.CMS_D, SK.CMS_W)
+        )
+    sk_ref = ray.put(merged)
+
+    def prune(t: pa.Table) -> pa.Table:
+        sk = ray.get(sk_ref)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        est = SK.cms_query(sk, uid)
+        return t.filter(pa.array(est * 125 >= total))
+
+    exact = (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n"))
+    )
+    return exact.filter(lambda r: r["n"] * 125 >= total)
+
+
+# -- per-key moving window (ROWS frame) ------------------------------------------------
+
+
+@query(
+    "moving_window",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(floor(value*100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents3
+    FROM events
+    """,
+)
+def q_moving_window(sf_dir: str):
+    """Per-key ordered moving window (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW):
+    3-event rolling sum of integer cents per user. Scale shape = lag_diff's: hash
+    shuffle on user_id, one vectorized sort + sliding-window subtraction of shifted
+    cumsums per group. Integral cents (floor(value*100), identical IEEE ops both
+    engines) keep the rolling sum integer-exact under any accumulation order."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        cents = np.floor(g["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        c = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.maximum(np.arange(len(cents)) - 2, 0)
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(np.int64),
+             "user_id": g["user_id"].to_numpy(np.int64),
+             "cents3": c[1:] - c[lo]}
+        )
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+
+
+# -- broadcast bloom-filter semi-join --------------------------------------------------
+
+
+@query(
+    "bloom_semi_join",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def q_bloom_semi_join(sf_dir: str):
+    """Semi-join with a broadcast bloom-filter prune: the small side (one segment's
+    customer keys) builds an m-bit bloom (k=4 splitmix64-derived probes, vectorized
+    bit ops), ``ray.put`` once; each fact batch probes the filter first — at 100 TB
+    the bloom (1 MB for 10^6 keys at ~1% fp) rides along where the exact key set
+    (8 MB+ and growing) may not — then false positives are removed with an exact
+    sorted-array membership check on the survivors only. No shuffle touches the fact
+    table; output is exactly the SQL semi-join."""
+    from ..functions import sketch as SK
+
+    cust = pq.read_table(TP._p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))[
+        "c_custkey"
+    ].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    MBITS = 1 << 17  # 16 KB of filter for ~thousands of keys (fp ~ 1e-3)
+    bloom = np.zeros(MBITS // 64, np.uint64)
+    h = SK.hash64(keys)
+    for r in range(4):
+        idx = ((h >> np.uint64(16 * r)) % np.uint64(MBITS)).astype(np.int64)
+        np.bitwise_or.at(bloom, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64))
+    side = ray.put((bloom, np.sort(keys)))
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        bl, exact = ray.get(side)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hh = SK.hash64(ck)
+        hit = np.ones(len(ck), bool)
+        for r in range(4):
+            idx = ((hh >> np.uint64(16 * r)) % np.uint64(MBITS)).astype(np.int64)
+            hit &= (bl[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1) != 0
+        # exact check on the pruned survivors only (removes bloom false positives)
+        pos = np.searchsorted(exact, ck[hit])
+        pos = np.minimum(pos, len(exact) - 1)
+        hit[np.flatnonzero(hit)[exact[pos] != ck[hit]]] = False
+        return t.filter(pa.array(hit))
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+# -- global NTILE via sorted zip-with-index --------------------------------------------
+
+
+@query(
+    "global_ntile",
+    """
+    SELECT o_orderkey,
+           NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+    FROM orders
+    """,
+)
+def q_global_ntile(sf_dir: str):
+    """Global decile bucketing (NTILE(10) over a total order): Ray Data has no
+    zipWithIndex, so this uses the two-pass block-offset scheme
+    (stages/shuffle.py::zip_with_index) — range-partition sort, metadata-only block
+    counts, driver prefix-sum of the TINY count vector, remote per-block rank stamp;
+    no row visits the driver. Bucket math reproduces SQL NTILE exactly: the first
+    (N mod 10) buckets get ceil(N/10) rows."""
+    from ..stages.shuffle import zip_with_index
+
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    )
+    n = ds.count()
+    q10, rem = divmod(n, 10)
+    ranked = zip_with_index(ds.sort(["o_totalprice", "o_orderkey"]), "rank")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        big = rem * (q10 + 1)  # rows covered by the (q10+1)-sized buckets
+        dec = np.where(r < big, r // (q10 + 1), rem + (r - big) // max(q10, 1)) + 1
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "decile": pa.array(dec.astype(np.int64))}
+        )
+
+    return ranked.map_batches(bucket, batch_format="pyarrow")
+
+
+# -- ordered per-key collect (string_agg) ----------------------------------------------
+
+
+@query(
+    "collect_ordered",
+    """
+    SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+    FROM events GROUP BY user_id
+    """,
+)
+def q_collect_ordered(sf_dir: str):
+    """Ordered per-key collect (SQL string_agg with ORDER BY): each user's full
+    event-type sequence as one comma-joined string — the feature-engineering shape
+    for sequence models. Hash shuffle on user_id; per group one stable sort + a
+    single Arrow binary_join (the group's strings never become Python objects).
+    Partitioning assumption: one key's history fits one task (sessionize's)."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def seq(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        et = t["event_type"].take(pa.array(order))
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        one = pa.ListArray.from_arrays(pa.array([0, len(et)], pa.int32()), et)
+        joined = pc.binary_join(one, ",")
+        return pa.table(
+            {"user_id": t["user_id"].slice(0, 1), "seq": joined}
+        )
+
+    return ds.groupby("user_id").map_groups(seq, batch_format="pyarrow")

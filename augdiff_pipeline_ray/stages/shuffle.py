@@ -111,3 +111,37 @@ def salted_group_apply(
     salted = add_salt(ds, key, hot, k)
     per_salt = salted.groupby([key, "salt"]).map_groups(fn, batch_format="pandas")
     return per_salt.groupby(key).map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# global zip-with-index over a sorted Dataset (rank assignment without collect)
+# ---------------------------------------------------------------------------
+
+
+def zip_with_index(ds: rd.Dataset, index_col: str = "rank") -> rd.Dataset:
+    """Stamp each row with its global 0-based position in the Dataset's block order.
+
+    Ray Data has no zipWithIndex; this is the classic two-pass block-offset scheme,
+    one of the few places raw Ray tasks are warranted (SURVEY.md §2 RD-mapping rule):
+    the sorted Dataset's blocks stay in the object store as Arrow tables
+    (``to_arrow_refs`` moves REFERENCES, not data), a metadata-only pass reads each
+    block's row count, the driver prefix-sums the tiny count vector, and a remote
+    task per block stamps ``offset + arange(n)`` — no row ever touches the driver.
+    After ``ds.sort(keys)``, block order IS the sort order, so the stamped column is
+    the exact global rank (ties resolved by the caller's sort key)."""
+    refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def _count(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def _stamp(t: pa.Table, offset: int) -> pa.Table:
+        return t.append_column(
+            index_col, pa.array(offset + np.arange(t.num_rows, dtype=np.int64))
+        )
+
+    counts = ray.get([_count.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    stamped = [_stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(stamped)

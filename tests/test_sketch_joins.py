@@ -194,3 +194,54 @@ def test_hll_query_close_to_exact(ray_session, events_dir):
     exact = df.groupby("event_type")["user_id"].nunique()
     for t, n in exact.items():
         assert abs(got[t] - n) / n < 0.05
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (heavy hitters)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_merge_equals_single_pass():
+    rng = np.random.default_rng(7)
+    # zipf-ish: a few heavy keys + a long tail
+    keys = np.concatenate(
+        [np.repeat(np.arange(20, dtype=np.int64), 500),
+         rng.integers(0, 1_000_000, 20_000).astype(np.int64)]
+    )
+    rng.shuffle(keys)
+    parts = np.array_split(keys, 7)
+    merged = SK.cms_partial(parts[0])
+    for p in parts[1:]:
+        merged = SK.cms_merge(merged, SK.cms_partial(p))
+    single = SK.cms_partial(keys)
+    assert (merged == single).all()
+    uniq, true = np.unique(keys, return_counts=True)
+    est = SK.cms_query(merged, uniq)
+    assert (est >= true).all()  # the one-sided guarantee heavy_hitters relies on
+    # heavy keys (500+ rows) are cleanly separated from tail overcounts
+    assert (est[np.isin(uniq, np.arange(20))] >= 500).all()
+    # overcount bounded: E[over] <= 2N/W per row, min over D rows is far tighter
+    assert (est - true).max() <= 2 * len(keys) // SK.CMS_W + 64
+
+
+def test_cms_empty_batch_is_identity():
+    z = SK.cms_partial(np.empty(0, np.int64))
+    assert z.shape == (SK.CMS_D, SK.CMS_W) and z.sum() == 0
+
+
+# ---------------------------------------------------------------------------
+# zip_with_index (global rank without driver materialization)
+# ---------------------------------------------------------------------------
+
+
+def test_zip_with_index_matches_sort_order(ray_session):
+    import ray.data as rd
+
+    from augdiff_pipeline_ray.stages.shuffle import zip_with_index
+
+    rng = np.random.default_rng(3)
+    vals = rng.permutation(5000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(11)
+    out = zip_with_index(ds.sort("v"), "rank").to_pandas().sort_values("rank")
+    assert (out["v"].to_numpy() == np.arange(5000)).all()
+    assert (out["rank"].to_numpy() == np.arange(5000)).all()
