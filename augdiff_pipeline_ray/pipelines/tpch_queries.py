@@ -2518,10 +2518,6 @@ def q_passage_dedup(sf_dir: str):
             np.concatenate([[0], np.cumsum(nch)[:-1]]), nch
         )
         chunk_starts = starts[doc_of_chunk] + CH * k_in_doc
-        bounds = np.append(chunk_starts, off[-1]).astype(np.int32)
-        # end of chunk j is min(start_j + CH, doc end) == next boundary except at doc
-        # edges, where the next chunk's start equals this doc's end only if aligned —
-        # so build explicit ends instead of relying on adjacency
         chunk_ends = np.minimum(chunk_starts + CH, ends[doc_of_chunk]).astype(np.int32)
         # ListArray offsets must be monotone, and a chunk's end may not equal the next
         # chunk's start (short last chunk) — so lay down [s0,e0,s1,e1,...] and keep
