@@ -2763,3 +2763,98 @@ def q_collect_ordered(sf_dir: str):
         )
 
     return ds.groupby("user_id").map_groups(seq, batch_format="pyarrow")
+
+
+# -- rare-bigram novelty (corpus-statistic join back to documents) ---------------------
+
+
+@query(
+    "rare_bigram_novelty",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY i) AS bg
+      FROM w
+    ),
+    pairs AS (SELECT DISTINCT doc_id, bg FROM b WHERE bg IS NOT NULL),
+    df AS (SELECT bg, COUNT(*) AS df FROM pairs GROUP BY bg)
+    SELECT doc_id,
+           COUNT(*) FILTER (WHERE df = 1) AS n_unique_bigrams,
+           COUNT(*) AS n_distinct_bigrams
+    FROM pairs JOIN df USING (bg) GROUP BY doc_id
+    """,
+)
+def q_rare_bigram_novelty(sf_dir: str):
+    """Novelty scoring against a corpus statistic: per document, how many of its
+    distinct word bigrams appear in NO other document (df = 1) — boilerplate scores
+    low, novel text high. The corpus pass and the per-doc pass are the same
+    distinct-(doc, bigram) pair stream: bigrams are built fully vectorized (word
+    ListArray values + a doc-boundary mask + one ``binary_join_element_wise``),
+    deduped in-batch via dictionary-encode (a doc never spans batches, so in-batch
+    distinct = global distinct), df comes from one groupby-count at bigram
+    cardinality, and the df table joins back to the pairs on the bigram key (hash
+    join) before a per-doc count. No driver materialization anywhere."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.closure import default_join_partitions
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def bigram_pairs(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        nw = off[1:] - off[:-1]
+        v = words.values
+        if len(v) < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "bg": pa.array([], pa.string())})
+        # bigram (v[j], v[j+1]) is valid unless j+1 crosses a doc boundary
+        mask = np.ones(len(v) - 1, bool)
+        mask[off[1:-1] - 1] = False
+        left = v.slice(0, len(v) - 1).filter(pa.array(mask))
+        right = v.slice(1).filter(pa.array(mask))
+        bg = pc.binary_join_element_wise(left, right, " ")
+        docs = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False), np.maximum(nw - 1, 0)
+        )
+        # distinct (doc, bg) within the batch == globally distinct (docs don't span
+        # batches): dictionary-encode the bigram, unique on the packed (doc, code)
+        enc = pc.dictionary_encode(bg)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = docs * len(enc.dictionary) + codes
+        _, first = np.unique(key, return_index=True)
+        return pa.table(
+            {"doc_id": pa.array(docs[first]),
+             "bg": enc.dictionary.take(pa.array(codes[first]))}
+        )
+
+    pairs = ds.map_batches(bigram_pairs, batch_format="pyarrow")
+    df = pairs.groupby("bg").aggregate(Count(alias_name="df"))
+    joined = pairs.join(
+        df, join_type="inner", num_partitions=default_join_partitions(), on=("bg",)
+    )
+
+    def per_doc_partial(t: pa.Table) -> pa.Table:
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)
+        dfv = t["df"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        n_all = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        n_uni = np.bincount(inv[dfv == 1], minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(uniq), "n_unique_bigrams": pa.array(n_uni),
+             "n_distinct_bigrams": pa.array(n_all)}
+        )
+
+    return (
+        joined.map_batches(per_doc_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_unique_bigrams", alias_name="n_unique_bigrams"),
+                   Sum("n_distinct_bigrams", alias_name="n_distinct_bigrams"))
+    )

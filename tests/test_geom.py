@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from augdiff_pipeline_ray.functions import assembly as A
 from augdiff_pipeline_ray.functions import geom as G
@@ -186,3 +187,88 @@ def test_multiline_fold():
     )
     assert ml[0] == "MultiLineString" and len(ml[1]) == 2
     assert A.get_multiline([]) is None
+
+
+# ---------------------------------------------------------------------------
+# property-based: segment chaining is invariant to order/reversal (hypothesis)
+# ---------------------------------------------------------------------------
+
+
+def _edge_multiset(chains):
+    """Undirected edge multiset of a list of polylines (chaining invariant)."""
+    edges = []
+    for c in chains:
+        for p, q in zip(map(tuple, np.round(c[:-1], 12)), map(tuple, np.round(c[1:], 12))):
+            edges.append((p, q) if p <= q else (q, p))
+    return sorted(edges)
+
+
+@given(
+    n_chains=st.integers(1, 4),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_connect_segments_preserves_edges_and_reassembles_in_order(n_chains, seed):
+    """The greedy chainer extends only at the TAIL (reference semantics,
+    osm/package.scala:434-459), so a shuffled open polyline may legitimately come
+    back in more than one piece. The guaranteed properties: (a) the undirected edge
+    multiset is preserved under ANY shuffle/reversal, with no more pieces than
+    segments; (b) segments fed in chain order, forward-oriented, reassemble each
+    polyline exactly."""
+    rng = np.random.default_rng(seed)
+    chains = []
+    x0 = 0.0
+    for c in range(n_chains):
+        npts = int(rng.integers(3, 9))
+        # strictly increasing x keeps endpoints globally unique across chains
+        xs = x0 + np.cumsum(rng.uniform(0.1, 1.0, npts))
+        x0 = xs[-1] + 5.0
+        ys = rng.uniform(-1, 1, npts)
+        chains.append(np.column_stack([xs, ys]))
+    segments = []
+    for ch in chains:
+        cuts = sorted(set([0, len(ch) - 1]) | set(
+            int(i) for i in rng.integers(1, len(ch) - 1, size=int(rng.integers(0, 3)))
+        ))
+        for a, b in zip(cuts[:-1], cuts[1:]):
+            segments.append(ch[a:b + 1])
+
+    # (b) chain order, forward orientation → exact reassembly
+    out = A.connect_segments([s.copy() for s in segments])
+    assert len(out) == len(chains)
+    assert sorted(c.tobytes() for c in out) == sorted(c.tobytes() for c in chains)
+
+    # (a) any shuffle + reversal → edges preserved, piece count bounded
+    shuf = [segments[i][::-1].copy() if rng.random() < 0.5 else segments[i].copy()
+            for i in rng.permutation(len(segments))]
+    out2 = A.connect_segments(shuf)
+    assert len(chains) <= len(out2) <= len(segments)
+    assert _edge_multiset(out2) == _edge_multiset(chains)
+
+
+@given(seed=st.integers(0, 10_000), ncut=st.integers(0, 4))
+@settings(max_examples=60, deadline=None)
+def test_form_rings_from_shuffled_cuts(seed, ncut):
+    """A closed ring cut at random points and shuffled/reversed always re-forms to
+    the same ring (up to rotation + orientation)."""
+    rng = np.random.default_rng(seed)
+    npts = int(rng.integers(4, 10))
+    ang = np.sort(rng.uniform(0, 2 * np.pi, npts))
+    ring = np.column_stack([np.cos(ang), np.sin(ang)])
+    ring = np.vstack([ring, ring[:1]])  # closed
+    cuts = sorted(set([0]) | set(int(i) for i in rng.integers(1, npts, size=ncut)))
+    segs = []
+    cuts2 = cuts + [npts]
+    for a, b in zip(cuts2[:-1], cuts2[1:]):
+        seg = ring[a:b + 1]
+        segs.append(seg[::-1].copy() if rng.random() < 0.5 else seg)
+    rng.shuffle(segs)
+    out = A.form_rings(segs)
+    assert len(out) == 1
+    got = out[0]
+    assert _closed_set(got) == _closed_set(ring)
+
+
+def _closed_set(r):
+    """Vertex multiset of a closed ring (rotation/orientation invariant compare)."""
+    return sorted(map(tuple, np.round(r[:-1], 12)))
