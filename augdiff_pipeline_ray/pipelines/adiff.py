@@ -252,6 +252,21 @@ def _warm_worker() -> bool:
 
 
 def _atomic_pq_write(d: str, seq: int, t: pa.Table) -> None:
+    """Idempotent per-sequence parquet commit. Local paths use tmp+rename; URI paths
+    (s3/hdfs/gs — the schemes the reference's sinks reach through the Hadoop FS layer,
+    ChangeAugmenter.scala:151-157) route through ``pyarrow.fs``, where single-stream
+    completion is the atomic commit (same protocol as sources/geojson.py).
+
+    NB: ``GJ`` must stay a module-level import — this function runs inside remote
+    tail tasks, where the by-value-pickled package is not importable by name."""
+    fs, p = GJ._uri_fs(d)
+    if fs is not None:
+        import posixpath
+
+        fs.create_dir(p, recursive=True)
+        with fs.open_output_stream(posixpath.join(p, f"batch-{seq:09d}.parquet")) as f:
+            pq.write_table(t, f)
+        return
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, f".batch-{seq:09d}.tmp")
     pq.write_table(t, tmp)

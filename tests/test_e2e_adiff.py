@@ -271,3 +271,17 @@ def test_crash_after_durable_writes_before_commit(world, full_run, tmp_path_fact
     asg_a = pq.read_table(out_full / "assignments").to_pylist()
     asg_b = pq.read_table(out / "assignments").to_pylist()
     assert asg_a == asg_b
+
+
+def test_atomic_pq_write_accepts_file_uri(tmp_path):
+    """URI-path sinks route through pyarrow.fs (reference writes HDFS/S3 via the
+    Hadoop FS layer); file:// exercises the same code path in-sandbox."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from augdiff_pipeline_ray.pipelines.adiff import _atomic_pq_write
+
+    d = tmp_path / "assign_uri"
+    _atomic_pq_write(f"file://{d}", 7, pa.table({"x": [1, 2, 3]}))
+    got = pq.read_table(d / "batch-000000007.parquet")
+    assert got["x"].to_pylist() == [1, 2, 3]
