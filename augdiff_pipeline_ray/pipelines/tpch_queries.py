@@ -2858,3 +2858,44 @@ def q_rare_bigram_novelty(sf_dir: str):
         .aggregate(Sum("n_unique_bigrams", alias_name="n_unique_bigrams"),
                    Sum("n_distinct_bigrams", alias_name="n_distinct_bigrams"))
     )
+
+
+# -- JSON field extraction (semi-structured ETL) ---------------------------------------
+
+
+@query(
+    "json_extract_agg",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract_agg(sf_dir: str):
+    """Semi-structured ETL: pull an integer field out of a JSON string column and
+    aggregate it — without a JSON parser in the hot path. Arrow's RE2-backed
+    ``extract_regex`` kernel does the field extraction vectorized (zero Python-object
+    churn; a real JSON kernel would slot in the same place), a per-batch combiner
+    pre-sums per group, and the final groupby moves one row per (block, type)."""
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        kv = k.to_numpy(zero_copy_only=False)
+        types, inv = np.unique(et, return_inverse=True)
+        return pa.table(
+            {"event_type": pa.array(types),
+             "sum_k": pa.array(np.bincount(inv, weights=kv, minlength=len(types)).astype(np.int64)),
+             "n": pa.array(np.bincount(inv, minlength=len(types)).astype(np.int64))}
+        )
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
+    )
