@@ -2899,3 +2899,59 @@ def q_json_extract_agg(sf_dir: str):
         .groupby("event_type")
         .aggregate(Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
     )
+
+
+# -- grouped mode (argmax over an aggregate) -------------------------------------------
+
+
+@query(
+    "mode_per_user",
+    """
+    SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n FROM (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS r
+      FROM events GROUP BY user_id, event_type
+    ) WHERE r = 1
+    """,
+)
+def q_mode_per_user(sf_dir: str):
+    """Grouped mode: each user's most frequent event type (ties broken
+    lexicographically — deterministic on both engines). Argmax over an aggregate is
+    a two-level shape: a per-batch pair-count combiner collapses rows to (user,
+    type, n) partials, one groupby-sum lands exact pair counts, and the argmax runs
+    vectorized per user inside a final map_groups — the raw event stream shuffles
+    nothing but pre-counted pairs."""
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        types, tinv = np.unique(et, return_inverse=True)
+        key = uid * len(types) + tinv
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {"user_id": pa.array(uk // len(types)),
+             "event_type": pa.array(types[uk % len(types)]),
+             "n": pa.array(n)}
+        )
+
+    pairs = (
+        ds.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        # max count, lexicographically-smallest type among the tied
+        g = g.sort_values(["n", "event_type"], ascending=[False, True], kind="stable")
+        return pd.DataFrame(
+            {"user_id": g["user_id"].iloc[:1].astype(np.int64),
+             "mode_type": g["event_type"].iloc[:1],
+             "n": g["n"].iloc[:1].astype(np.int64)}
+        )
+
+    return pairs.groupby("user_id").map_groups(argmax, batch_format="pandas")
