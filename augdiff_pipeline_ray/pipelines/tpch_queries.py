@@ -2677,15 +2677,16 @@ def q_bloom_semi_join(sf_dir: str):
     def probe(t: pa.Table) -> pa.Table:
         bl, exact = ray.get(side)
         ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        hh = SK.hash64(ck)
-        hit = np.ones(len(ck), bool)
-        for r in range(4):
-            idx = ((hh >> np.uint64(16 * r)) % np.uint64(MBITS)).astype(np.int64)
-            hit &= (bl[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1) != 0
-        # exact check on the pruned survivors only (removes bloom false positives)
-        pos = np.searchsorted(exact, ck[hit])
-        pos = np.minimum(pos, len(exact) - 1)
-        hit[np.flatnonzero(hit)[exact[pos] != ck[hit]]] = False
+        hit = np.zeros(len(ck), bool)
+        if len(exact):
+            hh = SK.hash64(ck)
+            hit[:] = True
+            for r in range(4):
+                idx = ((hh >> np.uint64(16 * r)) % np.uint64(MBITS)).astype(np.int64)
+                hit &= (bl[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1) != 0
+            # exact check on the pruned survivors only (removes bloom false positives)
+            pos = np.minimum(np.searchsorted(exact, ck[hit]), len(exact) - 1)
+            hit[np.flatnonzero(hit)[exact[pos] != ck[hit]]] = False
         return t.filter(pa.array(hit))
 
     return ds.map_batches(probe, batch_format="pyarrow")
