@@ -2555,14 +2555,17 @@ def q_passage_dedup(sf_dir: str):
     "heavy_hitters",
     """
     SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
-    HAVING COUNT(*) * 125 >= (SELECT COUNT(*) FROM events)
+    HAVING COUNT(*) * (SELECT COUNT(DISTINCT user_id) FROM events) * 8
+           >= (SELECT COUNT(*) FROM events) * 9
     """,
 )
 def q_heavy_hitters(sf_dir: str):
-    """Heavy hitters (keys with >= 1/125 of all rows) via count-min sketch
-    (functions/sketch.py, Cormode & Muthukrishnan 2005): pass 1 folds each batch
-    into a fixed 4x4096 int64 grid (one small row per batch; merged by elementwise
-    sum — at 10^12 rows this is the only state that moves, never the keys). Pass 2
+    """Heavy hitters (keys with >= 9/8 of the mean per-key count — scale-free, so the
+    result is non-degenerate at every sf) via count-min sketch (functions/sketch.py,
+    Cormode & Muthukrishnan 2005): pass 1 folds each batch into a fixed 4x4096 int64
+    grid (one small row per batch; merged by elementwise sum — at 10^12 rows this is
+    the only state that moves, never the keys) and simultaneously counts distinct
+    keys per batch with np.unique partials (key-cardinality shuffle, not row). Pass 2
     probes the broadcast merged sketch per batch and keeps only rows whose
     OVER-estimate clears the threshold — a superset of the true heavy keys, so the
     exact groupby-count that follows runs over the pruned stream and the final
@@ -2588,18 +2591,36 @@ def q_heavy_hitters(sf_dir: str):
         )
     sk_ref = ray.put(merged)
 
+    # exact distinct-key count for the mean-relative threshold (per-batch np.unique
+    # combiner, then a groupby at KEY cardinality — the distinct_per_group shape)
+    nu = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {"user_id": pa.array(np.unique(t["user_id"].to_numpy(zero_copy_only=False)))}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+        .count()
+    )
+
     def prune(t: pa.Table) -> pa.Table:
         sk = ray.get(sk_ref)
         uid = t["user_id"].to_numpy(zero_copy_only=False)
         est = SK.cms_query(sk, uid)
-        return t.filter(pa.array(est * 125 >= total))
+        return t.filter(pa.array(est * nu * 8 >= total * 9))
 
-    exact = (
+    def exact_filter(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(n * nu * 8 >= total * 9))
+
+    return (
         ds.map_batches(prune, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(Count(alias_name="n"))
+        .map_batches(exact_filter, batch_format="pyarrow")
     )
-    return exact.filter(lambda r: r["n"] * 125 >= total)
 
 
 # -- per-key moving window (ROWS frame) ------------------------------------------------
