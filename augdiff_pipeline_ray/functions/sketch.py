@@ -162,3 +162,50 @@ def cms_query(sketch: np.ndarray, keys: np.ndarray) -> np.ndarray:
         idx = (hash64(k ^ _CMS_SEEDS[r]) % np.uint64(CMS_W)).astype(np.int64)
         np.minimum(est, sketch[r][idx], out=est)
     return est
+
+
+# ---------------------------------------------------------------------------
+# weighted sample without replacement (deterministic Efraimidis–Spirakis race)
+# ---------------------------------------------------------------------------
+#
+# A weighted k-sample over a join result that may be petabyte-scale (Streaming
+# Weighted Sampling over Join Queries, EDBT 2023 — motivation only, the classic
+# A-Res scheme here is Efraimidis & Spirakis 2006): each row draws u ∈ (0,1)
+# and races with key u^(1/w); the k largest keys win, giving inclusion
+# probability proportional to weight. Drawing u from a HASH of the row id
+# (splitmix64 → unit interval) instead of an RNG makes the sample deterministic
+# across runs, partitionings and cluster widths — so per-batch top-k partials
+# merged by "concat + keep-k" (the bottom-k shape) reproduce the single-process
+# result EXACTLY, which is also how it's tested. Race keys compare as
+# ln(u)/w (monotone in u^(1/w), w > 0) to stay in float64 range.
+
+def race_keys(ids: np.ndarray, weights: np.ndarray) -> np.ndarray:
+    """Deterministic per-row race key ln(u)/w (LARGEST k win; all values < 0)."""
+    h = hash64(np.asarray(ids))
+    # uniform in (0,1): (h + 0.5) / 2^64 — never exactly 0 or 1
+    u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+    w = np.asarray(weights, np.float64)
+    return np.log(u) / w
+
+
+def weighted_topk_partial(
+    ids: np.ndarray, weights: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fold a batch into its k best (race_key, id) rows (a mergeable partial)."""
+    r = race_keys(ids, weights)
+    if len(r) > k:
+        idx = np.argpartition(-r, k)[:k]
+        return r[idx], np.asarray(ids)[idx]
+    return r, np.asarray(ids)
+
+
+def weighted_topk_merge(
+    r1: np.ndarray, i1: np.ndarray, r2: np.ndarray, i2: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge two partials: concat, keep the k largest race keys."""
+    r = np.concatenate([r1, r2])
+    i = np.concatenate([i1, i2])
+    if len(r) > k:
+        idx = np.argpartition(-r, k)[:k]
+        return r[idx], i[idx]
+    return r, i

@@ -2977,3 +2977,55 @@ def q_mode_per_user(sf_dir: str):
         )
 
     return pairs.groupby("user_id").map_groups(argmax, batch_format="pandas")
+
+
+# -- weighted sample over a join (deterministic race, rows-only) -----------------------
+
+
+@query("weighted_sample_join")
+def q_weighted_sample_join(sf_dir: str):
+    """Weighted k-sample (k=100, weight = o_totalprice) over the orders ⨝ customer
+    join, computed STREAMING: the join is the broadcast-dim shape (customer segment
+    map via ``ray.put``), each batch folds to its k best deterministic race rows
+    (functions/sketch.py::weighted_topk_* — Efraimidis–Spirakis keys drawn from a
+    hash, so the sample is identical at any partitioning/cluster width), and the
+    driver merges k-sized partials. Nothing row-scale leaves the workers. No SQL
+    oracle (the hash race isn't SQL-expressible); pytest pins distributed == local
+    exact equality and the merge property."""
+    from ..functions import sketch as SK
+
+    K_SAMPLE = 100
+    cust = pq.read_table(TP._p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    seg_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
+
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        w = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        r, i = SK.weighted_topk_partial(ids, w, K_SAMPLE)
+        return pa.table({"race": pa.array(r), "o_orderkey": pa.array(i)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    r = np.array([p["race"] for p in parts], np.float64)
+    i = np.array([p["o_orderkey"] for p in parts], np.int64)
+    if len(r) > K_SAMPLE:
+        idx = np.argpartition(-r, K_SAMPLE)[:K_SAMPLE]
+        r, i = r[idx], i[idx]
+    order = np.argsort(-r, kind="stable")
+    sampled_ref = ray.put(np.sort(i[order]))
+
+    # fetch the k winners' join payload with a distributed filtered scan (only the
+    # k-row result reaches the driver) + the broadcast dim lookup
+    def fetch(t: pa.Table) -> pa.Table:
+        samp = ray.get(sampled_ref)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        sel = t.filter(pa.array(np.isin(ok, samp)))
+        seg = ray.get(seg_ref)
+        return sel.append_column(
+            "c_mktsegment", pa.array([seg[c] for c in sel["o_custkey"].to_pylist()])
+        )
+
+    return ds.map_batches(fetch, batch_format="pyarrow")

@@ -245,3 +245,45 @@ def test_zip_with_index_matches_sort_order(ray_session):
     out = zip_with_index(ds.sort("v"), "rank").to_pandas().sort_values("rank")
     assert (out["v"].to_numpy() == np.arange(5000)).all()
     assert (out["rank"].to_numpy() == np.arange(5000)).all()
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling (Efraimidis–Spirakis race)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_race_merge_equals_single_pass_and_weights_bias():
+    rng = np.random.default_rng(11)
+    ids = rng.permutation(200_000).astype(np.int64)
+    w = np.ones(len(ids))
+    heavy = ids % 1000 == 0  # 200 heavy ids
+    w[heavy] = 500.0
+    parts = np.array_split(np.arange(len(ids)), 17)
+    r, i = SK.weighted_topk_partial(ids[parts[0]], w[parts[0]], 64)
+    for p in parts[1:]:
+        r2, i2 = SK.weighted_topk_partial(ids[p], w[p], 64)
+        r, i = SK.weighted_topk_merge(r, i, r2, i2, 64)
+    rl, il = SK.weighted_topk_partial(ids, w, 64)
+    assert set(i.tolist()) == set(il.tolist())  # distributed == local, exactly
+    # heavy ids carry ~1/3 of total weight → strongly over-represented vs 0.1%
+    assert (np.asarray(i) % 1000 == 0).sum() >= 10
+
+
+def test_weighted_sample_join_query_deterministic(ray_session):
+    from augdiff_pipeline_ray.pipelines import tpch_queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = Q.QUERIES["weighted_sample_join"](sf)
+    b = Q.QUERIES["weighted_sample_join"](sf)
+    pa_a = a.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    pa_b = b.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    assert pa_a.equals(pa_b)
+    assert len(pa_a) == 100
+    # matches the single-process race over the full table exactly
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(f"{sf}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    ids = t["o_orderkey"].to_numpy(zero_copy_only=False)
+    w = t["o_totalprice"].to_numpy(zero_copy_only=False)
+    rl, il = SK.weighted_topk_partial(ids, w, 100)
+    assert set(pa_a["o_orderkey"]) == set(il.tolist())
