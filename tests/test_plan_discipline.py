@@ -1,0 +1,49 @@
+"""Shuffle-budget discipline: flagship queries must keep their documented number of
+all-to-all operators. Every Sort/Aggregate/Join/Repartition is an exchange that moves
+every block (SURVEY §4.2); these tests pin the executed plan shape so a refactor can't
+silently reintroduce an extra shuffle (or a driver-side collect that hides one) into a
+hot path. Counts are the final returned pipeline's — side passes that legitimately run
+to completion first (sketch folds, threshold scans) are asserted by their own tests."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+_ALL_TO_ALL = re.compile(
+    r"^\t?Operator \d+ (Sort|Aggregate|Repartition|Join|RandomShuffle)", re.M
+)
+
+# query name -> exact number of all-to-all operators in the final plan
+EXPECTED = {
+    "dedup_exact_docs": 1,       # one hash-group dedup, nothing else
+    "curation_pipeline": 1,      # quality→lang→dedup→tokens: ONLY the dedup shuffles
+    "pivot_counts": 1,           # pivot happens in the batch combiner
+    "passage_dedup": 1,          # chunking + in-batch combine, one groupby
+    "heavy_hitters": 1,          # sketch prune leaves one exact groupby
+    "json_extract_agg": 1,       # extraction + pre-sum, tiny groupby
+    "broadcast_join": 1,         # dims broadcast — only the output aggregate shuffles
+    "quality_scores": 0,         # pure map pipeline
+    "token_counts": 0,
+    "bloom_semi_join": 0,        # bloom + exact check broadcast; no fact shuffle
+    "stratified_sample": 0,      # hash-based rates, shuffle-free
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED))
+def test_shuffle_budget(ray_session, name):
+    import ray.data as rd
+
+    from augdiff_pipeline_ray.pipelines import tpch_queries as Q
+
+    ds = Q.QUERIES[name](SF)
+    assert isinstance(ds, rd.Dataset), f"{name} should return a streaming Dataset"
+    ds = ds.materialize()
+    ops = _ALL_TO_ALL.findall(ds.stats())
+    assert len(ops) == EXPECTED[name], (
+        f"{name}: expected {EXPECTED[name]} all-to-all operator(s), "
+        f"plan has {len(ops)}: {ops}"
+    )
