@@ -924,20 +924,31 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     )
 
     def verify(t: pa.Table) -> pa.Table:
-        # memoize gram sets per distinct text: near-dup corpora repeat the same doc
-        # across MANY candidate pairs, so shingling once per unique text (not per
-        # pair side) cuts the dominant verify cost by the pair/doc multiplicity
+        # near-dup corpora repeat the same doc across MANY candidate pairs:
+        # dictionary-encode both text columns so each distinct text crosses the
+        # Arrow→Python boundary and gets shingled exactly ONCE per batch (r1 built
+        # a Python string + gram set per pair side — the verify stage's dominant
+        # cost at sf0.1 pair multiplicities)
+        ea = pc.dictionary_encode(t["text_a"].combine_chunks())
+        eb = pc.dictionary_encode(t["text_b"].combine_chunks())
         memo: dict[str, set[str]] = {}
-
-        def grams(txt: str) -> set[str]:
+        sets_a = []
+        for txt in ea.dictionary.to_pylist():
             g = memo.get(txt)
             if g is None:
                 g = memo[txt] = _doc_grams(txt)
-            return g
-
+            sets_a.append(g)
+        sets_b = []
+        for txt in eb.dictionary.to_pylist():
+            g = memo.get(txt)
+            if g is None:
+                g = memo[txt] = _doc_grams(txt)
+            sets_b.append(g)
+        ca = ea.indices.to_numpy(zero_copy_only=False)
+        cb = eb.indices.to_numpy(zero_copy_only=False)
         keep = []
-        for x, y in zip(t["text_a"].to_pylist(), t["text_b"].to_pylist()):
-            ga, gb = grams(x), grams(y)
+        for i, j in zip(ca, cb):
+            ga, gb = sets_a[i], sets_b[j]
             inter = len(ga & gb)
             keep.append(bool(inter and inter / (len(ga) + len(gb) - inter) >= thr))
         return t.filter(pa.array(keep, pa.bool_())).select(["id_a", "id_b"])
