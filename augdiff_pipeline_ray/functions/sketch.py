@@ -137,9 +137,10 @@ _CMS_SEEDS = np.array(
 )  # pi digits — fixed, deterministic across processes
 
 
-def cms_partial(keys: np.ndarray, sketch: np.ndarray | None = None) -> np.ndarray:
-    """Fold a batch of int64 keys into a (CMS_D, CMS_W) int64 sketch, vectorized."""
-    sk = sketch if sketch is not None else np.zeros((CMS_D, CMS_W), np.int64)
+def cms_partial(keys: np.ndarray) -> np.ndarray:
+    """Fold a batch of int64 keys into a fresh (CMS_D, CMS_W) int64 sketch,
+    vectorized. Accumulation across batches goes through :func:`cms_merge`."""
+    sk = np.zeros((CMS_D, CMS_W), np.int64)
     if not len(keys):
         return sk
     k = np.asarray(keys).astype(np.uint64)

@@ -252,20 +252,35 @@ def _warm_worker() -> bool:
 
 
 def _atomic_pq_write(d: str, seq: int, t: pa.Table) -> None:
-    """Idempotent per-sequence parquet commit. Local paths use tmp+rename; URI paths
-    (s3/hdfs/gs — the schemes the reference's sinks reach through the Hadoop FS layer,
-    ChangeAugmenter.scala:151-157) route through ``pyarrow.fs``, where single-stream
-    completion is the atomic commit (same protocol as sources/geojson.py).
+    """Idempotent per-sequence parquet commit. Filesystem paths (plain or ``file://``)
+    use tmp+rename; object-store URIs (s3/gs) write the final name directly — an
+    incomplete PUT never becomes visible, so stream completion IS the commit; rename-
+    capable remote filesystems (hdfs) write a dot-tmp then ``fs.move`` so a mid-write
+    crash never leaves a partial file at the committed name (the resume protocol
+    treats present batch files as durable truth). Schemes per the reference's Hadoop
+    FS sink layer, ChangeAugmenter.scala:151-157.
 
     NB: ``GJ`` must stay a module-level import — this function runs inside remote
     tail tasks, where the by-value-pickled package is not importable by name."""
-    fs, p = GJ._uri_fs(d)
-    if fs is not None:
+    from urllib.parse import urlparse
+
+    scheme = urlparse(str(d)).scheme
+    if scheme == "file":
+        d = urlparse(str(d)).path  # visible==committed needs the local tmp+rename
+    elif scheme in ("s3", "gs", "hdfs"):
         import posixpath
 
+        fs, p = GJ._uri_fs(d)
         fs.create_dir(p, recursive=True)
-        with fs.open_output_stream(posixpath.join(p, f"batch-{seq:09d}.parquet")) as f:
-            pq.write_table(t, f)
+        final = posixpath.join(p, f"batch-{seq:09d}.parquet")
+        if scheme == "hdfs":
+            tmp = posixpath.join(p, f".batch-{seq:09d}.tmp")
+            with fs.open_output_stream(tmp) as f:
+                pq.write_table(t, f)
+            fs.move(tmp, final)
+        else:
+            with fs.open_output_stream(final) as f:
+                pq.write_table(t, f)
         return
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, f".batch-{seq:09d}.tmp")

@@ -2700,10 +2700,13 @@ def q_bloom_semi_join(sf_dir: str):
     ].to_numpy(zero_copy_only=False).astype(np.int64)
 
     MBITS = 1 << 17  # 16 KB of filter for ~thousands of keys (fp ~ 1e-3)
+    # 4 independent probes via per-probe rehash (the CMS seed scheme) — slicing one
+    # hash into 16-bit windows can't even address all 2^17 filter bits
+    seeds = SK._CMS_SEEDS
     bloom = np.zeros(MBITS // 64, np.uint64)
-    h = SK.hash64(keys)
+    ku = keys.astype(np.uint64)
     for r in range(4):
-        idx = ((h >> np.uint64(16 * r)) % np.uint64(MBITS)).astype(np.int64)
+        idx = (SK.hash64(ku ^ seeds[r]) % np.uint64(MBITS)).astype(np.int64)
         np.bitwise_or.at(bloom, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64))
     side = ray.put((bloom, np.sort(keys)))
 
@@ -2714,10 +2717,10 @@ def q_bloom_semi_join(sf_dir: str):
         ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         hit = np.zeros(len(ck), bool)
         if len(exact):
-            hh = SK.hash64(ck)
+            cku = ck.astype(np.uint64)
             hit[:] = True
             for r in range(4):
-                idx = ((hh >> np.uint64(16 * r)) % np.uint64(MBITS)).astype(np.int64)
+                idx = (SK.hash64(cku ^ seeds[r]) % np.uint64(MBITS)).astype(np.int64)
                 hit &= (bl[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1) != 0
             # exact check on the pruned survivors only (removes bloom false positives)
             pos = np.minimum(np.searchsorted(exact, ck[hit]), len(exact) - 1)
@@ -2922,7 +2925,9 @@ def q_json_extract_agg(sf_dir: str):
         m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
         k = pc.cast(pc.struct_field(m, "k"), pa.int64())
         et = t["event_type"].to_numpy(zero_copy_only=False)
-        kv = k.to_numpy(zero_copy_only=False)
+        # a props row without an integer k extracts null; SQL SUM skips NULLs, and
+        # summing 0 is the same thing (an unguarded null would NaN the bincount)
+        kv = pc.fill_null(k, 0).to_numpy(zero_copy_only=False)
         types, inv = np.unique(et, return_inverse=True)
         return pa.table(
             {"event_type": pa.array(types),
@@ -3028,8 +3033,7 @@ def q_weighted_sample_join(sf_dir: str):
     if len(r) > K_SAMPLE:
         idx = np.argpartition(-r, K_SAMPLE)[:K_SAMPLE]
         r, i = r[idx], i[idx]
-    order = np.argsort(-r, kind="stable")
-    sampled_ref = ray.put(np.sort(i[order]))
+    sampled_ref = ray.put(np.sort(i))
 
     # fetch the k winners' join payload with a distributed filtered scan (only the
     # k-row result reaches the driver) + the broadcast dim lookup

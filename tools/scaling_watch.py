@@ -25,14 +25,17 @@ sys.path.insert(0, REPO)
 
 
 def probe_mb_per_s() -> float:
-    code = (
-        "import numpy as np, time\n"
-        "t0=time.perf_counter()\n"
-        "a=np.ones(50_000_000, np.float64)\n"
-        "print(400.0/(time.perf_counter()-t0))\n"
-    )
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
-    return float(out.stdout.strip().splitlines()[-1])
+    """bench.py's own probe (same code path that gates canonical recording); a probe
+    child that dies or prints nothing — plausible exactly on the degraded host this
+    tool rides out — reads as maximally unhealthy instead of crashing the watcher."""
+    try:
+        import bench
+
+        return float(bench.host_memory_probe()["fresh_alloc_mb_per_s"])
+    except Exception as e:
+        print(f"[watch] probe failed ({type(e).__name__}: {e}) -> treating as degraded",
+              flush=True)
+        return 0.0
 
 
 def run_mode(mode: str) -> dict:
@@ -60,7 +63,9 @@ def main() -> int:
     ap.add_argument("--max-hours", type=float, default=5.0)
     ap.add_argument("--interval-s", type=float, default=600.0)
     ap.add_argument("--modes", default="stream,full")
-    ap.add_argument("--healthy-mb-s", type=float, default=1000.0)
+    import bench
+
+    ap.add_argument("--healthy-mb-s", type=float, default=bench.HOST_HEALTHY_ALLOC_MB_S)
     args = ap.parse_args()
 
     pending = [m.strip() for m in args.modes.split(",") if m.strip()]
