@@ -3047,3 +3047,29 @@ def q_weighted_sample_join(sf_dir: str):
         )
 
     return ds.map_batches(fetch, batch_format="pyarrow")
+
+
+# -- PageRank over the dependency graph (rows-only) ------------------------------------
+
+
+@query("pagerank_entities")
+def q_pagerank_entities(sf_dir: str):
+    """PageRank of the element dependency graph (stages/pagerank.py): edge (a, b) =
+    "b depends on a" read as link a→b, so rank flows from members to the ways /
+    relations that aggregate them. Size-adaptive (numpy power iteration locally, the
+    per-round join+groupby-sum Dataset plan at scale — distributed==local pinned by
+    tests). Returns the top-20 entities by rank with a deterministic key tie-break;
+    rank itself is float (no SQL oracle — 20 damped iterations aren't expressible as
+    a DuckDB query), so the registry entry is rows-only and correctness rides on the
+    pytest equivalences."""
+    from ..stages.pagerank import pagerank_auto
+
+    edges = elements_dataset(sf_dir).map_batches(
+        lambda t: edges_from_batch(t).select(["a", "b"]), batch_format="pyarrow"
+    )
+    nodes, rank = pagerank_auto(edges)
+    order = np.lexsort((nodes, -rank))[:20]
+    return pa.table(
+        {"key": pa.array(nodes[order]),
+         "rank_x1e9": pa.array(np.round(rank[order] * 1e9).astype(np.int64))}
+    )
