@@ -126,11 +126,19 @@ def render_entities(
     return meta, payload
 
 
-@ray.remote(num_cpus=1)
+@ray.remote(num_cpus=1, max_restarts=2, max_task_retries=2)
 class RenderShard:
     """Persistent render actor: lives across micro-batches (the per-batch actor-pool
     spin-up was the dominant stream cost). Per batch, the broadcast row list arrives
-    once (ObjectRef auto-deref) and the context is rebuilt only when ``seq`` advances."""
+    once (ObjectRef auto-deref) and the context is rebuilt only when ``seq`` advances.
+
+    Restartable (max_restarts/max_task_retries): the constructor takes no arguments
+    (so a restart can never lose them — the core-worker caveat for object-store ctor
+    args doesn't apply) and ``render_part_idx`` is a deterministic pure function of
+    its inputs with per-``seq`` context rebuild, so a replayed call after an actor
+    death (OOM kill, node loss) returns byte-identical output instead of aborting
+    the batch. A batch that still fails after retries aborts cleanly and the lineage
+    resume protocol recomputes it (tested both ways)."""
 
     def __init__(self):
         retain_heap()  # per-batch ctx scratch is steady-state; keep it OS-resident

@@ -285,3 +285,31 @@ def test_atomic_pq_write_accepts_file_uri(tmp_path):
     _atomic_pq_write(f"file://{d}", 7, pa.table({"x": [1, 2, 3]}))
     got = pq.read_table(d / "batch-000000007.parquet")
     assert got["x"].to_pylist() == [1, 2, 3]
+
+
+def test_render_actor_death_mid_stream_is_transparent(world, full_run, tmp_path_factory):
+    """Kill one persistent RenderShard actor between batches: max_restarts replays
+    the lost actor's render task deterministically, the stream completes, and every
+    output byte matches the undisturbed run's."""
+    import ray
+
+    from augdiff_pipeline_ray.pipelines.adiff import AdiffJob
+
+    out = tmp_path_factory.mktemp("kill_actor")
+    job = AdiffJob(str(world), str(out), num_shards=2, render_concurrency=2,
+                   distributed_render="force")
+    job.bootstrap()
+    job.warm()
+    stats1 = job.run_batch(1)
+    ray.kill(job._render_pool()[0], no_restart=False)
+    stats2 = job.run_batch(2)
+    job.close()
+    assert stats1["features"] > 0 and stats2["features"] > 0
+
+    ref, _ = full_run  # the session's undisturbed reference run over the same world
+    for rel in sorted(
+        p.relative_to(ref) for p in (ref / "adiff").rglob("*.ndjson")
+    )[:2]:  # this job ran batches 1-2 only
+        got = (out / rel).read_bytes()
+        want = (ref / rel).read_bytes()
+        assert got == want, f"{rel} diverged after actor death"
