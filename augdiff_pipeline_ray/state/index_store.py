@@ -53,6 +53,13 @@ class IndexShard:
     ``num_cpus=0``: these are long-lived, mostly-idle lookup actors; reserving CPUs for
     them would starve the Dataset read/map stages they serve (their per-query numpy work
     is short and bursty).
+
+    Deliberately NOT restartable (no max_restarts — contrast RenderShard): a restarted
+    shard rebuilds from the durable per-batch files, but a replayed in-flight ``append``
+    whose batch file was already reloaded would double its edges, and appends are not
+    idempotent at the edge level. An actor death here therefore fails the batch cleanly
+    and recovery is the lineage-resume path (recompute the batch, rewrite the same
+    idempotent files — tested in test_e2e_adiff).
     """
 
     def __init__(self, root: str, shard_id: int, num_shards: int):
