@@ -43,9 +43,14 @@ def shard_of_cell(cells: np.ndarray, num_shards: int) -> np.ndarray:
     return np.asarray(cells, np.int64) % num_shards
 
 
-@ray.remote(num_cpus=0)
+@ray.remote(num_cpus=0, max_restarts=2, max_task_retries=2)
 class TileShard:
     """One cell-RANGE shard of the tile index (centroids) — the kNN pool.
+
+    Restartable (RenderShard's contract): constructor args are a path + tiny plain
+    values (inline-serialized, so a restart can always replay them), all serving
+    state reloads from the immutable tile parquet, and every method is a pure read —
+    a replayed call after an actor death returns identical results.
 
     Tiles shard by contiguous cell-id range (``bounds[s] ≤ cell < bounds[s+1]``, quantile
     cuts → equal tile counts): a kNN ring maps to ONE contiguous cell-id interval, so the
@@ -142,9 +147,12 @@ class TileShard:
         )
 
 
-@ray.remote(num_cpus=0)
+@ray.remote(num_cpus=0, max_restarts=2, max_task_retries=2)
 class BankShard:
     """One modulo-cell shard of the overlay sample bank (metadata eager, blobs lazy).
+
+    Restartable like TileShard: path-only constructor, immutable bank file, pure-read
+    methods (the blob LRU and per-seq geometry cache are caches, rebuilt on demand).
 
     Its own pool so overlay select/render never queues behind the kNN rounds on a
     shared actor (see TileShard docstring). Loads only the tiny metadata columns;

@@ -301,7 +301,12 @@ def test_render_actor_death_mid_stream_is_transparent(world, full_run, tmp_path_
     job.bootstrap()
     job.warm()
     stats1 = job.run_batch(1)
+    # one actor of every restartable serving pool dies between batches
     ray.kill(job._render_pool()[0], no_restart=False)
+    pool = job._tiles
+    ray.kill(pool._actors[0], no_restart=False)
+    if pool._bank_actors:
+        ray.kill(pool._bank_actors[0], no_restart=False)
     stats2 = job.run_batch(2)
     job.close()
     assert stats1["features"] > 0 and stats2["features"] > 0
@@ -313,3 +318,12 @@ def test_render_actor_death_mid_stream_is_transparent(world, full_run, tmp_path_
         got = (out / rel).read_bytes()
         want = (ref / rel).read_bytes()
         assert got == want, f"{rel} diverged after actor death"
+    # the kNN / overlay / assignment outputs served by the killed pools match too
+    import pyarrow.parquet as _pq
+
+    for fam in ("knn", "overlay", "assignments"):
+        for seq in (1, 2):
+            f = f"{fam}/batch-{seq:09d}.parquet"
+            got = _pq.read_table(out / f)
+            want = _pq.read_table(ref / f)
+            assert got.equals(want), f"{f} diverged after actor death"
