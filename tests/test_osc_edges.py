@@ -274,3 +274,26 @@ def test_geojson_writer_uri_and_local_parity(tmp_path):
     p_empty = str(tmp_path / "e" / "empty.ndjson")
     assert GJ.write_features_arrow(p_empty, feats.slice(0, 0), np.array([], np.int64)) == 0
     assert open(p_empty, "rb").read() == b""
+
+
+def test_local_closure_matches_brute_force_random_graphs():
+    """Property: on ANY random directed graph (cycles, self-loops, dense and sparse),
+    the incremental fixpoint equals brute-force transitive reachability, and feeding
+    its own output back as the existing-edge set is a no-op (idempotence)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(seed=st.integers(0, 10_000), n=st.integers(2, 12), m=st.integers(1, 40))
+    @settings(max_examples=80, deadline=None)
+    def check(seed, n, m):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        e = set(zip(rng.integers(0, n, m).tolist(), rng.integers(0, n, m).tolist()))
+        new, alle = closure.local_closure(e, set())
+        assert alle == closure.brute_force_closure(e)
+        assert new == alle
+        new2, alle2 = closure.local_closure(e, alle)
+        assert alle2 == alle and new2 == set()
+
+    check()
