@@ -195,7 +195,14 @@ def run_long_stream(n_batches: int = 60) -> dict:
     shutil.rmtree(work, ignore_errors=True)
     ray.shutdown()
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/long_stream.json", "w") as f:
+    # same degraded-session protection as the scaling modes: a run taken while the
+    # host is faulting pages slowly must never clobber a clean recorded measurement
+    probe = host_memory_probe()
+    result["host_memory_probe"] = probe
+    dest = ("BENCH/long_stream.json" if not probe["host_degraded"]
+            else "BENCH/long_stream_attempt.json")
+    result["recorded"] = dest
+    with open(dest, "w") as f:
         json.dump(result, f, indent=2)
     return result
 
