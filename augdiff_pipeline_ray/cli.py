@@ -53,6 +53,10 @@ def main(argv: list[str] | None = None) -> int:
     p_ad.add_argument("--shards", type=int, default=8)
     p_ad.add_argument("--no-reference-compat", action="store_true",
                       help="load tags from storage (disable the reference's tag-drop quirk)")
+    p_ad.add_argument("--jsontemplate", default=None,
+                      help="ndjson output template with AAA/BBB/CCC sequence segments "
+                           "(reference --jsontemplate); plain path or file/s3/hdfs/gs URI; "
+                           "default <out>/adiff/AAA/BBB/CCC.ndjson")
 
     p_wg = sub.add_parser("worldgen", help="write a deterministic synthetic world")
     p_wg.add_argument("--out", required=True)
@@ -86,7 +90,8 @@ def main(argv: list[str] | None = None) -> int:
 
             start_s, end_s = args.range.split(",")
             job = AdiffJob(args.world, args.out, num_shards=args.shards,
-                           drop_tags_on_load=not args.no_reference_compat)
+                           drop_tags_on_load=not args.no_reference_compat,
+                           adiff_template=args.jsontemplate)
             try:
                 end = None if end_s == "-1" else int(end_s)
                 stats = job.run_stream(start=int(start_s), end=end)

@@ -431,6 +431,7 @@ class AdiffJob:
         parallel_fetch: bool | str = "auto",
         distributed_render: bool = True,
         node_latest_only: bool = True,
+        adiff_template: str | None = None,
     ):
         self.world = Path(world_root)
         self.out = Path(out_root)
@@ -452,7 +453,12 @@ class AdiffJob:
         self.snapshot_store = str(self.out / "snapshot_store")
         self.index_root = str(self.out / "index")
         self.memory_root = self.out / "memory"
-        self.adiff_template = str(self.out / "adiff" / "AAA" / "BBB" / "CCC.ndjson")
+        # reference --jsontemplate parity (AugmentedDiff.scala:217-223): AAA/BBB/CCC
+        # substitute the zero-padded sequence path; plain paths AND pyarrow-fs URIs
+        # (file/s3/hdfs/gs) both work — the sink commits atomically either way
+        self.adiff_template = adiff_template or str(
+            self.out / "adiff" / "AAA" / "BBB" / "CCC.ndjson"
+        )
         self.lineage = Lineage(str(self.out / "lineage"))
         self.store: IndexStore | None = None
         self._tiles: TilePool | None = None

@@ -327,3 +327,21 @@ def test_render_actor_death_mid_stream_is_transparent(world, full_run, tmp_path_
             got = _pq.read_table(out / f)
             want = _pq.read_table(ref / f)
             assert got.equals(want), f"{f} diverged after actor death"
+
+
+def test_jsontemplate_uri_output(world, tmp_path_factory):
+    """Reference --jsontemplate parity with a file:// URI: the stream writes its
+    ndjson through the pyarrow-fs sink at the templated location."""
+    from augdiff_pipeline_ray.pipelines.adiff import AdiffJob
+
+    out = tmp_path_factory.mktemp("uri_tpl")
+    tpl_dir = tmp_path_factory.mktemp("uri_sink")
+    job = AdiffJob(str(world), str(out),
+                   adiff_template=f"file://{tpl_dir}/AAA/BBB/CCC.ndjson")
+    job.bootstrap()
+    job.warm()
+    stats = job.run_batch(1)
+    job.close()
+    f = tpl_dir / "000" / "000" / "001.ndjson"
+    assert f.exists() and stats["features"] > 0
+    assert len(f.read_text().strip().splitlines()) == stats["features"]
