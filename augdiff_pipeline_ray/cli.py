@@ -53,6 +53,11 @@ def main(argv: list[str] | None = None) -> int:
     p_ad.add_argument("--shards", type=int, default=8)
     p_ad.add_argument("--no-reference-compat", action="store_true",
                       help="load tags from storage (disable the reference's tag-drop quirk)")
+    p_ad.add_argument("--osctemplate", default=None,
+                      help="OSC source template with AAA/BBB/CCC sequence segments "
+                           "(reference --osctemplate); any read_osc_file URI scheme "
+                           "(file/http(s)/s3/hdfs, gz/bz2 sniffed); requires an "
+                           "explicit --range end")
     p_ad.add_argument("--jsontemplate", default=None,
                       help="ndjson output template with AAA/BBB/CCC sequence segments "
                            "(reference --jsontemplate); plain path or file/s3/hdfs/gs URI; "
@@ -91,7 +96,8 @@ def main(argv: list[str] | None = None) -> int:
             start_s, end_s = args.range.split(",")
             job = AdiffJob(args.world, args.out, num_shards=args.shards,
                            drop_tags_on_load=not args.no_reference_compat,
-                           adiff_template=args.jsontemplate)
+                           adiff_template=args.jsontemplate,
+                           osc_template=args.osctemplate)
             try:
                 end = None if end_s == "-1" else int(end_s)
                 stats = job.run_stream(start=int(start_s), end=end)

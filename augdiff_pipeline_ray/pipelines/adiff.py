@@ -432,6 +432,7 @@ class AdiffJob:
         distributed_render: bool = True,
         node_latest_only: bool = True,
         adiff_template: str | None = None,
+        osc_template: str | None = None,
     ):
         self.world = Path(world_root)
         self.out = Path(out_root)
@@ -456,6 +457,7 @@ class AdiffJob:
         # reference --jsontemplate parity (AugmentedDiff.scala:217-223): AAA/BBB/CCC
         # substitute the zero-padded sequence path; plain paths AND pyarrow-fs URIs
         # (file/s3/hdfs/gs) both work — the sink commits atomically either way
+        self.osc_template = osc_template
         self.adiff_template = adiff_template or str(
             self.out / "adiff" / "AAA" / "BBB" / "CCC.ndjson"
         )
@@ -478,6 +480,14 @@ class AdiffJob:
         self._flush_result: tuple | None = None  # set by _flush_build thread
 
     def _osc_path(self, seq: int) -> str:
+        if self.osc_template is not None:
+            # reference --osctemplate parity (AugmentedDiff.scala:217-223): AAA/BBB/CCC
+            # substitution over any URI read_osc_file resolves (file/http(s)/s3/hdfs,
+            # gz/bz2 sniffed); with a template, run_stream needs an explicit end —
+            # remote layouts can't be enumerated to infer one
+            aaa, bbb, ccc = OSC.sequence_path(seq).split("/")
+            return (self.osc_template.replace("AAA", aaa)
+                    .replace("BBB", bbb).replace("CCC", ccc))
         return str(self.world / "changes" / OSC.sequence_path(seq)) + ".osc"
 
     def _prefetch_parse(self, seq: int) -> None:
@@ -486,7 +496,11 @@ class AdiffJob:
         if seq in self._parse_futs:
             return
         path = self._osc_path(seq)
-        if os.path.exists(path):
+        from urllib.parse import urlparse
+
+        # local paths are existence-checked (a missing file just isn't prefetched);
+        # remote URIs submit directly — read_osc_file owns fetch retry/backoff
+        if urlparse(path).scheme in ("http", "https", "s3", "hdfs", "file") or os.path.exists(path):
             self._parse_futs[seq] = _parse_osc_task.remote(path, seq)
 
     # -- bootstrap -----------------------------------------------------------
@@ -1109,6 +1123,11 @@ class AdiffJob:
     def run_stream(self, start: int = 1, end: int | None = None) -> dict:
         """Run batches [start, end]; committed batches are skipped (resume)."""
         if end is None:
+            if self.osc_template is not None:
+                raise ValueError(
+                    "run_stream(end=None) cannot enumerate a templated OSC source — "
+                    "pass an explicit end (reference --range semantics)"
+                )
             # infer from world: count osc files
             osc_files = sorted((self.world / "changes").rglob("*.osc"))
             end = len(osc_files)

@@ -345,3 +345,28 @@ def test_jsontemplate_uri_output(world, tmp_path_factory):
     f = tpl_dir / "000" / "000" / "001.ndjson"
     assert f.exists() and stats["features"] > 0
     assert len(f.read_text().strip().splitlines()) == stats["features"]
+
+
+def test_osctemplate_uri_source(world, full_run, tmp_path_factory):
+    """Reference --osctemplate parity: the stream pulls its OSC batches through the
+    templated file:// URI path and produces byte-identical output to the
+    directory-layout run over the same world."""
+    import pytest as _pytest
+
+    from augdiff_pipeline_ray.pipelines.adiff import AdiffJob
+
+    out = tmp_path_factory.mktemp("osc_tpl")
+    tpl = f"file://{world}/changes/AAA/BBB/CCC.osc"
+    job = AdiffJob(str(world), str(out), num_shards=2, render_concurrency=2,
+                   osc_template=tpl)
+    with _pytest.raises(ValueError):
+        job.run_stream()  # templated source cannot infer the end sequence
+    stats = job.run_stream(start=1, end=2)
+    job.close()
+    assert [b["seq"] for b in stats["batches"]] == [1, 2]
+
+    ref, _ = full_run
+    for rel in sorted(
+        p.relative_to(ref) for p in (ref / "adiff").rglob("*.ndjson")
+    )[:2]:
+        assert (out / rel).read_bytes() == (ref / rel).read_bytes()
