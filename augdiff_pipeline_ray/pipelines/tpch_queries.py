@@ -3073,3 +3073,509 @@ def q_pagerank_entities(sf_dir: str):
         {"key": pa.array(nodes[order]),
          "rank_x1e9": pa.array(np.round(rank[order] * 1e9).astype(np.int64))}
     )
+
+
+# =======================================================================================
+# analytics widening (round-2 continuation): CUBE, set ops, sufficient-statistics
+# correlation, histogram, interpolated quantile, star-join top-k, gap-fill, entropy,
+# running total — each with the combiner-before-shuffle scale shape.
+# =======================================================================================
+
+
+@query(
+    "cube_events",
+    """
+    SELECT COALESCE(event_type, '<all>') AS event_type,
+           COALESCE(cohort, -1) AS cohort,
+           COUNT(*) AS n
+    FROM (SELECT event_type, user_id % 4 AS cohort FROM events)
+    GROUP BY CUBE (event_type, cohort)
+    """,
+)
+def q_cube_events(sf_dir: str):
+    """GROUP BY CUBE(event_type, cohort): all four grouping sets in one result
+    (rollup_events' plan generalized to the full lattice). Scale shape: per-batch
+    Arrow ``Table.group_by`` partials at the FINEST level only — the three coarser
+    grouping sets are derived from the finest aggregate in-process, because a
+    (types × cohorts) table is output-sized, not data-sized. One shuffle total,
+    regardless of how many grouping sets the cube expands to."""
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        coh = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 4
+        g = (
+            pa.table({"event_type": t["event_type"], "cohort": pa.array(coh)})
+            .group_by(["event_type", "cohort"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"event_type": g["event_type"], "cohort": g["cohort"],
+             "n": g["count_all"].cast(pa.int64())}
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cohort"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .astype({"cohort": np.int64, "n": np.int64})
+    )
+    by_type = fine.groupby("event_type", as_index=False)["n"].sum()
+    by_type["cohort"] = np.int64(-1)
+    by_coh = fine.groupby("cohort", as_index=False)["n"].sum()
+    by_coh["event_type"] = "<all>"
+    total = pd.DataFrame(
+        {"event_type": ["<all>"], "cohort": [np.int64(-1)], "n": [fine["n"].sum()]}
+    )
+    out = pd.concat([fine, by_type, by_coh, total], ignore_index=True)[
+        ["event_type", "cohort", "n"]
+    ]
+    return out.astype({"cohort": np.int64, "n": np.int64})
+
+
+def _user_presence_flags(sf_dir: str):
+    """Shared scale shape for the set-operation queries: one pass over events folds
+    each batch to (user, saw-big-click, saw-big-purchase) 0/1 partials (np.unique +
+    bincount combiner), then ONE groupby-max at user cardinality. The INTERSECT /
+    EXCEPT semantics are batch filters on that aggregate — the fact rows shuffle once
+    for both queries' worth of set algebra. The value > 200 predicate keeps both set
+    results non-degenerate (every user has every event type in this world)."""
+    from ray.data.aggregate import Max
+
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["user_id", "event_type", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        big = t["value"].to_numpy(zero_copy_only=False) > 200
+        users, inv = np.unique(uid, return_inverse=True)
+        click = (
+            np.bincount(inv[(et == "click") & big], minlength=len(users)) > 0
+        ).astype(np.int64)
+        purch = (
+            np.bincount(inv[(et == "purchase") & big], minlength=len(users)) > 0
+        ).astype(np.int64)
+        return pa.table(
+            {"user_id": pa.array(users), "saw_click": pa.array(click),
+             "saw_purchase": pa.array(purch)}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("saw_click", alias_name="saw_click"),
+                   Max("saw_purchase", alias_name="saw_purchase"))
+    )
+
+
+@query(
+    "set_intersect",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click' AND value > 200
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200
+    """,
+)
+def q_set_intersect(sf_dir: str):
+    """Distributed INTERSECT (distinct set semantics): users with both a big click
+    and a big purchase. See ``_user_presence_flags`` for the single-shuffle plan."""
+    flags = _user_presence_flags(sf_dir)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["saw_click"], 1), pc.equal(t["saw_purchase"], 1))
+        return t.filter(m).select(["user_id"])
+
+    return flags.map_batches(keep, batch_format="pyarrow")
+
+
+@query(
+    "set_except",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click' AND value > 200
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200
+    """,
+)
+def q_set_except(sf_dir: str):
+    """Distributed EXCEPT (distinct set semantics): users with a big click but no
+    big purchase. Same single-pass presence-flag plan as ``set_intersect``."""
+    flags = _user_presence_flags(sf_dir)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["saw_click"], 1), pc.equal(t["saw_purchase"], 0))
+        return t.filter(m).select(["user_id"])
+
+    return flags.map_batches(keep, batch_format="pyarrow")
+
+
+@query(
+    "corr_dollars_hour",
+    """
+    WITH b AS (SELECT event_type,
+                      CAST(floor(value) AS BIGINT)          AS x,
+                      CAST(extract(hour FROM ts) AS BIGINT) AS y
+               FROM events),
+         s AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                      SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+               FROM b GROUP BY event_type)
+    SELECT event_type,
+           CAST(n*sxy - sx*sy AS DOUBLE)
+             / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+             AS corr_xy
+    FROM s
+    """,
+)
+def q_corr_dollars_hour(sf_dir: str):
+    """Per-group Pearson correlation via mergeable sufficient statistics: each batch
+    folds to six integral sums per group (n, Σx, Σy, Σx², Σy², Σxy — bincount with
+    float64 weights is exact far past these magnitudes), one groupby-sum shuffles
+    group-cardinality rows, and the correlation is closed-form driver arithmetic on
+    exact integers. The float appears only in the final expression — identical IEEE
+    ops to the oracle's, so the doubles match bit-for-bit, not just to rounding."""
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.floor(t["value"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        y = pc.hour(t["ts"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        types, inv = np.unique(et, return_inverse=True)
+
+        def bsum(v: np.ndarray) -> pa.Array:
+            return pa.array(
+                np.bincount(inv, weights=v.astype(np.float64), minlength=len(types))
+                .astype(np.int64)
+            )
+
+        return pa.table(
+            {"event_type": pa.array(types), "n": bsum(np.ones(len(x), np.int64)),
+             "sx": bsum(x), "sy": bsum(y), "sxx": bsum(x * x), "syy": bsum(y * y),
+             "sxy": bsum(x * y)}
+        )
+
+    cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+    s = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .to_pandas()
+    )
+    # exact python ints (no int64 overflow on n*sxx at any sf), float only at the end
+    n, sx, sy = (s[c].astype(object) for c in ("n", "sx", "sy"))
+    sxx, syy, sxy = (s[c].astype(object) for c in ("sxx", "syy", "sxy"))
+    num = (n * sxy - sx * sy).astype(np.float64)
+    den = np.sqrt((n * sxx - sx * sx).astype(np.float64)) * np.sqrt(
+        (n * syy - sy * sy).astype(np.float64)
+    )
+    return pd.DataFrame({"event_type": s["event_type"], "corr_xy": num / den})
+
+
+@query(
+    "histogram_value",
+    """
+    SELECT CAST(floor(value / 25) AS BIGINT) AS bin, COUNT(*) AS n
+    FROM events GROUP BY bin
+    """,
+)
+def q_histogram_value(sf_dir: str):
+    """Fixed-width numeric histogram: per-batch bincount combiner (one row per
+    occupied bin per batch) → one bin-cardinality groupby-sum. The bin edge
+    arithmetic (floor(value/25), IEEE double divide) is identical on both engines."""
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = np.floor(t["value"].to_numpy(zero_copy_only=False) / 25).astype(np.int64)
+        bins, counts = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(bins), "n": pa.array(counts.astype(np.int64))})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+@query(
+    "median_cont",
+    """
+    SELECT event_type,
+           quantile_cont(CAST(floor(value * 100) AS BIGINT), 0.5) AS med_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def q_median_cont(sf_dir: str):
+    """Interpolated (continuous) median per group — the PERCENTILE_CONT companion to
+    ``quantiles_exact``'s inverted-CDF discrete quantiles. Scale shape: the value
+    domain is integral cents, so each batch folds to (group, cents, count) partials
+    and ONE groupby-sum shuffles the distinct-value histogram (bounded by the value
+    domain, not the row count); the interpolation walks the merged per-group CDF
+    in-process. frac is exactly 0 or 0.5 at q=0.5 over integers, so lo + frac*(hi-lo)
+    is exact on both engines."""
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        g = (
+            pa.table({"event_type": t["event_type"], "cents": pa.array(cents)})
+            .group_by(["event_type", "cents"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"event_type": g["event_type"], "cents": g["cents"],
+             "n": g["count_all"].cast(pa.int64())}
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out_t, out_m = [], []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("cents")
+        v = g["cents"].to_numpy(np.int64)
+        c = np.cumsum(g["n"].to_numpy(np.int64))
+        ntot = int(c[-1])
+        pos = (ntot - 1) * 0.5
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        vlo = v[np.searchsorted(c, lo + 1)]
+        vhi = v[np.searchsorted(c, hi + 1)]
+        out_t.append(et)
+        out_m.append(float(vlo) + (pos - lo) * (float(vhi) - float(vlo)))
+    return pd.DataFrame({"event_type": out_t, "med_cents": np.array(out_m, np.float64)})
+
+
+@query(
+    "star_join_topk",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-30'
+      AND l_shipdate  > TIMESTAMP '1997-06-30'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue_cents DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_star_join_topk(sf_dir: str):
+    """TPC-H Q3-shaped star join: broadcast the filtered dimension (one segment's
+    customer keys via ``ray.put``), date-prune both fact scans at the read columns,
+    pre-aggregate lineitem revenue per order INSIDE each batch, hash-join the
+    order-cardinality aggregate to the filtered orders, and take top-10 with
+    per-block partial top-k (no global sort — only ≤10 rows per block reach the
+    final merge). Revenue is integral cents from identical IEEE arithmetic."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.closure import default_join_partitions
+
+    CUT = np.datetime64("1997-06-30")
+    cust = pq.read_table(TP._p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    bkeys = np.sort(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    bkeys_ref = ray.put(bkeys)
+
+    orders = SRC.read_parquet_clean(
+        TP._p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        keys = ray.get(bkeys_ref)
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (od < CUT) & (np.searchsorted(keys, ck) < len(keys))
+        m &= keys[np.minimum(np.searchsorted(keys, ck), len(keys) - 1)] == ck
+        return t.filter(pa.array(m)).select(["o_orderkey", "o_orderdate"])
+
+    odim = orders.map_batches(ofilter, batch_format="pyarrow")
+
+    li = SRC.read_parquet_clean(
+        TP._p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(sd > CUT))
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1 - t["l_discount"].to_numpy(zero_copy_only=False)) * 100
+        ).astype(np.int64)
+        keys, inv = np.unique(ok, return_inverse=True)
+        s = np.bincount(inv, weights=rev.astype(np.float64), minlength=len(keys))
+        return pa.table(
+            {"l_orderkey": pa.array(keys), "revenue_cents": pa.array(s.astype(np.int64))}
+        )
+
+    rev = (
+        li.map_batches(lpartial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    joined = rev.join(
+        odim.rename_columns({"o_orderkey": "l_orderkey"}),
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("l_orderkey",),
+    )
+
+    def top10(t: pa.Table) -> pa.Table:
+        r = t["revenue_cents"].to_numpy(zero_copy_only=False)
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return t.take(np.lexsort((k, -r))[:10])
+
+    parts = joined.map_batches(top10, batch_format="pyarrow").take_all()
+    if not parts:
+        return pa.table(
+            {"l_orderkey": pa.array([], pa.int64()),
+             "revenue_cents": pa.array([], pa.int64()),
+             "o_orderdate": pa.array([], pa.timestamp("us"))}
+        )
+    allt = pa.Table.from_pylist(parts)
+    r = allt["revenue_cents"].to_numpy(zero_copy_only=False)
+    k = allt["l_orderkey"].to_numpy(zero_copy_only=False)
+    return allt.take(np.lexsort((k, -r))[:10]).select(
+        ["l_orderkey", "revenue_cents", "o_orderdate"]
+    )
+
+
+@query(
+    "daily_gapfill",
+    """
+    WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+               FROM events GROUP BY 1),
+         b AS (SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+               FROM events),
+         d AS (SELECT strftime(CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                                    AS DATE), '%Y-%m-%d') AS day
+               FROM b)
+    SELECT d.day AS day, COALESCE(c.n, 0) AS n
+    FROM d LEFT JOIN c USING (day)
+    """,
+)
+def q_daily_gapfill(sf_dir: str):
+    """Time-series gap fill: daily event counts with missing calendar days
+    zero-filled. Scale shape: the heavy input folds through per-batch (day, n)
+    partials and one day-cardinality groupby-sum; the calendar spine and left-join
+    fill happen on the OUTPUT-sized aggregate (days between min and max — thousands
+    of rows at any data scale), which is driver arithmetic, not data motion."""
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        g = pa.table({"day": day}).group_by(["day"]).aggregate([([], "count_all")])
+        return pa.table({"day": g["day"], "n": g["count_all"].cast(pa.int64())})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    spine = pd.DataFrame(
+        {"day": pd.date_range(counts["day"].min(), counts["day"].max(), freq="D")
+                  .strftime("%Y-%m-%d")}
+    )
+    out = spine.merge(counts, on="day", how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    return out
+
+
+@query(
+    "entropy_by_source",
+    """
+    WITH c AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang),
+         t AS (SELECT source, SUM(n) AS tot FROM c GROUP BY source)
+    SELECT c.source,
+           SUM(-(CAST(c.n AS DOUBLE) / t.tot) * log2(CAST(c.n AS DOUBLE) / t.tot))
+             AS lang_entropy
+    FROM c JOIN t USING (source) GROUP BY c.source
+    """,
+)
+def q_entropy_by_source(sf_dir: str):
+    """Shannon entropy of the language mix per source — the distribution-shape
+    metric a curation pipeline tracks per provenance bucket. Scale shape: per-batch
+    (source, lang, n) partials → one groupby-sum at (sources × langs) cardinality →
+    entropy as in-process arithmetic on the tiny aggregate. Terms are summed in
+    lang-sorted order (deterministic); the oracle's sum order is DuckDB's own, and
+    the ≤ languages-count float terms agree to far beyond the compare rounding."""
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"source": t["source"], "lang": t["lang"]})
+            .group_by(["source", "lang"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"source": g["source"], "lang": g["lang"],
+             "n": g["count_all"].cast(pa.int64())}
+        )
+
+    c = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["source", "lang"])
+    )
+    out_s, out_h = [], []
+    for src_name, g in c.groupby("source", sort=True):
+        p = g["n"].to_numpy(np.float64) / float(g["n"].sum())
+        out_s.append(src_name)
+        out_h.append(float(np.sum(-p * np.log2(p))))
+    return pd.DataFrame({"source": out_s, "lang_entropy": np.array(out_h, np.float64)})
+
+
+@query(
+    "running_total",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS run_cents
+    FROM events
+    """,
+)
+def q_running_total(sf_dir: str):
+    """Per-key unbounded running total (prefix scan) — the cumulative companion to
+    ``moving_window``'s bounded frame. Same partitioning assumption (one user's
+    history per task, hash shuffle on user_id), one vectorized sort + cumsum per
+    group, integral cents keep it exact under any accumulation order."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        cents = np.floor(g["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(np.int64),
+             "user_id": g["user_id"].to_numpy(np.int64),
+             "run_cents": np.cumsum(cents)}
+        )
+
+    return ds.groupby("user_id").map_groups(scan, batch_format="pandas")
