@@ -3579,3 +3579,67 @@ def q_running_total(sf_dir: str):
         )
 
     return ds.groupby("user_id").map_groups(scan, batch_format="pandas")
+
+
+@query(
+    "full_outer_spenders",
+    """
+    WITH a AS (SELECT user_id,
+                      CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS click_cents
+               FROM events WHERE event_type = 'click' GROUP BY user_id
+               HAVING SUM(CAST(floor(value*100) AS BIGINT)) > 70000),
+         b AS (SELECT user_id,
+                      CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS purchase_cents
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id
+               HAVING SUM(CAST(floor(value*100) AS BIGINT)) > 70000)
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id, a.click_cents, b.purchase_cents
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    """,
+)
+def q_full_outer_spenders(sf_dir: str):
+    """FULL OUTER join — the last member of the join family (inner / broadcast /
+    as-of / range / semi / anti / left-semi already covered): heavy clickers vs
+    heavy purchasers per user, null-filled on whichever side the user is missing
+    from. Each side is a combiner-then-groupby aggregate (only (user, cents) rows
+    shuffle); the outer join itself is ``Dataset.join(join_type=\"full_outer\")``,
+    hash-partitioned on the key. The 70000-cent HAVING threshold keeps both
+    exclusive sides non-empty at every sf."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.closure import default_join_partitions
+
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["user_id", "event_type", "value"]
+    )
+
+    def side(etype: str, out_col: str):
+        def partial(t: pa.Table) -> pa.Table:
+            m = pc.equal(t["event_type"], etype)
+            t = t.filter(m)
+            uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cents = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+            users, inv = np.unique(uid, return_inverse=True)
+            s = np.bincount(inv, weights=cents.astype(np.float64), minlength=len(users))
+            return pa.table(
+                {"user_id": pa.array(users), out_col: pa.array(s.astype(np.int64))}
+            )
+
+        agg = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Sum(out_col, alias_name=out_col))
+        )
+        return agg.map_batches(
+            lambda t, c=out_col: t.filter(pc.greater(t[c], 70000)),
+            batch_format="pyarrow",
+            # join input must be free of zero-column empty blocks (the Ray 2.49
+            # hash-aggregate artifact documented in stages/components.py) — the
+            # repartition below concat-normalizes them away
+        ).repartition(default_join_partitions())
+
+    return side("click", "click_cents").join(
+        side("purchase", "purchase_cents"),
+        join_type="full_outer",
+        num_partitions=default_join_partitions(),
+        on=("user_id",),
+    )

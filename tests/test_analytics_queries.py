@@ -156,3 +156,26 @@ def test_running_total_last_row_equals_group_sum(ray_session, events):
     # the max over a user's prefix sums is the final (full-history) sum
     got = out.groupby("user_id")["run_cents"].max()
     pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+def test_full_outer_join_null_sides(ray_session, events):
+    from augdiff_pipeline_ray.pipelines.tpch_queries import q_full_outer_spenders
+
+    out = _df(q_full_outer_spenders(SF))
+    cents = np.floor(events.value.to_numpy(np.float64) * 100).astype(np.int64)
+    df = events.assign(cents=cents)
+
+    def heavy(et):
+        s = df[df.event_type == et].groupby("user_id")["cents"].sum()
+        return s[s > 70000]
+
+    a, b = heavy("click"), heavy("purchase")
+    assert set(out.user_id) == set(a.index) | set(b.index)
+    for _, r in out.iterrows():
+        uid = r.user_id
+        assert (np.isnan(r.click_cents) and uid not in a.index) or r.click_cents == a[uid]
+        assert (
+            np.isnan(r.purchase_cents) and uid not in b.index
+        ) or r.purchase_cents == b[uid]
+    # both exclusive sides genuinely exercised
+    assert out.click_cents.isna().any() and out.purchase_cents.isna().any()
