@@ -332,3 +332,107 @@ def kmeans_local_reference(
             if m.any():
                 cent[ci] = normalize(x[m].sum(axis=0, keepdims=True) / m.sum())[0]
     return (x @ cent.T).argmax(axis=1).astype(np.int64)
+
+
+# -- product quantization (the IVF-PQ memory-scale path) -------------------------------
+#
+# At 10^12 vectors the raw float32 embeddings (256 B/row at d=64) cannot live in
+# serving memory; PQ stores an m-byte code per vector (32x smaller at m=8) and ranks
+# with asymmetric distance computation (ADC: per-query lookup tables, one table-gather
+# per row — no float math against the corpus). Jegou, Douze, Schmid, "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011. The exact-rerank refine step
+# fetches true vectors for the tiny ADC shortlist only.
+
+
+def pq_train(
+    sample: np.ndarray, m: int = 8, ksub: int = 64, iters: int = 10, seed: int = 0xC053
+) -> np.ndarray:
+    """Train m per-subspace codebooks ((m, ksub, d/m), deterministic k-means) on a
+    bounded sample of NORMALIZED vectors. d must be divisible by m."""
+    x = normalize(np.asarray(sample, np.float32))
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    ksub = min(ksub, n)
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, ksub, dsub), np.float32)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(n, size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            # ||a-b||^2 ranking needs only -2ab + ||b||^2 (||a||^2 is per-row constant)
+            dist = -2.0 * sub @ cent.T + (cent * cent).sum(1)[None, :]
+            a = dist.argmin(1)
+            for c in range(ksub):
+                msk = a == c
+                if msk.any():
+                    cent[c] = sub[msk].mean(0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(embs: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 codes: nearest sub-centroid per subspace (input normalized here)."""
+    x = normalize(np.asarray(embs, np.float32))
+    m, ksub, dsub = books.shape
+    codes = np.empty((len(x), m), np.uint8)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cent = books[j]
+        dist = -2.0 * sub @ cent.T + (cent * cent).sum(1)[None, :]
+        codes[:, j] = dist.argmin(1).astype(np.uint8)
+    return codes
+
+
+def pq_adc_tables(query: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(m, ksub) lookup tables of q_sub · centroid for one normalized query: the ADC
+    approximate cosine of row i is tables[j, code[i, j]] summed over j."""
+    m, ksub, dsub = books.shape
+    q = normalize(np.asarray(query, np.float32).reshape(1, -1))[0]
+    return np.einsum("mkd,md->mk", books, q.reshape(m, dsub))
+
+
+class PQSearcher:
+    """map_batches actor over the CODES table (vec_id, m-byte code): codebooks +
+    queries broadcast once per actor; per batch, one uint8 table-gather per query
+    ranks the whole batch without touching a float vector. Emits per-batch partial
+    top-``shortlist`` rows for the exact-rerank refine step."""
+
+    def __init__(self, books: np.ndarray, queries: np.ndarray, query_ids: np.ndarray,
+                 shortlist: int = 50):
+        self.books = np.asarray(books, np.float32)
+        self.qids = np.asarray(query_ids, np.int64)
+        self.tables = np.stack(
+            [pq_adc_tables(q, self.books) for q in np.asarray(queries, np.float32)]
+        )  # (nq, m, ksub)
+        self.shortlist = shortlist
+        self.m = self.books.shape[0]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        codes_col = batch["code"]
+        if isinstance(codes_col, pa.ChunkedArray):
+            codes_col = codes_col.combine_chunks()
+        flat = np.frombuffer(b"".join(codes_col.to_pylist()), np.uint8) if (
+            not isinstance(codes_col, pa.FixedSizeBinaryArray)
+        ) else np.frombuffer(codes_col.buffers()[1], np.uint8)[
+            codes_col.offset * self.m : (codes_col.offset + len(codes_col)) * self.m
+        ]
+        codes = flat.reshape(len(codes_col), self.m)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        cols = np.arange(self.m)[None, :]
+        for qi in range(len(self.qids)):
+            scores = self.tables[qi][cols, codes].sum(1)  # (n,)
+            k = min(self.shortlist, len(ids))
+            top = np.argpartition(-scores, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
+            out_q.extend([int(self.qids[qi])] * len(top))
+            out_v.extend(ids[top].tolist())
+            out_s.extend(scores[top].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )

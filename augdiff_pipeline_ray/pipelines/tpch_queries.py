@@ -3643,3 +3643,77 @@ def q_full_outer_spenders(sf_dir: str):
         num_partitions=default_join_partitions(),
         on=("user_id",),
     )
+
+
+@query("pq_ann")
+def q_pq_ann(sf_dir: str):
+    """IVF-PQ-style ANN, the memory-scale path past ``ivf_ann``: at 10^12 vectors the
+    float corpus cannot be held, so the table is compressed to m-byte PQ codes (32x
+    at d=64, m=8 — functions/similarity.py::pq_*, Jegou et al. 2011) in one encode
+    pass (codebooks trained on a bounded deterministic sample, broadcast via
+    ``ray.put``); search runs over the CODES stream only (uint8 table-gathers, no
+    float math per row), emitting per-batch partial shortlists; the exact-cosine
+    refine fetches ONLY the shortlist rows' true vectors with a distributed filtered
+    scan and re-ranks driver-side. Rows-only (k-means/PQ aren't SQL); recall vs
+    brute force and ADC-approximation invariants are pinned in tests/test_pq_ann.py."""
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    sample = ds.limit(4096).to_pandas()
+    mat_s = np.stack([np.asarray(e, np.float32) for e in sample["embedding"]])
+    books = SIM.pq_train(mat_s)
+    m = books.shape[0]
+    queries = mat_s[:5]
+    qids = sample["vec_id"].to_numpy()[:5].astype(np.int64)
+    books_ref = ray.put(books)
+
+    def encode(t: pa.Table) -> pa.Table:
+        codes = SIM.pq_encode(SIM.embedding_matrix(t["embedding"]), ray.get(books_ref))
+        arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(m), len(codes), [None, pa.py_buffer(codes.tobytes())]
+        )
+        return pa.table({"vec_id": t["vec_id"], "code": arr})
+
+    codes_ds = ds.map_batches(encode, batch_format="pyarrow")
+    partials = codes_ds.map_batches(
+        SIM.PQSearcher,
+        fn_constructor_args=(books, queries, qids, 50),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+    parts = pa.concat_tables(
+        [b for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")],
+        promote_options="default",
+    )
+    short = SIM.merge_topk(parts, k=50).to_pandas()
+
+    # exact-rerank refine: fetch only the shortlist rows' true vectors (distributed
+    # filtered scan; ≤ queries x shortlist rows reach the driver), re-rank exactly
+    need = np.sort(np.unique(short["vec_id"].to_numpy(np.int64)))
+    need_ref = ray.put(need)
+
+    def fetch(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(np.isin(ids, ray.get(need_ref))))
+
+    got = pa.concat_tables(
+        [b for b in ds.map_batches(fetch, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow")],
+        promote_options="default",
+    )
+    vecs = SIM.normalize(SIM.embedding_matrix(got["embedding"]))
+    vid = got["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = {int(v): i for i, v in enumerate(vid)}
+    qn = SIM.normalize(queries)
+    rows_q, rows_v, rows_r = [], [], []
+    for qi, qid in enumerate(qids):
+        cand = short[short.query_id == qid]["vec_id"].to_numpy(np.int64)
+        sims = vecs[[pos[int(v)] for v in cand]] @ qn[qi]
+        order = np.lexsort((cand, -sims))[:10]
+        rows_q.extend([int(qid)] * len(order))
+        rows_v.extend(cand[order].tolist())
+        rows_r.extend(range(len(order)))
+    return pa.table(
+        {"query_id": pa.array(rows_q, pa.int64()), "vec_id": pa.array(rows_v, pa.int64()),
+         "rank": pa.array(rows_r, pa.int64())}
+    )
