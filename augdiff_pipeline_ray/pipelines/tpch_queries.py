@@ -3717,3 +3717,95 @@ def q_pq_ann(sf_dir: str):
         {"query_id": pa.array(rows_q, pa.int64()), "vec_id": pa.array(rows_v, pa.int64()),
          "rank": pa.array(rows_r, pa.int64())}
     )
+
+
+@query(
+    "interval_coverage",
+    """
+    WITH i AS (SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e FROM events),
+         m AS (SELECT user_id, s, e,
+                      MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS pmax
+               FROM i),
+         g AS (SELECT user_id, s, e,
+                      SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS grp
+               FROM m)
+    SELECT user_id, CAST(SUM(ms) AS BIGINT) AS covered_ms
+    FROM (SELECT user_id, grp,
+                 epoch_ms(MAX(e)) - epoch_ms(MIN(s)) AS ms
+          FROM g GROUP BY user_id, grp)
+    GROUP BY user_id
+    """,
+)
+def q_interval_coverage(sf_dir: str):
+    """Interval-union coverage per key (the classic sweep): each event opens a
+    5-minute activity interval; overlapping intervals merge and the per-user total
+    covered milliseconds are summed. Scale shape = the window family's (hash shuffle
+    on user_id, one vectorized sweep per group): sorted starts + a running max of
+    ends find merge boundaries with two numpy ops (accumulate + reduceat) — no
+    per-interval loop. Integral epoch-ms keeps it exact."""
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["user_id", "ts"])
+    FIVE_MIN_US = 5 * 60 * 1_000_000
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].astype("datetime64[ns]").astype("int64").to_numpy(np.int64) // 1_000
+        s = np.sort(us)
+        e = s + FIVE_MIN_US
+        pmax = np.maximum.accumulate(e)
+        new = np.empty(len(s), bool)
+        new[0] = True
+        new[1:] = s[1:] > pmax[:-1]
+        starts = np.nonzero(new)[0]
+        max_e = np.maximum.reduceat(e, starts)
+        covered = int(np.sum(max_e // 1_000 - s[starts] // 1_000))
+        return pd.DataFrame(
+            {"user_id": [np.int64(g["user_id"].iloc[0])],
+             "covered_ms": [np.int64(covered)]}
+        )
+
+    return ds.groupby("user_id").map_groups(sweep, batch_format="pandas")
+
+
+@query(
+    "funnel_conversion",
+    """
+    SELECT u.user_id,
+           CAST(CASE WHEN EXISTS (
+                SELECT 1 FROM events c, events p
+                WHERE c.user_id = u.user_id AND p.user_id = u.user_id
+                  AND c.event_type = 'click' AND p.event_type = 'purchase'
+                  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+                THEN 1 ELSE 0 END AS BIGINT) AS converted
+    FROM (SELECT DISTINCT user_id FROM events) u
+    """,
+)
+def q_funnel_conversion(sf_dir: str):
+    """Funnel analysis: did the user complete click → purchase within one hour?
+    Scale shape: hash shuffle on user_id, then per group a sorted purchase array +
+    one vectorized searchsorted over the click timestamps (no pairwise join — the
+    oracle's EXISTS pair join is quadratic per user; this is n log n). The window
+    boundary semantics (strictly after the click, within +1 h inclusive) match the
+    SQL exactly in integral microseconds."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
+    )
+    HOUR_US = 3_600 * 1_000_000
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].astype("datetime64[ns]").astype("int64").to_numpy(np.int64) // 1_000
+        et = g["event_type"].to_numpy()
+        clicks = us[et == "click"]
+        purch = np.sort(us[et == "purchase"])
+        conv = 0
+        if len(clicks) and len(purch):
+            nxt = np.searchsorted(purch, clicks, side="right")  # first purchase > click
+            ok = nxt < len(purch)
+            conv = int(np.any(purch[nxt[ok]] <= clicks[ok] + HOUR_US))
+        return pd.DataFrame(
+            {"user_id": [np.int64(g["user_id"].iloc[0])], "converted": [np.int64(conv)]}
+        )
+
+    return ds.groupby("user_id").map_groups(funnel, batch_format="pandas")

@@ -179,3 +179,46 @@ def test_full_outer_join_null_sides(ray_session, events):
         ) or r.purchase_cents == b[uid]
     # both exclusive sides genuinely exercised
     assert out.click_cents.isna().any() and out.purchase_cents.isna().any()
+
+
+def test_interval_coverage_matches_brute_force(ray_session, events):
+    from augdiff_pipeline_ray.pipelines.tpch_queries import q_interval_coverage
+
+    out = _df(q_interval_coverage(SF)).set_index("user_id")["covered_ms"]
+    FIVE = 5 * 60 * 1_000_000
+    for uid, g in events.groupby("user_id"):
+        us = np.sort(g["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1_000)
+        # brute force: merge intervals with a plain python sweep
+        total, cur_s, cur_e = 0, None, None
+        for s in us:
+            e = s + FIVE
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    total += cur_e // 1_000 - cur_s // 1_000
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        total += cur_e // 1_000 - cur_s // 1_000
+        assert out[uid] == total
+    # coverage can never exceed (count * 5 min) nor fall below 5 min
+    n = events.groupby("user_id").size()
+    assert (out <= n * 300_000).all() and (out >= 300_000).all()
+
+
+def test_funnel_conversion_matches_brute_force(ray_session, events):
+    from augdiff_pipeline_ray.pipelines.tpch_queries import q_funnel_conversion
+
+    out = _df(q_funnel_conversion(SF)).set_index("user_id")["converted"]
+    HOUR = 3_600 * 1_000_000
+    for uid, g in events.groupby("user_id"):
+        us = g["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1_000
+        et = g["event_type"].to_numpy()
+        want = int(
+            any(
+                (p > c) and (p <= c + HOUR)
+                for c in us[et == "click"]
+                for p in us[et == "purchase"]
+            )
+        )
+        assert out[uid] == want
+    assert set(out.unique()) == {0, 1}  # non-degenerate on this world

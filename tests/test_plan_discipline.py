@@ -30,6 +30,11 @@ EXPECTED = {
     "token_counts": 0,
     "bloom_semi_join": 0,        # bloom + exact check broadcast; no fact shuffle
     "stratified_sample": 0,      # hash-based rates, shuffle-free
+    "histogram_value": 1,        # bincount combiner, one bin-cardinality groupby
+    "set_intersect": 1,          # presence-flag combiner, one user-cardinality groupby
+    "set_except": 1,             # same single-shuffle plan as set_intersect
+    "running_total": 1,          # one hash sort per key; scan is in-group vectorized
+    "full_outer_spenders": 5,    # 2 side aggregates + 2 empty-block repartitions + join
 }
 
 
