@@ -3809,3 +3809,85 @@ def q_funnel_conversion(sf_dir: str):
         )
 
     return ds.groupby("user_id").map_groups(funnel, batch_format="pandas")
+
+
+@query(
+    "phash_topk",
+    f"""
+    WITH tiles AS ({TP.SQL_TILES}),
+    q AS (SELECT image_id AS query_id, phash AS qh FROM tiles WHERE doc_id < 5)
+    SELECT query_id, neighbor_id, dist, rank FROM (
+      SELECT q.query_id, t.image_id AS neighbor_id,
+             CAST(bit_count(xor(t.phash, q.qh)) AS BIGINT) AS dist,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY bit_count(xor(t.phash, q.qh)), t.image_id) AS rank
+      FROM tiles t CROSS JOIN q
+      WHERE t.image_id <> q.query_id)
+    WHERE rank <= 10
+    """,
+)
+def q_phash_topk(sf_dir: str):
+    """pHash Hamming top-k: nearest images to 5 query images by perceptual-hash
+    distance — similarity search in the COMPRESSED hash domain (the input_hint's
+    ``phash:int64`` column). At 10^12 images the float-embedding searchers
+    (cosine_topk / ivf_ann / pq_ann) can't hold or even stream the vectors cheaply;
+    an 8-byte phash per image streams at full read bandwidth. Scale shape: the 5
+    query hashes ship in the task closure (constant-size broadcast), every batch
+    does ONE vectorized XOR+popcount per query (functions/dedup.py::hamming64, the
+    SWAR popcount) and emits a ≤Q·k partial shortlist via lexsort tie-break
+    (dist, doc_id); only shortlists leave the scan — no shuffle, no full sort.
+    Merge is output-sized driver arithmetic. Ties broken by image_id exactly as the
+    oracle's ROW_NUMBER (zero-padded image_id string order == doc_id order)."""
+    K_TOP = 10
+    qdocs = np.arange(5, dtype=np.int64)
+    qhash = (qdocs * 1103515245 + 12345) % 2147483648  # SQL_TILES phash LCG
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["doc_id"])
+
+    def shortlist(t: pa.Table) -> pa.Table:
+        docs = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ph = (docs * 1103515245 + 12345) % 2147483648
+        out_q, out_n, out_d = [], [], []
+        for qd, qh in zip(qdocs, qhash):
+            dist = DD.hamming64(ph, np.int64(qh))
+            keep = docs != qd
+            d, nd = dist[keep], docs[keep]
+            if len(nd) > K_TOP:
+                # keep every row tying the k-th distance so the (dist, id)
+                # lexicographic truncation below stays exact at tie boundaries
+                kth = np.partition(d, K_TOP - 1)[K_TOP - 1]
+                tied = d <= kth
+                d, nd = d[tied], nd[tied]
+            order = np.lexsort((nd, d))[:K_TOP]
+            out_q.append(np.full(len(order), qd, np.int64))
+            out_n.append(nd[order])
+            out_d.append(d[order].astype(np.int64))
+        return pa.table(
+            {"qdoc": pa.array(np.concatenate(out_q)),
+             "ndoc": pa.array(np.concatenate(out_n)),
+             "dist": pa.array(np.concatenate(out_d))}
+        )
+
+    parts = pa.concat_tables(
+        ds.map_batches(shortlist, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ),
+        promote_options="default",
+    )
+    qd = parts["qdoc"].to_numpy(zero_copy_only=False)
+    nd = parts["ndoc"].to_numpy(zero_copy_only=False)
+    di = parts["dist"].to_numpy(zero_copy_only=False)
+    rows = {"query_id": [], "neighbor_id": [], "dist": [], "rank": []}
+    for q in qdocs:
+        m = qd == q
+        order = np.lexsort((nd[m], di[m]))[:K_TOP]
+        rows["query_id"].extend([f"doc-{q:08d}"] * len(order))
+        rows["neighbor_id"].extend(f"doc-{n:08d}" for n in nd[m][order])
+        rows["dist"].extend(di[m][order].tolist())
+        rows["rank"].extend(range(1, len(order) + 1))
+    return pa.table(
+        {"query_id": pa.array(rows["query_id"]),
+         "neighbor_id": pa.array(rows["neighbor_id"]),
+         "dist": pa.array(rows["dist"], pa.int64()),
+         "rank": pa.array(rows["rank"], pa.int64())}
+    )
