@@ -25,7 +25,7 @@ import ray.data as rd
 from ..sources import snapshot as SNAP
 from ..stages.closure import closure_auto, closure_dataset
 from ..stages.edges import edges_from_batch
-from ..stages.tiles import TileDecoder, TileDecoderFiles
+from ..stages.tiles import TileDecoder, TileDecoderFilesSink
 from ..state.index_store import IndexStore
 
 
@@ -113,19 +113,48 @@ def assign_tiles(
         if os.path.isdir(images_parquet)
         else []
     )
+    import json
+    import shutil
+
+    tiles_dir = out / "tiles_decoded.parquet"  # directory of part files (name kept —
+    #                                            every consumer reads it via pq.read_table)
     if len(files) >= 4 * concurrency:
-        # direct-read ingest: actors read their files themselves (no object-store hop
-        # for the blob bytes — see TileDecoderFiles)
-        ds = rd.from_items([{"path": f} for f in files])
-        decoded = ds.map_batches(
-            TileDecoderFiles,
-            fn_constructor_kwargs=kwargs,
-            batch_format="pyarrow",
-            batch_size=1,
-            concurrency=concurrency,
-            num_cpus=1,
-        )
+        # direct-read ingest: actors read their files themselves AND commit their own
+        # part file per input (no object-store hop in either direction —
+        # TileDecoderFilesSink). Per-input-file commits make the long pole of the
+        # bootstrap RESUMABLE: a killed run re-decodes only the inputs whose parts are
+        # missing. The manifest pins the input list + decode parameters — any mismatch
+        # (different world, different verify/bank config) voids the committed parts.
+        tiles_dir.mkdir(parents=True, exist_ok=True)
+        manifest = tiles_dir / "_MANIFEST.json"
+        want = {"files": [Path(f).name for f in files], "batch": "per-file", **kwargs}
+        have = None
+        if manifest.exists():
+            try:
+                have = json.loads(manifest.read_text())
+            except Exception:
+                have = None
+        if have != want:
+            shutil.rmtree(tiles_dir)
+            tiles_dir.mkdir(parents=True)
+            manifest.write_text(json.dumps(want))
+        pending = [
+            f for f in files
+            if not (tiles_dir / f"part-{Path(f).stem}.parquet").exists()
+        ]
+        if pending:
+            ds = rd.from_items([{"path": f} for f in pending])
+            ds.map_batches(
+                TileDecoderFilesSink,
+                fn_constructor_kwargs={**kwargs, "sink_dir": str(tiles_dir)},
+                batch_format="pyarrow",
+                batch_size=1,
+                concurrency=max(2, min(concurrency, len(pending))),
+                num_cpus=1,
+            ).materialize()  # summaries only — O(files) rows
     else:
+        # small-world object-store path: one streaming write of the whole decoded
+        # dataset (not worth per-partition commits at this size)
         ds = rd.read_parquet(images_parquet)
         decoded = ds.map_batches(
             TileDecoder,
@@ -135,16 +164,11 @@ def assign_tiles(
             concurrency=concurrency,
             num_cpus=1,
         )
-    # STREAMING sinks: the decoded table writes straight from the actor pool to
-    # partitioned parquet (one file per block — resumable, never one giant file, never a
-    # driver concat); the small derived artifacts (bank, assignments, per-cell counts)
-    # come from cheap columnar read-backs of the written dataset, not from re-decoding.
-    import shutil
-
-    tiles_dir = out / "tiles_decoded.parquet"  # directory of block files (name kept —
-    if tiles_dir.exists():                     # every consumer reads it via pq.read_table)
-        shutil.rmtree(tiles_dir)
-    decoded.write_parquet(str(tiles_dir))
+        if tiles_dir.exists():
+            shutil.rmtree(tiles_dir)
+        decoded.write_parquet(str(tiles_dir))
+    # The small derived artifacts (bank, assignments, per-cell counts) come from cheap
+    # columnar read-backs of the written dataset, not from re-decoding.
 
     import numpy as np
     import pyarrow.dataset as pads2

@@ -202,6 +202,47 @@ class TileDecoderFiles(TileDecoder):
         return pa.concat_tables(out, promote_options="default")
 
 
+class TileDecoderFilesSink(TileDecoderFiles):
+    """Resumable direct-read decode: each input file's decoded rows COMMIT as one
+    ``part-<stem>.parquet`` under ``sink_dir`` via tmp+rename (dot-prefixed temp, so
+    dataset readers never see a partial file). The task returns only a summary row —
+    decoded rows go storage→actor→storage with no object-store hop either way. A
+    restarted ingest skips inputs whose parts already exist
+    (pipelines/indexer.py::assign_tiles): the north rule's "a killed run resumes
+    without recomputing completed partitions", applied to the bootstrap's long pole.
+    Decode is deterministic per file, so a resumed directory is byte-identical to a
+    single-run one."""
+
+    def __init__(self, sink_dir: str, **kw):
+        super().__init__(**kw)
+        from pathlib import Path as _Path
+
+        self.sink_dir = _Path(sink_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # batch: {'path': string}
+        import os
+        from pathlib import Path as _Path
+
+        import pyarrow.parquet as pq
+
+        paths = batch["path"].to_pylist()
+        n_rows = []
+        for p in paths:
+            t = pq.read_table(p)
+            if not len(t):
+                n_rows.append(0)
+                continue
+            dec = TileDecoder.__call__(self, t)
+            stem = _Path(p).stem
+            tmp = self.sink_dir / f".tmp-part-{stem}.parquet"
+            pq.write_table(dec, tmp)
+            os.replace(tmp, self.sink_dir / f"part-{stem}.parquet")
+            n_rows.append(len(dec))
+        return pa.table(
+            {"path": pa.array(paths, pa.string()), "rows": pa.array(n_rows, pa.int64())}
+        )
+
+
 class TileResizer:
     """Actor-pool stage: decode → bilinear resize → re-encode (the multimodal "resize"
     op). Same layout contract as TileDecoder: pixels exist only inside the actor; the
