@@ -379,11 +379,22 @@ def host_memory_probe() -> dict:
         "a=np.ones(50_000_000, np.float64)\n"  # 400 MB, first touch
         "print(400.0/(time.perf_counter()-t0))\n"
     )
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
-    rate = float(out.stdout.strip().splitlines()[-1])
+
+    def once() -> float:
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+        return float(out.stdout.strip().splitlines()[-1])
+
+    # three fresh processes, judged on the MAX: after the box idles, the FIRST
+    # fault burst is served slowly even on an otherwise healthy host (hypervisor
+    # wake-up — observed 200 MB/s then 1.7-3.9 GB/s back-to-back), while a
+    # genuinely degraded window stays slow on EVERY repeat for hours (5-200 MB/s).
+    # The sustained rate is what a multi-minute measurement experiences.
+    rates = [once() for _ in range(3)]
+    best = max(rates)
     return {
-        "fresh_alloc_mb_per_s": round(rate, 1),
-        "host_degraded": bool(rate < HOST_HEALTHY_ALLOC_MB_S),
+        "fresh_alloc_mb_per_s": round(best, 1),
+        "fresh_alloc_probes_mb_per_s": [round(r, 1) for r in rates],
+        "host_degraded": bool(best < HOST_HEALTHY_ALLOC_MB_S),
     }
 
 
