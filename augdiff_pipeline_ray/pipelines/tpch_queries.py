@@ -3891,3 +3891,377 @@ def q_phash_topk(sf_dir: str):
          "dist": pa.array(rows["dist"], pa.int64()),
          "rank": pa.array(rows["rank"], pa.int64())}
     )
+
+
+# -- LLM-curation additions: decontamination / PII / Gopher / packing / pHash CC -----
+
+
+@query(
+    "decontaminate",
+    """
+    WITH words AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    grams AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+              FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 199 = 3),
+    flag AS (SELECT DISTINCT doc_id FROM grams
+             WHERE doc_id % 199 <> 3 AND g IN (SELECT g FROM bench))
+    SELECT d.doc_id,
+           CAST(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS contaminated
+    FROM documents d LEFT JOIN flag f ON d.doc_id = f.doc_id
+    WHERE d.doc_id % 199 <> 3
+    """,
+)
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag every training document sharing a word n-gram
+    with the (small) benchmark set — the standard pre-training hygiene step (GPT-3
+    appendix C / Gopher style). Scale shape: the benchmark side is tiny by
+    construction, so its distinct gram set is collected ONCE (output-sized driver
+    gather of 64-bit gram hashes) and broadcast via ``ray.put``; the corpus side
+    streams through one ``map_batches`` doing a vectorized ``np.isin`` of each
+    batch's gram hashes against the sorted broadcast array — no shuffle, no
+    corpus-side groupby, corpus scanned exactly once. Gram width is a parameter
+    (production uses 8-13); 3 here so the synthetic 31-word-vocabulary corpus
+    exercises both branches (~25% contaminated at sf0.001). Python hashes grams to
+    64-bit (blake2b) while the oracle compares gram STRINGS — membership agrees
+    unless two distinct grams collide in 64 bits (~n²/2⁶⁵; immaterial)."""
+    N_GRAM = 3
+    BENCH_MOD, BENCH_RES = 199, 3
+
+    def _hash_grams(texts: list[str]) -> list[np.ndarray]:
+        out = []
+        for txt in texts:
+            ws = txt.split(" ")
+            hs = [
+                int.from_bytes(
+                    hashlib.blake2b(
+                        " ".join(ws[i : i + N_GRAM]).encode(), digest_size=8
+                    ).digest(),
+                    "big",
+                    signed=True,
+                )
+                for i in range(len(ws) - (N_GRAM - 1))
+            ]
+            out.append(np.array(hs, np.int64))
+        return out
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txts = pc.filter(t["text"], pa.array(d % BENCH_MOD == BENCH_RES)).to_pylist()
+        hs = _hash_grams(txts)
+        cat = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.int64)
+        return pa.table({"h": pa.array(cat, pa.int64())})
+
+    parts = list(
+        ds.map_batches(bench_grams, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    bench = np.unique(
+        np.concatenate([b["h"].to_numpy(zero_copy_only=False) for b in parts])
+        if parts
+        else np.empty(0, np.int64)
+    )
+    bench_ref = ray.put(bench)
+
+    def flag_batch(t: pa.Table) -> pa.Table:
+        # broadcast read: ray.put once on the driver, zero-copy plasma get per task
+        ref = ray.get(bench_ref) if isinstance(bench_ref, ray.ObjectRef) else bench_ref
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = d % BENCH_MOD != BENCH_RES
+        d = d[keep]
+        txts = pc.filter(t["text"], pa.array(keep)).to_pylist()
+        hs = _hash_grams(txts)
+        flag = np.fromiter(
+            (int(np.isin(h, ref, assume_unique=False).any()) for h in hs),
+            np.int64,
+            count=len(hs),
+        )
+        return pa.table(
+            {"doc_id": pa.array(d), "contaminated": pa.array(flag, pa.int64())}
+        )
+
+    return ds.map_batches(flag_batch, batch_format="pyarrow")
+
+
+@query(
+    "pii_redact",
+    """
+    SELECT doc_id,
+           regexp_replace(text, '\\b(key|hash|user)\\b', '[PII]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '\\b(key|hash|user)\\b')) AS BIGINT)
+             AS n_hits
+    FROM documents
+    """,
+)
+def q_pii_redact(sf_dir: str):
+    """PII scrubbing: redact every occurrence of a lexical pattern and count the
+    hits per document. The production pattern set (emails, phone numbers, SSNs,
+    IP addresses) is a drop-in alternation — this corpus is synthetic word soup, so
+    the demonstration pattern is three hot corpus words; the plumbing (vectorized
+    RE2 over Arrow string batches, embarrassingly parallel, zero shuffle, corpus
+    scanned once) is the operator. Both engines run RE2 (DuckDB's regexp_* and
+    pyarrow's replace/count_substring_regex), so \\b semantics match exactly."""
+    PAT = "\\b(key|hash|user)\\b"
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def red(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "redacted": pc.replace_substring_regex(
+                    t["text"], pattern=PAT, replacement="[PII]"
+                ),
+                "n_hits": pc.cast(
+                    pc.count_substring_regex(t["text"], pattern=PAT), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(red, batch_format="pyarrow")
+
+
+@query(
+    "gopher_quality",
+    """
+    WITH words AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    uni AS (SELECT doc_id, unnest(w) AS t FROM words),
+    ucnt AS (SELECT doc_id, t, COUNT(*) AS c FROM uni GROUP BY doc_id, t),
+    ustat AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words3,
+                     CAST(MAX(c) AS BIGINT) AS top_word_count
+              FROM ucnt GROUP BY doc_id),
+    big AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+            FROM words, UNNEST(range(1, len(w))) AS t(i)),
+    bcnt AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY doc_id, g),
+    bstat AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                     CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                       AS dup_bigram_tokens
+              FROM bcnt GROUP BY doc_id)
+    SELECT u.doc_id, u.n_words3, u.top_word_count,
+           COALESCE(b.n_bigrams, 0) AS n_bigrams,
+           COALESCE(b.dup_bigram_tokens, 0) AS dup_bigram_tokens
+    FROM ustat u LEFT JOIN bstat b ON u.doc_id = b.doc_id
+    """,
+)
+def q_gopher_quality(sf_dir: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1): per document,
+    the most-frequent-word count and the number of tokens sitting inside repeated
+    bigrams — the raw integral counts behind the "fraction of chars in duplicated
+    n-grams" filters (counts, not ratios, so the oracle compare is float-free; the
+    filter thresholds are a trivial downstream map). Scale shape: one map_batches,
+    no shuffle — each document's statistics are local to it, so the corpus streams
+    through in a single pass; per-doc counting is dict-bound string work (the same
+    regime as the reference's tag heuristics), parallel across batches."""
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nw, top, nb, dup = [], [], [], []
+        for txt in t["text"].to_pylist():
+            ws = txt.split(" ")
+            uc = Counter(ws)
+            nw.append(len(ws))
+            top.append(max(uc.values()))
+            bc = Counter(zip(ws, ws[1:]))
+            nb.append(max(len(ws) - 1, 0))
+            dup.append(sum(c for c in bc.values() if c >= 2))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_words3": pa.array(nw, pa.int64()),
+                "top_word_count": pa.array(top, pa.int64()),
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "dup_bigram_tokens": pa.array(dup, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+@query(
+    "seq_pack",
+    """
+    WITH toks AS (SELECT doc_id, doc_id // 64 AS grp,
+                         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+                  FROM documents),
+    cum AS (SELECT doc_id, grp, n_tok,
+                   SUM(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tok AS before
+            FROM toks)
+    SELECT doc_id, n_tok,
+           CAST(grp * 4096 + before // 512 AS BIGINT) AS seq_id,
+           CAST(before % 512 AS BIGINT) AS seq_offset
+    FROM cum
+    """,
+)
+def q_seq_pack(sf_dir: str):
+    """Sequence packing for training: assign every document a (sequence id, offset)
+    inside fixed 512-token training sequences. Packing is contiguous-greedy within
+    deterministic 64-doc groups (documents straddle sequence boundaries, the
+    standard concat-then-chunk pretraining layout), so the operator is a hash
+    shuffle on the group key plus ONE vectorized cumsum per group — no global
+    sort, no sequential driver scan, groups pack independently on any number of
+    workers, and the group width is the knob that trades packing locality against
+    parallelism. Global sequence ids are group-offset arithmetic (grp * 4096 +
+    local), collision-free for any group token mass < 4096 * 512."""
+    CAP, GRP_W = 512, 64
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.fromiter(
+            (len(x.split(" ")) for x in t["text"].to_pylist()), np.int64, count=len(d)
+        )
+        return pa.table(
+            {"doc_id": pa.array(d), "grp": pa.array(d // GRP_W), "n_tok": pa.array(n)}
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        n = g["n_tok"].to_numpy(np.int64)
+        before = np.cumsum(n) - n
+        grp = np.int64(g["grp"].iloc[0])
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "n_tok": n,
+                "seq_id": grp * 4096 + before // CAP,
+                "seq_offset": before % CAP,
+            }
+        )
+
+    return (
+        ds.map_batches(toks, batch_format="pyarrow")
+        .groupby("grp")
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
+@query(
+    "phash_dup_clusters",
+    """
+    WITH RECURSIVE tiles AS (
+      SELECT doc_id,
+             xor(xor(xor(((doc_id // 4) * 1103515245 + 12345) % 2147483648,
+               CASE WHEN doc_id % 4 >= 1
+                    THEN 1::BIGINT << (((doc_id % 4) * 7) % 31) ELSE 0 END),
+               CASE WHEN doc_id % 4 >= 2
+                    THEN 1::BIGINT << (((doc_id % 4) * 7 + 13) % 31) ELSE 0 END),
+               CASE WHEN doc_id % 4 >= 3
+                    THEN 1::BIGINT << (((doc_id % 4) * 7 + 26) % 31) ELSE 0 END)
+               AS ph
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM tiles a JOIN tiles b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.ph, b.ph)) <= 3),
+    und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+    reach(x, y) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.x, u.b FROM reach r JOIN und u ON r.y = u.a),
+    lab AS (SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster_id FROM reach GROUP BY x)
+    SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+    """,
+)
+def q_phash_dup_clusters(sf_dir: str):
+    """Image near-duplicate CLUSTERING in the compressed domain: pHash band-LSH →
+    in-bucket Hamming verify (radius 3) → distributed connected components → every
+    image labeled with its component's min id. This is the image-side analogue of
+    ``dup_clusters`` (text MinHash → CC) and runs entirely on the 8-byte
+    ``phash:int64`` of the input schema — at 10^12 images it streams at read
+    bandwidth where pixel or embedding comparison cannot. Recall is EXACT, not
+    probabilistic: 4 disjoint 8-bit bands over the 31 used hash bits mean ≤3
+    differing bits leave ≥1 band identical (pigeonhole), so every radius-3 pair
+    shares a bucket; at a true 64-bit phash the band width scales to 16 bits, same
+    argument for the same radius. Scale shape: one scan emits (band, band-value)
+    keys; a groupby on the bucket key localizes candidates; the O(|bucket|²)
+    verify is bounded by the band-width knob; verified pairs (output-sized) feed
+    ``stages/components.components_auto`` (hash-join min-label + pointer jumping
+    above 5M pairs, vectorized numpy below). The synthetic hash plants 4-member
+    near-dup families (doc_id//4) with intra-family distances {1,2,3,3,4,5}: the
+    family is connected through its base member but NOT a clique, so the CC step
+    is doing real work the pair list alone would get wrong. The oracle checks the
+    exhaustive-cross-join ground truth through a recursive-CTE min-label fixpoint."""
+    from ..stages import components as CC
+
+    RADIUS, BANDS, BWIDTH = 3, 4, 8
+
+    def _ph(d: np.ndarray) -> np.ndarray:
+        ph = ((d // 4) * 1103515245 + 12345) % 2147483648
+        m = d % 4
+        for j in range(3):  # member m flips bits at ((m*7 + j*13) % 31), j < m
+            pos = (m * 7 + j * 13) % 31
+            ph = np.where(m >= j + 1, ph ^ (np.int64(1) << pos), ph)
+        return ph.astype(np.int64)
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["doc_id"])
+
+    def bands(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ph = _ph(d)
+        ids, phs, bkt = [], [], []
+        for b in range(BANDS):
+            bv = (ph >> (BWIDTH * b)) & ((1 << BWIDTH) - 1)
+            ids.append(d)
+            phs.append(ph)
+            bkt.append(bv + (np.int64(b) << 32))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(ids)),
+                "ph": pa.array(np.concatenate(phs)),
+                "bucket": pa.array(np.concatenate(bkt)),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["doc_id"].to_numpy(np.int64)
+        ph = g["ph"].to_numpy(np.int64)
+        o = np.argsort(d, kind="stable")
+        d, ph = d[o], ph[o]
+        ii, jj = np.triu_indices(len(d), k=1)
+        if len(ii):
+            dist = DD.hamming64(ph[ii] ^ ph[jj], np.int64(0))
+            keep = dist <= RADIUS
+            ii, jj = ii[keep], jj[keep]
+        return pd.DataFrame({"id_a": d[ii], "id_b": d[jj]})
+
+    cand = (
+        ds.map_batches(bands, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+    )
+    pairs = _pair_distinct(cand)
+    pdf = pairs.to_pandas()  # output-sized: the verified near-dup pair list
+    if not len(pdf):
+        pdf = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                            "id_b": pd.Series([], dtype=np.int64)})
+    edges = pa.table(
+        {
+            "a": pa.array(pdf["id_a"].to_numpy(np.int64)),
+            "b": pa.array(pdf["id_b"].to_numpy(np.int64)),
+        }
+    )
+    lab = CC.components_auto(edges)
+    if isinstance(lab, rd.Dataset):  # pragma: no cover - corpus-scale plan
+        lab = pa.concat_tables(
+            list(lab.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+    nodes = lab["node"].to_numpy(zero_copy_only=False)
+    clus = lab["cluster"].to_numpy(zero_copy_only=False)
+    all_ids = (
+        SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["doc_id"])
+        .to_pandas()["doc_id"]
+        .to_numpy(np.int64)
+    )
+    cluster = all_ids.copy()
+    if len(nodes):
+        pos = np.clip(np.searchsorted(nodes, all_ids), 0, len(nodes) - 1)
+        hit = nodes[pos] == all_ids
+        cluster[hit] = clus[pos[hit]]
+    return pd.DataFrame({"doc_id": all_ids, "cluster_id": cluster})
