@@ -34,7 +34,7 @@ def _register_pickle_by_value() -> None:
         "sources", "sources.osc", "sources.snapshot", "sources.geojson",
         "stages", "stages.edges", "stages.closure", "stages.augment",
         "stages.render", "stages.tiles", "stages.shuffle", "stages.components",
-        "stages.pagerank",
+        "stages.pagerank", "stages.raster",
         "state", "state.index_store", "state.strtree", "state.lineage",
         "state.tile_pool",
         "pipelines", "pipelines.worldgen", "pipelines.indexer", "pipelines.adiff",

@@ -4265,3 +4265,79 @@ def q_phash_dup_clusters(sf_dir: str):
         hit = nodes[pos] == all_ids
         cluster[hit] = clus[pos[hit]]
     return pd.DataFrame({"doc_id": all_ids, "cluster_id": cluster})
+
+
+# -- geospatial raster additions: overview pyramid + zonal statistics -----------------
+
+
+@query(
+    "raster_pyramid",
+    """
+    WITH ch AS (SELECT doc_id // 256 AS page,
+                       (doc_id % 16) // 2 AS ptx,
+                       ((doc_id // 16) % 16) // 2 AS pty
+                FROM documents)
+    SELECT page, ptx, pty, CAST(COUNT(*) AS BIGINT) AS n_children
+    FROM ch GROUP BY page, ptx, pty
+    """,
+)
+def q_raster_pyramid(sf_dir: str):
+    """Overview pyramid build (gdaladdo-style): every 2x2 block of grid tiles becomes
+    one half-resolution parent tile. Scale shape (stages/raster.py): the parent key
+    is arithmetic on the child's grid coordinates, so one bounded hash shuffle of
+    ENCODED blobs (compressed-domain — pixels inflate only post-shuffle, inside the
+    per-parent ``map_groups`` that decodes ≤4 children, normalizes, mosaics and
+    box-downsamples) produces the whole level; levels shrink 4x geometrically. The
+    oracle pins the grouping/bookkeeping (parent coordinates + child counts); the
+    pixel math (bit-exact integer box filter) is pytest-pinned against a local
+    re-derivation (tests/test_raster.py). The parent blob is produced in-pipeline
+    and dropped from the compare (zlib bytes aren't SQL)."""
+    from ..stages import raster as RAS
+
+    t = TP.images_from_documents(sf_dir)
+    doc = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4, 12), pa.int64())
+    grid = RAS.child_grid(doc.to_numpy(zero_copy_only=False))
+    t2 = pa.table(
+        {
+            "bytes": t["bytes"],
+            "page": pa.array(grid["page"]),
+            "tx": pa.array(grid["tx"]),
+            "ty": pa.array(grid["ty"]),
+            "parent": pa.array(grid["parent"]),
+        }
+    )
+    out = (
+        rd.from_arrow(t2)
+        .groupby("parent")
+        .map_groups(RAS.pyramid_group, batch_format="pandas")
+    )
+    return out.select_columns(["page", "ptx", "pty", "n_children"])
+
+
+@query("zonal_stats")
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics (mean pixel value per spatial zone): the raster-side
+    aggregate of the raster<->vector overlay family — per H3-ish cell, exact int64
+    channel sums + pixel counts over every tile georeferenced into the zone. Scale
+    shape: the ZonalSums decode actor pool emits one 6-int64 partial row per tile
+    (pixels NEVER shuffle — the combiner shape), then a tiny ``groupby(cell).sum``
+    merges partials; the mean is a trivial downstream division left to the reader
+    so the outputs stay integral-exact. Rows-only (pixel values aren't SQL); exact
+    equality vs a local decode re-derivation is pytest-pinned."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import raster as RAS
+
+    t = TP.images_from_documents(sf_dir)
+    cell = georef.cell_of_image(t["phash"])
+    t2 = pa.table({"bytes": t["bytes"], "cell": pa.array(cell)})
+    part = rd.from_arrow(t2).map_batches(
+        RAS.ZonalSums, batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=1
+    )
+    return part.groupby("cell").aggregate(
+        Sum(on="n_tiles", alias_name="n_tiles"),
+        Sum(on="n_px", alias_name="n_px"),
+        Sum(on="sum_r", alias_name="sum_r"),
+        Sum(on="sum_g", alias_name="sum_g"),
+        Sum(on="sum_b", alias_name="sum_b"),
+    )
