@@ -4341,3 +4341,134 @@ def q_zonal_stats(sf_dir: str):
         Sum(on="sum_g", alias_name="sum_g"),
         Sum(on="sum_b", alias_name="sum_b"),
     )
+
+
+@query(
+    "bm25_topk",
+    """
+    WITH stats AS (SELECT COUNT(*)::DOUBLE AS n,
+                          (SUM(len(str_split(text, ' ')))::BIGINT::DOUBLE
+                           / COUNT(*)::DOUBLE) AS avgdl
+                   FROM documents),
+    tf AS (SELECT doc_id, t, COUNT(*)::DOUBLE AS c
+           FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents)
+           WHERE t IN ('dup', 'scan', 'merge') GROUP BY doc_id, t),
+    piv AS (SELECT d.doc_id, len(str_split(d.text, ' '))::DOUBLE AS dl,
+                   MAX(CASE WHEN tf.t = 'dup' THEN tf.c END) AS c1,
+                   MAX(CASE WHEN tf.t = 'scan' THEN tf.c END) AS c2,
+                   MAX(CASE WHEN tf.t = 'merge' THEN tf.c END) AS c3
+            FROM documents d LEFT JOIN tf ON d.doc_id = tf.doc_id
+            GROUP BY d.doc_id, d.text),
+    df AS (SELECT
+             (SELECT COUNT(*)::DOUBLE FROM tf WHERE t = 'dup') AS d1,
+             (SELECT COUNT(*)::DOUBLE FROM tf WHERE t = 'scan') AS d2,
+             (SELECT COUNT(*)::DOUBLE FROM tf WHERE t = 'merge') AS d3),
+    scored AS (SELECT doc_id,
+        (CASE WHEN c1 IS NULL THEN 0.0 ELSE
+           ln((n - d1 + 0.5) / (d1 + 0.5) + 1.0)
+             * (c1 * 2.2) / (c1 + 1.2 * (0.25 + 0.75 * (dl / avgdl))) END)
+      + (CASE WHEN c2 IS NULL THEN 0.0 ELSE
+           ln((n - d2 + 0.5) / (d2 + 0.5) + 1.0)
+             * (c2 * 2.2) / (c2 + 1.2 * (0.25 + 0.75 * (dl / avgdl))) END)
+      + (CASE WHEN c3 IS NULL THEN 0.0 ELSE
+           ln((n - d3 + 0.5) / (d3 + 0.5) + 1.0)
+             * (c3 * 2.2) / (c3 + 1.2 * (0.25 + 0.75 * (dl / avgdl))) END)
+        AS score
+      FROM piv, stats, df),
+    q AS (SELECT doc_id, CAST(floor(score * 1000000.0) AS BIGINT) AS score_q,
+                 ROW_NUMBER() OVER (
+                   ORDER BY CAST(floor(score * 1000000.0) AS BIGINT) DESC, doc_id
+                 ) AS rank
+          FROM scored)
+    SELECT doc_id, score_q, rank FROM q WHERE rank <= 10
+    """,
+)
+def q_bm25_topk(sf_dir: str):
+    """BM25 ranked retrieval (k1=1.2, b=0.75): top-10 documents for a fixed query
+    ('dup scan merge' — one rare term, df≈5%, two common ones, so idf does real
+    work). Scale shape: the query terms ride in the task closure (constant
+    broadcast); pass 1 computes per-doc (dl, tf_t) AND folds the global statistics
+    (N, total tokens, df_t) as int64 partial sums — one tiny all-to-all of 5
+    numbers per block; pass 2 re-scans, scores each batch with the broadcast
+    scalars and emits a tie-exact ≤k partial shortlist per batch (same pattern as
+    phash_topk) — no global sort, no corpus shuffle, merge is output-sized driver
+    arithmetic. Float discipline: scores are quantized to integer micro-units with
+    ``floor(score * 1e6)`` on BOTH engines and every double comes from the same
+    expression tree over exact-integer inputs (avgdl = int token sum / int count),
+    so the quantized scores are bit-identical; ranking ties break by doc_id."""
+    K_TOP = 10
+    TERMS = ("dup", "scan", "merge")
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def tf_dl(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = np.empty(len(d), np.int64)
+        cs = np.zeros((len(d), len(TERMS)), np.int64)
+        for i, txt in enumerate(t["text"].to_pylist()):
+            ws = txt.split(" ")
+            dl[i] = len(ws)
+            for j, term in enumerate(TERMS):
+                cs[i, j] = ws.count(term)
+        cols = {"doc_id": pa.array(d), "dl": pa.array(dl)}
+        for j in range(len(TERMS)):
+            cols[f"c{j + 1}"] = pa.array(cs[:, j])
+        return pa.table(cols)
+
+    # pass 1: global statistics as int64 partial sums (one row per block shuffles)
+    def stats_partial(t: pa.Table) -> pa.Table:
+        row = {"n": pa.array([len(t)], pa.int64()),
+               "tok": pa.array([int(np.sum(t["dl"].to_numpy(zero_copy_only=False)))],
+                               pa.int64())}
+        for j in range(len(TERMS)):
+            c = t[f"c{j + 1}"].to_numpy(zero_copy_only=False)
+            row[f"df{j + 1}"] = pa.array([int(np.count_nonzero(c))], pa.int64())
+        return pa.table(row)
+
+    parts = pa.concat_tables(
+        ds.map_batches(tf_dl, batch_format="pyarrow")
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="default",
+    )
+    n = float(np.sum(parts["n"].to_numpy(zero_copy_only=False)))
+    avgdl = float(np.sum(parts["tok"].to_numpy(zero_copy_only=False))) / n
+    dfs = [float(np.sum(parts[f"df{j + 1}"].to_numpy(zero_copy_only=False)))
+           for j in range(len(TERMS))]
+    idfs = [float(np.log((n - dfj + 0.5) / (dfj + 0.5) + 1.0)) for dfj in dfs]
+
+    # pass 2: score + per-batch tie-exact shortlist
+    def shortlist(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        denom_len = 1.2 * (0.25 + 0.75 * (dl / avgdl))
+        score = np.zeros(len(d), np.float64)
+        for j, idf in enumerate(idfs):
+            c = t[f"c{j + 1}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            with np.errstate(invalid="ignore"):
+                term = idf * (c * 2.2) / (c + denom_len)
+            score += np.where(c > 0, term, 0.0)
+        sq = np.floor(score * 1000000.0).astype(np.int64)
+        if len(d) > K_TOP:  # keep rows tying the k-th score through truncation
+            kth = np.partition(-sq, K_TOP - 1)[K_TOP - 1]
+            keep = -sq <= kth
+            d, sq = d[keep], sq[keep]
+        order = np.lexsort((d, -sq))[:K_TOP]
+        return pa.table({"doc_id": pa.array(d[order]), "score_q": pa.array(sq[order])})
+
+    parts2 = pa.concat_tables(
+        ds.map_batches(tf_dl, batch_format="pyarrow")
+        .map_batches(shortlist, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="default",
+    )
+    d = parts2["doc_id"].to_numpy(zero_copy_only=False)
+    sq = parts2["score_q"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((d, -sq))[:K_TOP]
+    return pa.table(
+        {
+            "doc_id": pa.array(d[order]),
+            "score_q": pa.array(sq[order]),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        }
+    )
