@@ -4472,3 +4472,93 @@ def q_bm25_topk(sf_dir: str):
             "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
         }
     )
+
+
+@query(
+    "text_normalize",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS norm,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_norm
+    FROM documents
+    """,
+)
+def q_text_normalize(sf_dir: str):
+    """Text normalization (the canonical pre-dedup cleaning step: lowercase, strip
+    non-alphanumerics, collapse whitespace, trim) — normalization is what makes
+    MinHash/exact dedup robust, so it belongs beside them as a first-class stage.
+    Vectorized Arrow kernels end to end (utf8_lower + two RE2 replaces + trim),
+    zero shuffle, corpus scanned once; both engines run RE2 so the oracle compares
+    the exact normalized strings, not a summary."""
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t["text"])
+        s = pc.replace_substring_regex(s, pattern="[^a-z0-9 ]", replacement=" ")
+        s = pc.replace_substring_regex(s, pattern=" +", replacement=" ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm": s,
+                "n_norm": pc.cast(pc.utf8_length(s), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+@query(
+    "canonical_per_source",
+    """
+    SELECT source, doc_id AS canon_doc, n_chars AS canon_len FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1
+    """,
+)
+def q_canonical_per_source(sf_dir: str):
+    """Canonical-document selection per source (the URL/domain dedup policy: keep
+    the longest document per origin, ties to the smallest id). Combiner shape, not
+    a grouped sort: every batch pre-reduces to ONE candidate row per source seen
+    in the batch (vectorized lexsort + reduceat argmax), so the shuffle carries at
+    most |sources| rows per block and the final groupby re-runs the same argmax on
+    the tiny candidate set — at 10^12 docs the all-to-all is output-sized."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"]
+    )
+
+    def best(t: pa.Table) -> pa.Table:
+        src = t["source"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # per source: max n_chars, ties -> min doc_id == lexsort then group-first
+        order = np.lexsort((d, -n, src))
+        src_s, d_s, n_s = src[order], d[order], n[order]
+        first = np.ones(len(src_s), bool)
+        first[1:] = src_s[1:] != src_s[:-1]
+        return pa.table(
+            {
+                "source": pa.array(src_s[first]),
+                "doc_id": pa.array(d_s[first]),
+                "n_chars": pa.array(n_s[first]),
+            }
+        )
+
+    cand = ds.map_batches(best, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "canon_doc": [np.int64(g["doc_id"].iloc[0])],
+                "canon_len": [np.int64(g["n_chars"].iloc[0])],
+            }
+        )
+
+    return cand.groupby("source").map_groups(final, batch_format="pandas")
