@@ -347,17 +347,17 @@ def topk_per_query(
     return out_ids, out_dist
 
 
-def _ring_candidates(
-    qrow: np.ndarray, qcol: np.ndarray, sc: np.ndarray, order: np.ndarray,
-    r: int, res: int,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized (2r+1)²-ring candidate gather for A queries against cell-sorted tiles:
-    returns (flat tile indices, per-query candidate counts, flat query positions).
+def _ring_bounds(
+    qrow: np.ndarray, qcol: np.ndarray, sc: np.ndarray, r: int, res: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-query (lo, hi) searchsorted bounds of every ring strip, (A, S) each.
 
     Enumerates ROW STRIPS, not cells: within one row the ring's columns are a contiguous
     cell-id range, so each strip costs two searchsorteds — (2r+1) strips per query
     instead of (2r+1)² cells (the difference between 129 and 16k probes at r=64).
     Column wraparound adds a second strip set; out-of-range rows are masked out.
+    Candidate COUNTS are ``maximum(hi - lo, 0).sum(1)`` — available without gathering,
+    which is what lets the caller chunk by candidate mass instead of query count.
     """
     nrows, ncols = C.grid_shape(res)
     A = len(qrow)
@@ -393,6 +393,18 @@ def _ring_candidates(
 
     lo = np.concatenate([s[0].reshape(A, -1) for s in strips], axis=1)
     hi = np.concatenate([s[1].reshape(A, -1) for s in strips], axis=1)
+    return lo, hi
+
+
+def _ring_candidates(
+    qrow: np.ndarray, qcol: np.ndarray, sc: np.ndarray, order: np.ndarray,
+    r: int, res: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized (2r+1)²-ring candidate gather for A queries against cell-sorted tiles:
+    returns (flat tile indices, per-query candidate counts, flat query positions).
+    Strip enumeration in :func:`_ring_bounds`."""
+    A = len(qrow)
+    lo, hi = _ring_bounds(qrow, qcol, sc, r, res)
     lens = np.maximum(hi - lo, 0)
     counts = lens.sum(axis=1)
     total = int(counts.sum())
@@ -489,22 +501,41 @@ def knn_arrays(
         dens = n / max(rows_span * cols_span, 1)
         r = max(ring, int(np.ceil((np.sqrt(4.0 * k / max(dens, 1e-9)) - 1) / 2)))
         r = min(r, 64)
-    # ring-wide density estimate for chunk sizing (sc is sorted: unique is a diff)
-    occ_n = int(np.count_nonzero(np.r_[True, sc[1:] != sc[:-1]])) if n else 1
-    dens_est = n / max(occ_n, 1)
     while len(active):
         A = len(active)
         idx_a = np.full((A, kk), -1, np.int64)
         d2_a = np.full((A, kk), np.inf)
         counts = np.zeros(A, np.int64)
-        # chunk queries so the candidate flood (~(2r+1)²·density rows × several
+        # chunk queries by EXACT candidate mass so the flood (rows × several
         # arrays) stays small enough for the allocator's arena to REUSE — one
         # monolithic gather mallocs tens of MB of fresh (mmap'd, OS-returned)
-        # pages per call, which is the slow path on memory-pressured hosts
-        est_per_q = max(1.0, (2 * r + 1) ** 2 * dens_est * 0.4)
-        qchunk = int(min(A, max(256, (1 << 19) / est_per_q)))
-        for s0 in range(0, A, qchunk):
-            sub = active[s0 : s0 + qchunk]
+        # pages per call, which is the slow path on memory-pressured hosts.
+        # Mass, not query count: the old average-density sizing melted down on
+        # skewed worlds — one metro cell holding 1000x the mean density turned a
+        # 4.7k-query chunk into a 750M-row gather (35 GB arena, minutes of
+        # lexsort); exact per-query ring counts are just strip searchsorteds,
+        # no gather, computed in bounded blocks.
+        cnt_all = np.empty(A, np.int64)
+        S = 2 * r + 1
+        bq = max(1, (1 << 22) // max(S, 1))  # bounds block: A_blk × S ints ≤ ~4M
+        for b0 in range(0, A, bq):
+            sub_b = active[b0 : b0 + bq]
+            lo_b, hi_b = _ring_bounds(qrow_all[sub_b], qcol_all[sub_b], sc, r, res)
+            cnt_all[b0 : b0 + len(sub_b)] = np.maximum(hi_b - lo_b, 0).sum(axis=1)
+        cum = np.cumsum(cnt_all)
+        cap = 1 << 21
+        chunk_starts = [0]
+        while True:
+            s = chunk_starts[-1]
+            e = int(np.searchsorted(cum, (cum[s - 1] if s else 0) + cap, "right"))
+            e = max(e, s + 1)
+            if e >= A:
+                break
+            chunk_starts.append(e)
+        bounds = chunk_starts + [A]
+        for ci in range(len(chunk_starts)):
+            s0, s1 = bounds[ci], bounds[ci + 1]
+            sub = active[s0:s1]
             cand, cnts, qpos = _ring_candidates(
                 qrow_all[sub], qcol_all[sub], sc, order, r, res
             )

@@ -93,15 +93,22 @@ class TileShard:
     def count(self) -> int:
         return len(self.ids)
 
-    def prime(self, n: int = 8192, k: int = 3) -> int:
+    def prime(self, n: int = 512, k: int = 3) -> int:
         """Run one representative ring query over this shard's own centroids —
         the first kernel call otherwise pays the actor's scratch-buffer heap growth
         (page faults) inside batch 1's tail latency; after it, malloc reuses the
-        pages. Called from TilePool.warm(); result discarded."""
+        pages. Called from TilePool.warm(); result discarded.
+
+        Samples are SPREAD over the shard (linspace over the cell-sorted rows), not
+        a prefix: cell-range shards keep a dense metro cell's tiles contiguous, so a
+        prefix slice concentrated every probe in the hottest cell and the warm-up
+        gathered n × hot-cell-size candidate rows (13 min / 35 GB on a 157k-tile
+        cell) — the point is to touch the allocator, not to enumerate the metro."""
         if not self.ids:
             return 0
         m = min(n, len(self.ids))
-        self.knn_ring(self.lat[:m], self.lon[:m], k, 1)
+        sel = np.linspace(0, len(self.ids) - 1, m).astype(np.int64)
+        self.knn_ring(self.lat[sel], self.lon[sel], k, 1)
         return m
 
     def knn(self, qlat: np.ndarray, qlon: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
