@@ -390,6 +390,53 @@ def _knn_task(pool, qlat, qlon, k, keys_np, keep, seq, knn_dir):
 
 
 @ray.remote(num_cpus=0)
+def _collect_tail_task(meta_futs, payload_refs, seq, cells_in, pool, knn_k,
+                       json_path, assign_dir, knn_dir, overlay_dir, max_overlay):
+    """Whole batch tail as ONE off-driver task: gather the per-shard render META,
+    derive the feature order / kNN queries / touched cells, fan the three tail tasks
+    out (they run in parallel; this worker's CPU slot is released while blocked in
+    ray.get), and pre-aggregate the per-cell lineage counts. The driver's per-batch
+    cost for everything after the scatter is one task submission plus one small
+    ray.get — the render-meta wait, argsorts and tail joins all leave the driver's
+    serial path (they were ~0.4 s/batch of the 32-CPU critical path)."""
+    t0 = time.perf_counter()
+    metas = ray.get(list(meta_futs))
+    meta = pa.concat_tables(metas, promote_options="default")
+    t_render = time.perf_counter() - t0
+    order = np.argsort(meta["order"].to_numpy(zero_copy_only=False), kind="stable")
+    keys_np = meta["key"].to_numpy(zero_copy_only=False)[order]
+    cells_np = meta["cell"].to_numpy(zero_copy_only=False)[order]
+    rlat = meta["rep_lat"].to_numpy(zero_copy_only=False)[order]
+    rlon = meta["rep_lon"].to_numpy(zero_copy_only=False)[order]
+    keep = np.nonzero(~(np.isnan(rlat) | np.isnan(rlon)))[0]
+    touched = np.unique(np.asarray(cells_np, np.int64))
+    touched = touched[touched >= 0]
+    futs = (
+        _emit_task.remote(payload_refs, keys_np, cells_np, seq, json_path, assign_dir),
+        _knn_task.remote(pool, rlat[keep], rlon[keep], knn_k, keys_np, keep,
+                         seq, knn_dir),
+        _overlay_task.remote(pool, touched, payload_refs, seq, max_overlay,
+                             overlay_dir),
+    )
+    nbytes, knn_rows, n_overlay = ray.get(list(futs))
+    # per-cell lineage counts (same math as AdiffJob._lineage_rows; the driver only
+    # stamps wall_ms and builds the row dicts at commit time)
+    cells_out = np.asarray(cells_np, np.int64)
+    all_cells = np.union1d(np.asarray(cells_in, np.int64), cells_out)
+    in_counts = np.zeros(len(all_cells), np.int64)
+    uc, cnt = np.unique(np.asarray(cells_in, np.int64), return_counts=True)
+    in_counts[np.searchsorted(all_cells, uc)] = cnt
+    out_counts = np.zeros(len(all_cells), np.int64)
+    uc, cnt = np.unique(cells_out, return_counts=True)
+    out_counts[np.searchsorted(all_cells, uc)] = cnt
+    return {
+        "n_features": len(meta), "nbytes": nbytes, "knn": knn_rows,
+        "overlay": n_overlay, "all_cells": all_cells, "in_counts": in_counts,
+        "out_counts": out_counts, "t_render_wait": round(t_render, 3),
+    }
+
+
+@ray.remote(num_cpus=0)
 def _overlay_task(pool, touched, payload_refs, seq, max_overlay, overlay_dir):
     t0 = time.perf_counter()
     rows = []
@@ -838,6 +885,57 @@ class AdiffJob:
         head = self._run_head(seq)
         return self._finish_batch(head, self._launch_tail(head))
 
+    def _launch_collector(self, pre: dict, sc: dict) -> tuple:
+        """Collector-path launch (pool render only): submit the whole
+        collect+tail as one off-driver task; keep just the commit inputs."""
+        ts = time.perf_counter()
+        update_el = pre.pop("update_el")
+        cells_in = (update_el["cell"].to_numpy(zero_copy_only=False)
+                    if len(update_el) else np.empty(0, np.int64))
+        fut = _collect_tail_task.remote(
+            sc["futs"], sc["payload_refs"], pre["seq"], cells_in,
+            self._tile_pool(), self.knn_k,
+            GJ.batch_json_path(self.adiff_template, pre["seq"]),
+            str(self.out / "assignments"), str(self.out / "knn"),
+            str(self.out / "overlay"), self.max_overlay,
+        )
+        pre["update_rows"] = len(update_el)
+        pre["stage_t"]["t_launch"] = round(time.perf_counter() - ts, 3)
+        return ("collector", pre, fut)
+
+    def _finish_collector(self, pre: dict, fut) -> dict:
+        seq = pre["seq"]
+        stage_t = pre["stage_t"]
+        ts = time.perf_counter()
+        res = ray.get(fut)
+        if self._flush_inflight is not None and self._flush_inflight[0] == seq:
+            self._adopt_flush(block=True)
+        th = self._file_threads.pop(seq, None)
+        if th is not None:
+            th.join()
+        stage_t["tail_wait"] = round(time.perf_counter() - ts, 3)
+        stage_t["render"] = res["t_render_wait"]
+        wall_ms = (time.perf_counter() - pre["t0"]) * 1000.0
+        cell_rows = [
+            {"batch_seq": seq, "cell": int(c), "rows_in": int(i), "rows_out": int(o),
+             "bytes": int(res["nbytes"]), "wall_ms": float(wall_ms),
+             "status": "committed"}
+            for c, i, o in zip(res["all_cells"], res["in_counts"],
+                               res["out_counts"])
+        ]
+        self.lineage.commit(seq, cell_rows)
+        return {
+            "seq": seq,
+            "update_rows": pre["update_rows"],
+            "aug_rows": pre["n_aug"],
+            "features": res["n_features"],
+            "new_edges": pre["n_new_edges"],
+            "knn": res["knn"],
+            "overlay": res["overlay"],
+            "wall_ms": wall_ms,
+            "stage_sec": stage_t,
+        }
+
     # -- render paths --------------------------------------------------------
 
     def _render_pool(self) -> list:
@@ -1132,7 +1230,7 @@ class AdiffJob:
             osc_files = sorted((self.world / "changes").rglob("*.osc"))
             end = len(osc_files)
         done = self.lineage.completed()
-        todo_head = [s for s in range(start, end + 1) if s not in done][:2]
+        todo_head = [s for s in range(start, end + 1) if s not in done][:3]
         for s in todo_head:  # overlap the first parses with bootstrap/warm below
             self._prefetch_parse(s)
         self.bootstrap()
@@ -1157,27 +1255,37 @@ class AdiffJob:
         pend_render: tuple[dict, dict] | None = None  # (pre, scatter)
         tails: deque = deque()                        # pending (head, tail) finishes
         todo = [s for s in range(start, end + 1) if s not in done]
-        for s in todo[:2]:
+        for s in todo[:3]:
             self._prefetch_parse(s)
 
         def _collect_launch(pr) -> None:
-            head = self._render_collect(*pr)
-            tails.append((head, self._launch_tail(head)))
+            pre, sc = pr
+            if sc["futs"] is not None:
+                # pool render: collect + tails run as one off-driver collector task
+                tails.append(self._launch_collector(pre, sc))
+            else:
+                head = self._render_collect(pre, sc)
+                tails.append((head, self._launch_tail(head)))
+
+        def _finish(item) -> dict:
+            if item[0] == "collector":
+                return self._finish_collector(item[1], item[2])
+            return self._finish_batch(*item)
 
         for i, seq in enumerate(todo):
-            if i + 2 < len(todo):
-                self._prefetch_parse(todo[i + 2])
+            if i + 3 < len(todo):
+                self._prefetch_parse(todo[i + 3])
             pre = self._run_pre(seq)
             sc = self._render_scatter(pre)
             if pend_render is not None:
                 _collect_launch(pend_render)
-                if len(tails) > 2:
-                    stats.append(self._finish_batch(*tails.popleft()))
+                if len(tails) > 3:
+                    stats.append(_finish(tails.popleft()))
             pend_render = (pre, sc)
         if pend_render is not None:
             _collect_launch(pend_render)
         while tails:
-            stats.append(self._finish_batch(*tails.popleft()))
+            stats.append(_finish(tails.popleft()))
         return {"batches": stats, "skipped": sorted(done - {0}), "end": end}
 
     def close(self) -> None:

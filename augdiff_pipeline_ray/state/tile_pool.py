@@ -245,6 +245,28 @@ class BankShard:
                 self._blob_cache.pop(next(iter(self._blob_cache)))
         return {i: self._blob_cache[i] for i in image_ids if i in self._blob_cache}
 
+    def overlay_fetch(self, image_ids: list[str]) -> list[dict]:
+        """Blob + metadata rows for this shard's selected ids (no rasterize work —
+        phase 2 compute runs in stateless ``_rasterize_tiles`` tasks so a spatially
+        concentrated batch doesn't serialize on the 1-2 shards owning its cells)."""
+        if self.bank is None or not image_ids:
+            return []
+        blobs = self._blobs_for(sorted(set(image_ids)))
+        idx_by_id = {i: j for j, i in enumerate(self._bank_ids)}
+        out = []
+        for iid in sorted(blobs):
+            j = idx_by_id.get(iid)
+            if j is None:
+                continue
+            out.append({
+                "image_id": iid,
+                "phash": self.bank["phash"][j].as_py(),
+                "w": self.bank["w"][j].as_py(),
+                "h": self.bank["h"][j].as_py(),
+                "blob": blobs[iid],
+            })
+        return out
+
     def overlay_render(
         self, seq: int, image_ids: list[str], wkbs: list, bbs: np.ndarray
     ) -> list[dict]:
@@ -305,6 +327,36 @@ class BankShard:
             print(f"[shard {self.shard_id}] tiles={len(rows)} blob={_t_blob:.3f} "
                   f"total={_time.perf_counter()-_t0:.3f}", flush=True)
         return rows
+
+
+@ray.remote(num_cpus=1)
+def _rasterize_tiles(seq: int, recs: list[dict], hits: list[np.ndarray],
+                     boxes: list[tuple], geoms: dict[int, object]) -> list[dict]:
+    """Stateless phase-2 rasterize of one cost-balanced tile chunk: decode the tile,
+    mask each pre-decoded hit geometry (same geom-index order and 256-cap as the
+    original per-shard loop — ``changed_px`` is byte-identical), blend the union."""
+    rows = []
+    for rec, idxs, (lat0, lat1, lon0, lon1) in zip(recs, hits, boxes):
+        px, _ = IMG.decode(rec["blob"])
+        h_px, w_px = px.shape[:2]
+        changed_total = 0
+        union = None
+        for gi in idxs:
+            g = geoms.get(int(gi))
+            if g is None:
+                continue
+            m = T.geom_tile_mask(h_px, w_px, (lat0, lat1, lon0, lon1), g)
+            c = int(m.sum())
+            if c:
+                changed_total += c
+                union = m if union is None else (union | m)
+        if union is not None:
+            px = T.blend_mask_on_tile(px, union)
+        rows.append(
+            {"batch_seq": seq, "image_id": rec["image_id"],
+             "changed_px": changed_total, "w": rec["w"], "h": rec["h"]}
+        )
+    return rows
 
 
 class TilePool:
@@ -514,15 +566,72 @@ class TilePool:
     def overlay_finish_refs(self, seq: int, sels: list, wkbs_ref, bbs_ref,
                             max_tiles: int) -> list[dict]:
         """Ref-taking variant so the off-driver tail task forwards the already-``put``
-        geometry refs straight to the shards (no extra copy)."""
+        geometry refs straight in (no extra copy).
+
+        Phase 2 is SKEW-AWARE: a batch's touched cells concentrate spatially, so the
+        1-2 cell-shards owning them would serialize the whole rasterize (measured 1.3
+        s/batch on one actor at 32 CPUs). Shards only FETCH blobs (cheap, cache/row-
+        group reads); each hit geometry decodes exactly ONCE here; the decode+mask
+        compute fans out as cost-balanced stateless tasks across the node."""
         chosen = set(sorted([i for s in sels for i in s])[:max_tiles])
         if not chosen:
             return []
-        futs = [
-            a.overlay_render.remote(seq, [i for i in s if i in chosen], wkbs_ref, bbs_ref)
+        fetch_futs = [
+            a.overlay_fetch.remote([i for i in s if i in chosen])
             for a, s in zip(self._bank_actors, sels)
             if any(i in chosen for i in s)
         ]
+        recs = [r for part in ray.get(fetch_futs) for r in part]
+        if not recs:
+            return []
+        recs.sort(key=lambda r: r["image_id"])
+        bbs = ray.get(bbs_ref) if not isinstance(bbs_ref, np.ndarray) else bbs_ref
+        wkbs = ray.get(wkbs_ref) if isinstance(wkbs_ref, ray.ObjectRef) else wkbs_ref
+        lat0, lat1, lon0, lon1 = georef.footprint(
+            [r["phash"] for r in recs], [r["w"] for r in recs], [r["h"] for r in recs]
+        )
+        hits: list[np.ndarray] = []
+        need: set[int] = set()
+        for j in range(len(recs)):
+            if len(bbs):
+                hit = ~(
+                    (bbs[:, 2] < lon0[j]) | (bbs[:, 0] > lon1[j])
+                    | (bbs[:, 3] < lat0[j]) | (bbs[:, 1] > lat1[j])
+                )
+                idxs = np.nonzero(hit)[0][:256]
+            else:
+                idxs = np.empty(0, np.int64)
+            hits.append(idxs)
+            need.update(idxs.tolist())
+        geoms: dict[int, object] = {}
+        for gi in sorted(need):
+            w = wkbs[gi]
+            if not isinstance(w, (bytes, type(None))):
+                w = w.as_py()
+            geoms[gi] = G.wkb_to_geom(w)
+        # cost-balanced round-robin over up to pool-width chunks (heaviest first)
+        cost = np.array([len(h) + 1 for h in hits], np.float64)
+        n_chunks = max(1, min(len(recs), self.num_shards))
+        by_cost = np.argsort(-cost, kind="stable")
+        chunk_of = np.empty(len(recs), np.int64)
+        loads = np.zeros(n_chunks, np.float64)
+        for j in by_cost:
+            c = int(np.argmin(loads))
+            chunk_of[j] = c
+            loads[c] += cost[j]
+        futs = []
+        for c in range(n_chunks):
+            members = np.flatnonzero(chunk_of == c)
+            if not len(members):
+                continue
+            sub_need = sorted({int(g) for j in members for g in hits[j]})
+            futs.append(_rasterize_tiles.remote(
+                seq,
+                [recs[j] for j in members],
+                [hits[j] for j in members],
+                [(lat0[j], lat1[j], lon0[j], lon1[j]) for j in members],
+                {g: geoms[g] for g in sub_need},
+            ))
         rows = [r for part in ray.get(futs) for r in part]
         rows.sort(key=lambda r: r["image_id"])
         return rows
