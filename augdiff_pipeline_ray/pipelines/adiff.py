@@ -248,7 +248,116 @@ def _rep_point(geom_json: dict) -> tuple[float, float] | None:
 
 @ray.remote(num_cpus=0)
 def _parse_osc_task(path: str, seq: int) -> pa.Table:
-    return OSC.read_osc_file(path, batch_seq=seq)
+    # returns the change-element table directly (batch_seq/action dropped): the same
+    # object-store ref then serves the driver's closure read, the off-driver augment
+    # stage AND the memory-tier segment — one parse, zero re-puts
+    return OSC.read_osc_file(path, batch_seq=seq).drop_columns(["batch_seq", "action"])
+
+
+@ray.remote(num_cpus=0, max_restarts=2, max_task_retries=2)
+class AugmentShard:
+    """Off-driver augment stage (J5): semi-join fetch + dedup + render scatter for one
+    batch per call, pipelined across batches by ``run_stream``.
+
+    Augment has NO cross-batch dependency of its own — batch k's call reads only the
+    immutable tier-segment refs (≤ k-1), the snapshot store, and batch k's update —
+    so with P shards up to P batches' augments run concurrently while the driver's
+    serial chain shrinks to parse-get + closure + state appends (the r2 stream's
+    Amdahl term was this augment work running driver-serial between batches).
+
+    State is a pure cache: per-segment (table, hashes, meta) keyed by seq (dropped on
+    flush adopt), plus the process-local snapshot hot-cache (warmed in ``__init__``,
+    folded forward on ``adopt_flush`` — the same ``merged_cache`` protocol as the
+    driver). A restarted actor rebuilds both from disk/refs, and a replayed call
+    returns identical results (the mid-flush delta-on-disk state dedups to
+    byte-identical output exactly as the tested crash/resume path does)."""
+
+    def __init__(self, snapshot_root: str, drop_tags_on_load: bool,
+                 parallel_fetch, node_latest_only: bool, distributed_render,
+                 render_actors: list):
+        retain_heap()
+        self.root = snapshot_root
+        self.drop_tags = drop_tags_on_load
+        self.parallel_fetch = parallel_fetch
+        self.node_latest_only = node_latest_only
+        self.distributed_render = distributed_render
+        self.render_actors = render_actors or []
+        SNAP.warm_cache(snapshot_root)
+        self._seg: dict[int, tuple] = {}
+
+    def ping(self) -> bool:
+        return True
+
+    def adopt_flush(self, rows: pa.Table, flushed_seqs: list[int]) -> bool:
+        """Fold a flushed tier into this process's snapshot hot-cache and drop the
+        flushed segments. Submitted by the driver BEFORE any post-adopt augment call
+        on this actor — per-caller actor ordering makes the boundary deterministic."""
+        SNAP.adopt_cache(self.root, SNAP.merged_cache(self.root, rows))
+        for s in flushed_seqs:
+            self._seg.pop(s, None)
+        return True
+
+    def augment_scatter(self, seq: int, update: pa.Table,
+                        tier: list, all_a: np.ndarray, all_b: np.ndarray) -> dict:
+        """One batch: augment_parts over (update, tier segments, snapshot store),
+        then either the render-pool scatter (returns the per-shard meta/payload
+        futures for the collector) or the local render (small batches)."""
+        t0 = time.perf_counter()
+        stage_t: dict[str, float] = {}
+        missing = [(s, ref) for s, ref in tier if s not in self._seg]
+        if missing:
+            tbls = ray.get([r for _, r in missing])
+            for (s, _), t in zip(missing, tbls):
+                self._seg[s] = (t, row_hashes(t), table_meta(t))
+        segs = [self._seg[s] for s, _ in tier]
+        memory = (pa.concat_tables([e[0] for e in segs], promote_options="default")
+                  if segs else None)
+        mh = ((np.concatenate([e[1][0] for e in segs]),
+               np.concatenate([e[1][1] for e in segs])) if segs else None)
+        mm = (tuple(np.concatenate([e[2][i] for e in segs]) for i in range(3))
+              if segs else None)
+        upd_hashes = row_hashes(update)
+        big, rep, flag, order = augment_parts(
+            update, memory, (all_a, all_b), self.root,
+            drop_tags_on_load=self.drop_tags,
+            parallel_fetch=self.parallel_fetch,
+            memory_hashes=mh, update_hashes=upd_hashes, memory_meta=mm,
+            node_latest_only=self.node_latest_only,
+        )
+        self._seg[seq] = (update, upd_hashes, table_meta(update))
+        aug_sel = rep[order]
+        aug_flag_sorted = flag[order]
+        row_keys = K.pack_typed(big["id"], big["type"])[aug_sel]
+        ents_sorted = np.unique(row_keys)
+        ents_sorted = ents_sorted[np.lexsort((ents_sorted >> 2, ents_sorted & 3))]
+        stage_t["augment"] = round(time.perf_counter() - t0, 3)
+        ts = time.perf_counter()
+        use_pool = (
+            bool(self.render_actors) and self.distributed_render
+            and len(ents_sorted)
+            >= (0 if self.distributed_render == "force" else 3000)
+        )
+        if use_pool and len(ents_sorted) > 0:
+            meta_futs, payload_refs = render_partition_scatter(
+                self.render_actors, big, aug_sel, aug_flag_sorted, row_keys,
+                ents_sorted, (all_a, all_b), seq,
+            )
+            meta = None
+        else:
+            ents = [(K.TYPE_NAMES[int(k) & 3], int(k) >> 2) for k in ents_sorted]
+            aug_tbl = big.combine_chunks().take(
+                pa.array(aug_sel)
+            ).append_column("in_update", pa.array(aug_flag_sorted))
+            ctx = RenderContext(rows_from_arrow(aug_tbl))
+            meta, payload = render_entities(
+                ctx, T.CellAssigner(),
+                list(range(len(ents))), [e[0] for e in ents], [e[1] for e in ents],
+            )
+            meta_futs = None
+            payload_refs = [ray.put(payload)] if len(payload) else []
+        stage_t["r_scatter"] = round(time.perf_counter() - ts, 3)
+        return {"meta_futs": meta_futs, "meta": meta, "payload_refs": payload_refs,
+                "n_aug": len(aug_sel), "stage_t": stage_t}
 
 
 @ray.remote(num_cpus=0)
@@ -390,18 +499,24 @@ def _knn_task(pool, qlat, qlon, k, keys_np, keep, seq, knn_dir):
 
 
 @ray.remote(num_cpus=0)
-def _collect_tail_task(meta_futs, payload_refs, seq, cells_in, pool, knn_k,
+def _collect_tail_task(aug, seq, cells_in, pool, knn_k,
                        json_path, assign_dir, knn_dir, overlay_dir, max_overlay):
     """Whole batch tail as ONE off-driver task: gather the per-shard render META,
     derive the feature order / kNN queries / touched cells, fan the three tail tasks
     out (they run in parallel; this worker's CPU slot is released while blocked in
-    ray.get), and pre-aggregate the per-cell lineage counts. The driver's per-batch
-    cost for everything after the scatter is one task submission plus one small
-    ray.get — the render-meta wait, argsorts and tail joins all leave the driver's
-    serial path (they were ~0.4 s/batch of the 32-CPU critical path)."""
+    ray.get), and pre-aggregate the per-cell lineage counts. ``aug`` is the resolved
+    AugmentShard result (Ray awaits the augment future before scheduling this task):
+    either per-render-shard meta futures + payload refs (pool render) or a complete
+    meta table + one payload ref (local render inside the augment actor). The
+    driver's per-batch cost for everything after the closure is two task
+    submissions plus one small ray.get."""
     t0 = time.perf_counter()
-    metas = ray.get(list(meta_futs))
-    meta = pa.concat_tables(metas, promote_options="default")
+    payload_refs = aug["payload_refs"]
+    if aug["meta_futs"] is not None:
+        metas = ray.get(list(aug["meta_futs"]))
+        meta = pa.concat_tables(metas, promote_options="default")
+    else:
+        meta = aug["meta"]
     t_render = time.perf_counter() - t0
     order = np.argsort(meta["order"].to_numpy(zero_copy_only=False), kind="stable")
     keys_np = meta["key"].to_numpy(zero_copy_only=False)[order]
@@ -433,6 +548,7 @@ def _collect_tail_task(meta_futs, payload_refs, seq, cells_in, pool, knn_k,
         "n_features": len(meta), "nbytes": nbytes, "knn": knn_rows,
         "overlay": n_overlay, "all_cells": all_cells, "in_counts": in_counts,
         "out_counts": out_counts, "t_render_wait": round(t_render, 3),
+        "n_aug": aug["n_aug"], "aug_stage_t": aug["stage_t"],
     }
 
 
@@ -460,6 +576,119 @@ def _overlay_task(pool, touched, payload_refs, seq, max_overlay, overlay_dir):
     if os.environ.get("AUGDIFF_TAIL_DEBUG"):
         print(f"[ovl {seq}] {time.perf_counter()-t0:.2f}", flush=True)
     return len(rows)
+
+
+def render_partition_scatter(
+    pool: list, big: pa.Table, sel: np.ndarray, flags_sorted: np.ndarray,
+    row_keys: np.ndarray, ents_sorted: np.ndarray,
+    all_edges: tuple[np.ndarray, np.ndarray], seq: int,
+) -> tuple[list, list]:
+    """Dependency-partitioned render over the persistent actor pool (module-level
+    so the off-driver augment stage can invoke it with the same handles).
+
+    Entities split across N shards at balanced cumulative cost; shard ``s``
+    receives the Arrow sub-table of rows whose key is one of its entities OR a
+    closure-dependency of one (edge ``(a, b)`` = "b depends on a", so a shard
+    rendering parent ``b`` needs ``a``'s rows). Each actor builds a context over
+    ONLY that subset — per-actor cost is O(rows/N · dup), not O(rows), which is
+    what makes the render stage actually scale with pool size. Partitioning
+    assumption: the transitive closure is complete (local_closure), so a shard's
+    subset always contains every row its predicates may touch."""
+    t_prep0 = time.perf_counter()
+    N = len(pool)
+    n_ents = len(ents_sorted)
+    # SPATIAL shard assignment: entities grouped by their first row's cell, cells
+    # laid out contiguously, cut at balanced cumulative COST. A way's nodes share
+    # its cell, so dependency rows duplicate only at cell-chunk boundaries — the
+    # strided split shipped every way's node rows to a second shard and its total
+    # shipped rows grew with the pool (the render stage's scaling ceiling).
+    uk, first_idx, uk_rows = np.unique(
+        row_keys, return_index=True, return_counts=True
+    )
+    cells_col = big["cell"].to_numpy(zero_copy_only=False)[sel]
+    pos_in_uk = np.searchsorted(uk, ents_sorted)
+    ent_cell = cells_col[first_idx[pos_in_uk]]
+    own_rows = uk_rows[pos_in_uk].astype(np.float64)
+
+    # edges: (a, b) = "b depends on a" → parent b's shard also needs a's rows
+    ek_order = np.argsort(ents_sorted, kind="stable")
+    ek_sorted = ents_sorted[ek_order]
+    edge_a, edge_b = all_edges
+    if len(edge_a):
+        pos = np.searchsorted(ek_sorted, edge_b)
+        ok = (pos < len(ek_sorted)) & (ek_sorted[np.minimum(pos, len(ek_sorted) - 1)] == edge_b)
+        parent_ent = ek_order[pos[ok]]  # entity index of each edge's parent
+        child_keys = edge_a[ok]
+    else:
+        parent_ent = np.empty(0, np.int64)
+        child_keys = np.empty(0, np.int64)
+
+    # cost model (units ≈ per-row ctx-build cost, ~5µs): a shard's wall is context
+    # build over its shipped rows (own + dep) PLUS per-entity feature assembly
+    # (geometry + JSON ≈ 80-250µs/entity — the dominant term, so entity weights
+    # carry most of the balance; measured per type on the scaling world)
+    dep_rows = np.zeros(n_ents, np.float64)
+    if len(child_keys):
+        cpos = np.searchsorted(uk, child_keys)
+        cok = (cpos < len(uk)) & (uk[np.minimum(cpos, len(uk) - 1)] == child_keys)
+        np.add.at(dep_rows, parent_ent[cok], uk_rows[cpos[cok]].astype(np.float64))
+    tf = np.array([15.0, 40.0, 110.0, 1.0])[ents_sorted & 3]
+    # row coefficient 2: measured ctx build ≈ 9µs per (cache-miss) row against the
+    # ~5µs/unit scale of tf — at 1.0 the row-heavy chunk (the cell-less relation
+    # cluster and its dependency rows) ran ~1.5× the other shards every batch
+    ent_w = 2.0 * (own_rows + dep_rows) + tf
+    # group at a coarser cell (16× per dim): a way's nodes sit in NEIGHBORING fine
+    # cells, so fine-cell chunks still cut through every way; coarse chunks keep
+    # whole neighborhoods on one shard and only coarse-boundary deps duplicate
+    coarse = np.where(ent_cell >= 0, C.parent(ent_cell, max(0, C.DEFAULT_RES - 4)), -1)
+    by_cell = np.lexsort((ents_sorted, ent_cell, coarse))
+    cum = np.cumsum(ent_w[by_cell])
+    # 4N weight-balanced chunks interleaved over N shards: the cost model is an
+    # estimate, and one contiguous chunk per shard makes its error the straggler;
+    # four spread chunks average it out (still cell-contiguous → dup stays low)
+    n_chunks = 4 * N
+    bounds = cum[-1] * (np.arange(1, n_chunks) / n_chunks)
+    ent_shard = np.empty(n_ents, np.int64)
+    ent_shard[by_cell] = np.searchsorted(bounds, cum, side="left") % N
+
+    dem_shard = np.concatenate([ent_shard, ent_shard[parent_ent]])
+    dem_key = np.concatenate([ents_sorted, child_keys])
+    # unique (shard, key) demands
+    o = np.lexsort((dem_key, dem_shard))
+    ds, dk = dem_shard[o], dem_key[o]
+    keep = np.r_[True, (ds[1:] != ds[:-1]) | (dk[1:] != dk[:-1])]
+    ds, dk = ds[keep], dk[keep]
+
+    rk_order = np.argsort(row_keys, kind="stable")
+    rk_sorted = row_keys[rk_order]
+    # the undeduped concat broadcasts ONCE (zero-copy Arrow in the object store);
+    # each shard takes its own subset in parallel on the actor — the driver ships
+    # index arrays, not N serialized sub-tables (was the scatter's serial cost)
+    big_ref = ray.put(big)
+    meta_futs, payload_refs = [], []
+    for s in range(N):
+        keys_s = dk[ds == s]
+        lo = np.searchsorted(rk_sorted, keys_s, side="left")
+        hi = np.searchsorted(rk_sorted, keys_s, side="right")
+        lens = hi - lo
+        tot = int(lens.sum())
+        flat = rk_order[
+            np.repeat(lo, lens) + (np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens))
+        ]
+        flat.sort()  # preserve the table's deterministic row order in the subset
+        mine = np.flatnonzero(ent_shard == s)  # == these entities' order indices
+        mk = ents_sorted[mine]
+        m, p = pool[s].render_part_idx.remote(
+            seq, big_ref, sel[flat], flags_sorted[flat], mine.tolist(),
+            [K.TYPE_NAMES[c] for c in (mk & 3).tolist()],
+            (mk >> 2).tolist(),
+        )
+        meta_futs.append(m)
+        payload_refs.append(p)
+    if os.environ.get("AUGDIFF_STAGE_DEBUG"):
+        print(f"[render] prep={time.perf_counter()-t_prep0:.3f} "
+              f"dup={len(dk)/max(len(uk),1):.2f}", flush=True)
+    return meta_futs, payload_refs
 
 
 class AdiffJob:
@@ -513,6 +742,9 @@ class AdiffJob:
         self._tiles: TilePool | None = None
         self._parse_futs: dict[int, "ray.ObjectRef"] = {}
         self._memory_tbls: list[pa.Table] | None = None  # lazy in-process tier cache
+        # (seq, ObjectRef) per tier segment — shipped (refs only) to the augment
+        # shard pool each stream batch; same lifecycle as _memory_tbls
+        self._memory_refs: list[tuple[int, "ray.ObjectRef"]] = []
         # identity hashes cached per memory table: a row's hash never changes, so the
         # augment dedup re-hashes only update+storage rows each batch, not the whole
         # accumulated tier (the stream's dominant driver-serial growth term)
@@ -583,13 +815,16 @@ class AdiffJob:
         # launch the first parses NOW so the XML decode overlaps the shard/cache
         # loads below — in steady state parse is prefetched batches ahead (~0 on the
         # critical path); without this the stream-window EDGE pays it serially
-        self._prefetch_first_parses(2)
+        self._prefetch_first_parses(6)
         self._tile_pool().warm()
         SNAP.warm_cache(self.snapshot_store)
         if self.distributed_render:
             # block until every render actor's process is up with the by-value
             # package imported — otherwise batch 1's render pays the cold start
             ray.get([a.ping.remote() for a in self._render_pool()])
+        # augment shards build their snapshot hot-caches in __init__ — barrier here
+        # so batch 1's augment doesn't pay the store scan
+        ray.get([a.ping.remote() for a in self._aug_pool()])
         if self.store is None:
             self.store = IndexStore(self.index_root, num_shards=self.num_shards)
             self.store.start_pool()
@@ -642,7 +877,7 @@ class AdiffJob:
     # for k happens only in ``_finish_batch`` after k's tail is durable; a kill in
     # between recomputes k (idempotent writes → byte-identical, tested).
 
-    def _run_pre(self, seq: int) -> dict:
+    def _run_pre(self, seq: int, stream: bool = False) -> dict:
         t0 = time.perf_counter()
         # publish the background flush BEFORE this batch reads any tier state, and
         # BLOCK for it: which tier serves a row is output-visible (storage rows drop
@@ -651,7 +886,6 @@ class AdiffJob:
         # storage-visible exactly at the next batch — the same boundary as the old
         # synchronous flush; the flush WORK still overlaps the flush batch's own
         # render + tails (≈ one batch cycle of it off the critical path).
-        self._adopt_flush(block=True)
         stage_t: dict[str, float] = {}
 
         def _mark(name, t_start):
@@ -659,15 +893,18 @@ class AdiffJob:
             return time.perf_counter()
 
         ts = time.perf_counter()
+        self._adopt_flush(block=True)
+        ts = _mark("adopt", ts)
+
+        ts = time.perf_counter()
         fut = self._parse_futs.pop(seq, None)
-        if fut is not None:
-            # block on the prefetched parse (launched ≥1 batch ago): re-parsing
-            # locally on a not-ready-this-instant future duplicated the whole XML
-            # decode on the driver's serial path
-            update = ray.get(fut)
-        else:  # no prefetch was possible (direct run_batch call)
-            update = OSC.read_osc_file(self._osc_path(seq), batch_seq=seq)
-        update_el = update.drop_columns(["batch_seq", "action"])
+        if fut is None:  # no prefetch was possible (direct run_batch call)
+            fut = _parse_osc_task.remote(self._osc_path(seq), seq)
+        # block on the prefetched parse (launched ≥1 batch ago): re-parsing
+        # locally on a not-ready-this-instant future duplicated the whole XML
+        # decode on the driver's serial path. The ref itself lives on — it IS the
+        # memory-tier segment and the augment shard's input (zero re-puts).
+        update_el = ray.get(fut)
         ts = _mark("parse", ts)
 
         # J3/J4: local closure against the shared index (actor pool 2-hop fetch, S11).
@@ -683,27 +920,40 @@ class AdiffJob:
         ts = _mark("closure", ts)
 
         # J5: semi-join fetch from memory + storage tiers — stays Arrow end-to-end
-        memory = self._read_memory()
-        upd_hashes = row_hashes(update_el)  # shared: augment dedup + memory-tier cache
-        aug_big, aug_rep, aug_flag, aug_order = augment_parts(
-            update_el, memory, (all_a, all_b), self.snapshot_store,
-            drop_tags_on_load=self.drop_tags_on_load,
-            parallel_fetch=self.parallel_fetch,
-            memory_hashes=self._memory_hash_cat(),
-            update_hashes=upd_hashes,
-            memory_meta=self._memory_meta_cat(),
-            # drop dead node versions from the render domain (output-identical —
-            # see stages.augment.node_history_prune; equivalence pytest-asserted):
-            # hot keys otherwise re-ship their whole accumulated history to every
-            # render shard every batch, a per-batch cost that grows with stream length
-            node_latest_only=self.node_latest_only,
-        )
-        aug_sel = aug_rep[aug_order]  # deduped+sorted domain → row index into aug_big
-        aug_flag_sorted = aug_flag[aug_order]
-        # entity work-list, vectorized: unique packed keys ordered (type rank, id)
-        row_keys = K.pack_typed(aug_big["id"], aug_big["type"])[aug_sel]
-        ents_sorted = np.unique(row_keys)
-        ents_sorted = ents_sorted[np.lexsort((ents_sorted >> 2, ents_sorted & 3))]
+        aug_fut = None
+        if stream:
+            # submit to the augment shard pool on the tier-ref SNAPSHOT as of this
+            # batch (segment seq is appended below, AFTER the submit — explicit
+            # snapshot semantics, no race); the heavy augment+scatter work pipelines
+            # across batches off the driver's serial chain
+            self._ensure_memory_state()
+            pool = self._aug_pool()
+            aug_fut = pool[seq % len(pool)].augment_scatter.remote(
+                seq, fut, list(self._memory_refs), all_a, all_b
+            )
+            upd_hashes = row_hashes(update_el)  # memory-tier cache (run_batch path)
+        else:
+            memory = self._read_memory()
+            upd_hashes = row_hashes(update_el)  # shared: augment dedup + tier cache
+            aug_big, aug_rep, aug_flag, aug_order = augment_parts(
+                update_el, memory, (all_a, all_b), self.snapshot_store,
+                drop_tags_on_load=self.drop_tags_on_load,
+                parallel_fetch=self.parallel_fetch,
+                memory_hashes=self._memory_hash_cat(),
+                update_hashes=upd_hashes,
+                memory_meta=self._memory_meta_cat(),
+                # drop dead node versions from the render domain (output-identical —
+                # see stages.augment.node_history_prune; equivalence pytest-asserted):
+                # hot keys otherwise re-ship their whole accumulated history to every
+                # render shard every batch, a per-batch cost growing with stream length
+                node_latest_only=self.node_latest_only,
+            )
+            aug_sel = aug_rep[aug_order]  # deduped+sorted domain → index into aug_big
+            aug_flag_sorted = aug_flag[aug_order]
+            # entity work-list, vectorized: unique packed keys ordered (type rank, id)
+            row_keys = K.pack_typed(aug_big["id"], aug_big["type"])[aug_sel]
+            ents_sorted = np.unique(row_keys)
+            ents_sorted = ents_sorted[np.lexsort((ents_sorted >> 2, ents_sorted & 3))]
         ts = _mark("augment", ts)
 
         # durable state the NEXT batch's pre reads — memory tier append (T2) + index
@@ -713,7 +963,7 @@ class AdiffJob:
         # pre reads it; the DURABILITY file writes run off the serial path and are
         # joined before this batch's lineage commit (crash before commit → the batch
         # recomputes and rewrites the same idempotent files)
-        self._write_memory_cache(update_el, upd_hashes)
+        self._write_memory_cache(update_el, upd_hashes, seq=seq, ref=fut)
         self._pending_index_futs = self.store.append_pool_futures(new_a, new_b)
         if seq % self.save_interval == 0:
             # ASYNC flush: the build half (join prior durability writes, write this
@@ -745,6 +995,11 @@ class AdiffJob:
             self._file_threads[seq] = th
         ts = _mark("emit", ts)
 
+        if stream:
+            return {
+                "seq": seq, "t0": t0, "stage_t": stage_t, "aug_fut": aug_fut,
+                "update_el": update_el, "n_new_edges": len(new_a),
+            }
         return {
             "seq": seq, "t0": t0, "stage_t": stage_t,
             "aug_big": aug_big, "aug_sel": aug_sel, "aug_flag": aug_flag_sorted,
@@ -885,15 +1140,16 @@ class AdiffJob:
         head = self._run_head(seq)
         return self._finish_batch(head, self._launch_tail(head))
 
-    def _launch_collector(self, pre: dict, sc: dict) -> tuple:
-        """Collector-path launch (pool render only): submit the whole
-        collect+tail as one off-driver task; keep just the commit inputs."""
+    def _launch_collector(self, pre: dict) -> tuple:
+        """Collector launch: submit the whole collect+tail as one off-driver task
+        (Ray awaits the augment shard's result before scheduling it); keep just the
+        commit inputs on the driver."""
         ts = time.perf_counter()
         update_el = pre.pop("update_el")
         cells_in = (update_el["cell"].to_numpy(zero_copy_only=False)
                     if len(update_el) else np.empty(0, np.int64))
         fut = _collect_tail_task.remote(
-            sc["futs"], sc["payload_refs"], pre["seq"], cells_in,
+            pre.pop("aug_fut"), pre["seq"], cells_in,
             self._tile_pool(), self.knn_k,
             GJ.batch_json_path(self.adiff_template, pre["seq"]),
             str(self.out / "assignments"), str(self.out / "knn"),
@@ -915,6 +1171,7 @@ class AdiffJob:
             th.join()
         stage_t["tail_wait"] = round(time.perf_counter() - ts, 3)
         stage_t["render"] = res["t_render_wait"]
+        stage_t.update(res.get("aug_stage_t") or {})
         wall_ms = (time.perf_counter() - pre["t0"]) * 1000.0
         cell_rows = [
             {"batch_seq": seq, "cell": int(c), "rows_in": int(i), "rows_out": int(o),
@@ -927,7 +1184,7 @@ class AdiffJob:
         return {
             "seq": seq,
             "update_rows": pre["update_rows"],
-            "aug_rows": pre["n_aug"],
+            "aug_rows": res["n_aug"],
             "features": res["n_features"],
             "new_edges": pre["n_new_edges"],
             "knn": res["knn"],
@@ -943,114 +1200,31 @@ class AdiffJob:
             self._pool_actors = [RenderShard.remote() for _ in range(self.render_concurrency)]
         return self._pool_actors
 
+    def _aug_pool(self) -> list:
+        """Augment shard pool (stream path): P persistent actors, batch seq routed
+        ``seq % P``. P bounds the augment stages in flight; each actor holds its own
+        snapshot hot-cache + tier-segment cache (bounded by the flush window)."""
+        if getattr(self, "_aug_actors", None) is None:
+            render = self._render_pool() if self.distributed_render else []
+            self._aug_actors = [
+                AugmentShard.remote(
+                    self.snapshot_store, self.drop_tags_on_load,
+                    self.parallel_fetch, self.node_latest_only,
+                    self.distributed_render, render,
+                )
+                for _ in range(3)
+            ]
+        return self._aug_actors
+
     def _render_partition_scatter(
         self, big: pa.Table, sel: np.ndarray, flags_sorted: np.ndarray,
         row_keys: np.ndarray, ents_sorted: np.ndarray,
         all_edges: tuple[np.ndarray, np.ndarray], seq: int,
     ) -> list:
-        """Dependency-partitioned render over the persistent actor pool.
-
-        Entities split strided across N shards (balances heavy relations); shard ``s``
-        receives the Arrow sub-table of rows whose key is one of its entities OR a
-        closure-dependency of one (edge ``(a, b)`` = "b depends on a", so a shard
-        rendering parent ``b`` needs ``a``'s rows). Each actor builds a context over
-        ONLY that subset — per-actor cost is O(rows/N · dup), not O(rows), which is what
-        makes the render stage actually scale with pool size. Partitioning assumption:
-        the transitive closure is complete (local_closure), so a shard's subset always
-        contains every row its predicates may touch."""
-        pool = self._render_pool()
-        t_prep0 = time.perf_counter()
-        N = len(pool)
-        n_ents = len(ents_sorted)
-        # SPATIAL shard assignment: entities grouped by their first row's cell, cells
-        # laid out contiguously, cut at balanced cumulative COST. A way's nodes share
-        # its cell, so dependency rows duplicate only at cell-chunk boundaries — the
-        # strided split shipped every way's node rows to a second shard and its total
-        # shipped rows grew with the pool (the render stage's scaling ceiling).
-        uk, first_idx, uk_rows = np.unique(
-            row_keys, return_index=True, return_counts=True
+        return render_partition_scatter(
+            self._render_pool(), big, sel, flags_sorted, row_keys, ents_sorted,
+            all_edges, seq,
         )
-        cells_col = big["cell"].to_numpy(zero_copy_only=False)[sel]
-        pos_in_uk = np.searchsorted(uk, ents_sorted)
-        ent_cell = cells_col[first_idx[pos_in_uk]]
-        own_rows = uk_rows[pos_in_uk].astype(np.float64)
-
-        # edges: (a, b) = "b depends on a" → parent b's shard also needs a's rows
-        ek_order = np.argsort(ents_sorted, kind="stable")
-        ek_sorted = ents_sorted[ek_order]
-        edge_a, edge_b = all_edges
-        if len(edge_a):
-            pos = np.searchsorted(ek_sorted, edge_b)
-            ok = (pos < len(ek_sorted)) & (ek_sorted[np.minimum(pos, len(ek_sorted) - 1)] == edge_b)
-            parent_ent = ek_order[pos[ok]]  # entity index of each edge's parent
-            child_keys = edge_a[ok]
-        else:
-            parent_ent = np.empty(0, np.int64)
-            child_keys = np.empty(0, np.int64)
-
-        # cost model (units ≈ per-row ctx-build cost, ~5µs): a shard's wall is context
-        # build over its shipped rows (own + dep) PLUS per-entity feature assembly
-        # (geometry + JSON ≈ 80-250µs/entity — the dominant term, so entity weights
-        # carry most of the balance; measured per type on the scaling world)
-        dep_rows = np.zeros(n_ents, np.float64)
-        if len(child_keys):
-            cpos = np.searchsorted(uk, child_keys)
-            cok = (cpos < len(uk)) & (uk[np.minimum(cpos, len(uk) - 1)] == child_keys)
-            np.add.at(dep_rows, parent_ent[cok], uk_rows[cpos[cok]].astype(np.float64))
-        tf = np.array([15.0, 40.0, 110.0, 1.0])[ents_sorted & 3]
-        ent_w = own_rows + dep_rows + tf
-        # group at a coarser cell (16× per dim): a way's nodes sit in NEIGHBORING fine
-        # cells, so fine-cell chunks still cut through every way; coarse chunks keep
-        # whole neighborhoods on one shard and only coarse-boundary deps duplicate
-        coarse = np.where(ent_cell >= 0, C.parent(ent_cell, max(0, C.DEFAULT_RES - 4)), -1)
-        by_cell = np.lexsort((ents_sorted, ent_cell, coarse))
-        cum = np.cumsum(ent_w[by_cell])
-        # 4N weight-balanced chunks interleaved over N shards: the cost model is an
-        # estimate, and one contiguous chunk per shard makes its error the straggler;
-        # four spread chunks average it out (still cell-contiguous → dup stays low)
-        n_chunks = 4 * N
-        bounds = cum[-1] * (np.arange(1, n_chunks) / n_chunks)
-        ent_shard = np.empty(n_ents, np.int64)
-        ent_shard[by_cell] = np.searchsorted(bounds, cum, side="left") % N
-
-        dem_shard = np.concatenate([ent_shard, ent_shard[parent_ent]])
-        dem_key = np.concatenate([ents_sorted, child_keys])
-        # unique (shard, key) demands
-        o = np.lexsort((dem_key, dem_shard))
-        ds, dk = dem_shard[o], dem_key[o]
-        keep = np.r_[True, (ds[1:] != ds[:-1]) | (dk[1:] != dk[:-1])]
-        ds, dk = ds[keep], dk[keep]
-
-        rk_order = np.argsort(row_keys, kind="stable")
-        rk_sorted = row_keys[rk_order]
-        # the undeduped concat broadcasts ONCE (zero-copy Arrow in the object store);
-        # each shard takes its own subset in parallel on the actor — the driver ships
-        # index arrays, not N serialized sub-tables (was the scatter's serial cost)
-        big_ref = ray.put(big)
-        meta_futs, payload_refs = [], []
-        for s in range(N):
-            keys_s = dk[ds == s]
-            lo = np.searchsorted(rk_sorted, keys_s, side="left")
-            hi = np.searchsorted(rk_sorted, keys_s, side="right")
-            lens = hi - lo
-            tot = int(lens.sum())
-            flat = rk_order[
-                np.repeat(lo, lens) + (np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens))
-            ]
-            flat.sort()  # preserve the table's deterministic row order in the subset
-            mine = np.flatnonzero(ent_shard == s)  # == these entities' order indices
-            mk = ents_sorted[mine]
-            m, p = pool[s].render_part_idx.remote(
-                seq, big_ref, sel[flat], flags_sorted[flat], mine.tolist(),
-                [K.TYPE_NAMES[c] for c in (mk & 3).tolist()],
-                (mk >> 2).tolist(),
-            )
-            meta_futs.append(m)
-            payload_refs.append(p)
-        if os.environ.get("AUGDIFF_STAGE_DEBUG"):
-            print(f"[render] prep={time.perf_counter()-t_prep0:.3f} "
-                  f"dup={len(dk)/max(len(uk),1):.2f}", flush=True)
-        return meta_futs, payload_refs
 
     def _render_local(self, ctx: RenderContext, ents) -> pa.Table:
         return render_entities(
@@ -1060,7 +1234,7 @@ class AdiffJob:
 
     # -- memory tier ---------------------------------------------------------
 
-    def _read_memory(self) -> pa.Table:
+    def _ensure_memory_state(self) -> None:
         # in-process tier cache: files are the durable truth (resume reloads them
         # lazily), but within a run the tier is append-only between flushes — reading
         # every file back each batch was an O(batches-since-flush) driver-serial term
@@ -1069,6 +1243,15 @@ class AdiffJob:
             self._memory_tbls = [pq.read_table(f) for f in files]
             self._memory_hashes = [row_hashes(t) for t in self._memory_tbls]
             self._memory_meta = [table_meta(t) for t in self._memory_tbls]
+            # object-store refs of the same segments, for the augment shard pool
+            # (resume path: re-put the reloaded files once)
+            self._memory_refs = [
+                (int(f.name.split("-")[1].split(".")[0]), ray.put(t))
+                for f, t in zip(files, self._memory_tbls)
+            ]
+
+    def _read_memory(self) -> pa.Table:
+        self._ensure_memory_state()
         if not self._memory_tbls:
             return None
         return pa.concat_tables(self._memory_tbls, promote_options="default")
@@ -1095,12 +1278,15 @@ class AdiffJob:
         os.replace(tmp, self.memory_root / f"batch-{seq:09d}.parquet")
 
     def _write_memory_cache(
-        self, table: pa.Table, hashes: tuple[np.ndarray, np.ndarray]
+        self, table: pa.Table, hashes: tuple[np.ndarray, np.ndarray],
+        seq: int | None = None, ref=None,
     ) -> None:
         if self._memory_tbls is not None:
             self._memory_tbls.append(table)
             self._memory_hashes.append(hashes)
             self._memory_meta.append(table_meta(table))
+            if seq is not None:
+                self._memory_refs.append((seq, ref if ref is not None else ray.put(table)))
 
     def _durable_writes(self, seq: int, table: pa.Table, new_a, new_b) -> None:
         """File-durability half of the per-batch emit (runs in a worker thread —
@@ -1130,11 +1316,18 @@ class AdiffJob:
                 [pq.read_table(f) for f in files], promote_options="default"
             )
         else:
-            self._flush_result = (seq, None, None, [])
+            self._flush_result = (seq, None, None, [], None, [])
             return
         SNAP.append_delta(rows, self.snapshot_store, seq)
-        merged = SNAP.merged_cache(self.snapshot_store, rows)
-        self._flush_result = (seq, rows, merged, files)
+        # the driver's own hot cache is NOT re-merged here: with the augment stage
+        # off-driver, only the AugmentShard processes point-read the store — each
+        # folds the flushed rows itself at adoption (rows_ref below). The driver
+        # cache is simply dropped at adoption and lazily rebuilt from disk if a
+        # non-stream path (run_batch) reads it again. merged_cache on 10^6 cached
+        # rows was the flush build's dominant term and it blocked the next pre.
+        rows_ref = ray.put(rows) if getattr(self, "_aug_actors", None) else None
+        flushed_seqs = [int(f.name.split("-")[1].split(".")[0]) for f in files]
+        self._flush_result = (seq, rows, None, files, rows_ref, flushed_seqs)
 
     def _adopt_flush(self, block: bool = False) -> None:
         """Publish a finished background flush: swap in the pre-merged hot cache,
@@ -1150,19 +1343,30 @@ class AdiffJob:
             th.join()
         self._flush_inflight = None
         self._file_threads.pop(seq, None)  # joined ⇒ durable; commit-join also pops
-        _seq, rows, merged, files = self._flush_result
+        _seq, rows, merged, files, rows_ref, flushed_seqs = self._flush_result
         self._flush_result = None
         if rows is None:
             return
-        SNAP.adopt_cache(self.snapshot_store, merged)
+        if merged is not None:
+            SNAP.adopt_cache(self.snapshot_store, merged)
+        else:
+            SNAP.drop_cache(self.snapshot_store)
+        if rows_ref is not None and getattr(self, "_aug_actors", None):
+            # fold the flushed rows into every augment shard's hot cache BEFORE any
+            # post-adopt augment submission (per-caller actor ordering makes the
+            # tier→storage boundary deterministic on each shard, as on the driver)
+            for a in self._aug_actors:
+                a.adopt_flush.remote(rows_ref, flushed_seqs)
         for f in files:
             f.unlink(missing_ok=True)
         if self._memory_tbls is not None:
             self._memory_tbls = self._memory_tbls[n_tbls:]
             self._memory_hashes = self._memory_hashes[n_tbls:]
             self._memory_meta = self._memory_meta[n_tbls:]
+            self._memory_refs = self._memory_refs[n_tbls:]
         else:  # tier was flushed from files (resume path) — now empty
             self._memory_tbls, self._memory_hashes, self._memory_meta = [], [], []
+            self._memory_refs = []
 
     def _flush_memory(self, seq: int) -> None:
         """Append memory files into the snapshot store's delta tier, then clear them
@@ -1188,6 +1392,7 @@ class AdiffJob:
         self._memory_tbls = []
         self._memory_hashes = []
         self._memory_meta = []
+        self._memory_refs = []
 
     # -- graft outputs -------------------------------------------------------
 
@@ -1240,52 +1445,34 @@ class AdiffJob:
             self.store.start_pool()
         done = self.lineage.completed()
         stats = []
-        # three-stage software pipeline: while batch k renders on the actor pool, the
-        # driver runs k+1's PRE (parse/closure/augment + state writes — legal because
-        # k's pre already committed the memory/index state k+1 reads); k's TAIL task
-        # (emit/kNN/overlay) overlaps the render of k+1 AND k+2 (depth 2: the tails
-        # are the heaviest parallel stage, and one batch window wasn't enough for
-        # them at full pool width — the driver sat in tail_wait). At every pool
-        # width the critical path is max(serial pre, render, tails/2), not their
-        # sum. Lineage commits stay strictly ordered after each batch's tail is
-        # durable; a kill simply recomputes the (≤2) uncommitted batches
-        # (idempotent writes → byte-identical, tested).
+        # software pipeline: the driver's serial chain per batch is parse-get +
+        # closure + state appends + two task submissions. Everything downstream —
+        # augment semi-join (AugmentShard pool, up to P batches concurrent), render
+        # fan-out, collect, emit/kNN/overlay tails — runs off-driver and overlaps
+        # across the in-flight window (depth 3). At every pool width the critical
+        # path is max(serial chain, parallel work / width), with the serial chain
+        # now ~an order of magnitude below the r2 pre (whose driver-side augment was
+        # the stream's Amdahl term). Lineage commits stay strictly ordered after each
+        # batch's tail is durable; a kill simply recomputes the (≤4) uncommitted
+        # batches (idempotent writes → byte-identical, tested).
         from collections import deque
 
-        pend_render: tuple[dict, dict] | None = None  # (pre, scatter)
-        tails: deque = deque()                        # pending (head, tail) finishes
+        tails: deque = deque()  # pending collector finishes
         todo = [s for s in range(start, end + 1) if s not in done]
-        for s in todo[:3]:
+        for s in todo[:6]:
             self._prefetch_parse(s)
 
-        def _collect_launch(pr) -> None:
-            pre, sc = pr
-            if sc["futs"] is not None:
-                # pool render: collect + tails run as one off-driver collector task
-                tails.append(self._launch_collector(pre, sc))
-            else:
-                head = self._render_collect(pre, sc)
-                tails.append((head, self._launch_tail(head)))
-
-        def _finish(item) -> dict:
-            if item[0] == "collector":
-                return self._finish_collector(item[1], item[2])
-            return self._finish_batch(*item)
-
         for i, seq in enumerate(todo):
-            if i + 3 < len(todo):
-                self._prefetch_parse(todo[i + 3])
-            pre = self._run_pre(seq)
-            sc = self._render_scatter(pre)
-            if pend_render is not None:
-                _collect_launch(pend_render)
-                if len(tails) > 3:
-                    stats.append(_finish(tails.popleft()))
-            pend_render = (pre, sc)
-        if pend_render is not None:
-            _collect_launch(pend_render)
+            if i + 6 < len(todo):
+                self._prefetch_parse(todo[i + 6])
+            pre = self._run_pre(seq, stream=True)
+            tails.append(self._launch_collector(pre))
+            if len(tails) > 5:
+                _, p, f = tails.popleft()
+                stats.append(self._finish_collector(p, f))
         while tails:
-            stats.append(_finish(tails.popleft()))
+            _, p, f = tails.popleft()
+            stats.append(self._finish_collector(p, f))
         return {"batches": stats, "skipped": sorted(done - {0}), "end": end}
 
     def close(self) -> None:
@@ -1296,6 +1483,10 @@ class AdiffJob:
         if self.store is not None:
             self.store.stop_pool()
             self.store = None
+        if getattr(self, "_aug_actors", None):
+            for a in self._aug_actors:
+                ray.kill(a)
+            self._aug_actors = None
         if getattr(self, "_pool_actors", None):
             for a in self._pool_actors:
                 ray.kill(a)

@@ -388,6 +388,17 @@ def append_to_cache(root: str, table: pa.Table) -> None:
     adopt_cache(root, merged_cache(root, table))
 
 
+def drop_cache(root: str) -> None:
+    """Invalidate this process's hot-store caches for ``root`` — the next point read
+    lazily rebuilds from disk (base parts + delta files, :func:`_build_whole_cache`).
+    The stream driver uses this at flush adoption instead of folding: with the
+    augment stage off-driver, the driver never point-reads the store again, so
+    computing ``merged_cache`` on its serial path was pure waste."""
+    _TABLE_CACHE.pop(root, None)
+    _LATEST_CACHE.pop(root, None)
+    _SERVE_CACHE.pop(root, None)
+
+
 def list_partitions(root: str) -> set[int]:
     if not os.path.isdir(root):
         return set()
