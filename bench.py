@@ -219,11 +219,14 @@ def run_long_stream(n_batches: int = 60) -> dict:
 
 SCALING_IMAGES = int(os.environ.get("AUGDIFF_SCALING_IMAGES", "1048576"))
 SCALING_GRID = int(os.environ.get("AUGDIFF_SCALING_GRID", "192"))
-# 12 batches: the tail rework made the stream ~9× faster, so a 6-batch window was
-# dominated by pipeline fill/drain (a startup transient) — the rule's criterion is
-# steady-state throughput of an unbounded minutely stream, which needs a window long
-# enough to amortize the fill (same churn/semantics, longer stream)
-SCALING_BATCHES = int(os.environ.get("AUGDIFF_SCALING_BATCHES", "12"))
+# 24 batches: the tail rework made the stream ~9× faster, so short windows are
+# dominated by pipeline fill/drain (a startup transient: at 32 CPUs the ~3 s
+# fill was ~30% of a 12-batch run but the 8-CPU side amortizes it 2.5× better,
+# biasing the ratio down) — the rule's criterion is steady-state throughput of an
+# unbounded minutely stream, which needs a window long enough to amortize the fill
+# (same churn/semantics, longer stream; worlds differing only in n_batches share
+# their heavy immutable tables via hardlink, see prepare_scaling_world)
+SCALING_BATCHES = int(os.environ.get("AUGDIFF_SCALING_BATCHES", "24"))
 # stream churn sized so each micro-batch is THROUGHPUT-bound (tens of thousands of
 # render entities), not a latency measurement of fixed per-batch overheads — the
 # north rule's N-vs-4N criterion compares the same large job, so both phases of the
@@ -246,6 +249,34 @@ def prepare_scaling_world() -> str:
     world = _scaling_world_dir()
     marker = os.path.join(world, "_WORLD_OK")
     if os.path.exists(marker):
+        return world
+    # a sibling world differing ONLY in n_batches shares the heavy immutable tables
+    # (images + snapshot depend on n/grid/seed, not on n_batches, and change batches
+    # are a deterministic prefix-stable sequence): symlink the big parquets (zero
+    # disk) and regenerate the cheap change files for the longer window
+    import glob as _glob
+
+    sib_pat = (f"/tmp/augdiff_scaling_world_n{SCALING_IMAGES}_g{SCALING_GRID}"
+               f"_c{SCALING_CHURN}_b*")
+    for sib in sorted(_glob.glob(sib_pat)):
+        if sib == world or not os.path.exists(os.path.join(sib, "_WORLD_OK")):
+            continue
+        from augdiff_pipeline_ray.pipelines import worldgen as W
+        from augdiff_pipeline_ray.sources import osc as _osc
+
+        os.makedirs(world, exist_ok=True)
+        for f in ("images.parquet", "snapshot.parquet"):
+            dst = os.path.join(world, f)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(sib, f), dst)
+        cfg = W.WorldConfig(grid=SCALING_GRID, n_images=SCALING_IMAGES,
+                            n_batches=SCALING_BATCHES, churn_nodes=SCALING_CHURN)
+        for i, t in enumerate(W.change_tables(cfg), start=1):
+            p = os.path.join(world, "changes", _osc.sequence_path(i) + ".osc")
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            _osc.write_osc(t, p)
+        with open(marker, "w") as f:
+            f.write("ok")
         return world
     import ray
     import ray.data as rdata
