@@ -28,6 +28,7 @@ import numpy as np
 MAGIC = b"ADT1"
 FMT_CODES = {"rawz": 0, "qz": 1}
 FMT_NAMES = {0: "rawz", 1: "qz"}
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
@@ -48,7 +49,11 @@ def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
 
 
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
-    """(h, w, 3) uint8 → encoded bytes."""
+    """(h, w, 3) uint8 → encoded bytes (``png`` → a real PNG stream, not ADT1)."""
+    if fmt == "png":
+        from . import png as PNG
+
+        return PNG.png_encode(pixels)
     h, w = pixels.shape[:2]
     hdr = MAGIC + struct.pack("<BII", FMT_CODES[fmt], w, h)
     if fmt == "rawz":
@@ -65,7 +70,16 @@ def decode(data: bytes) -> tuple[np.ndarray, str]:
     rawz returns a READ-ONLY zero-copy view over the inflate buffer (the decode pool's
     consumers only read; writers copy-on-write) — the old unconditional ``.copy()`` was
     a full extra DRAM pass per tile, measurable as per-core retention loss at high
-    actor counts."""
+    actor counts.
+
+    Dispatch is by signature: real PNG streams (functions/png.py — pure zlib+numpy,
+    external-consumer-compatible) decode alongside the ADT1 container formats."""
+    # bytes() cast: Arrow buffer memoryviews carry signed format 'b', under which a
+    # bytes compare sees -119 != 0x89 and misses the PNG signature's high-bit lead
+    if bytes(data[:8]) == _PNG_SIG:
+        from . import png as PNG
+
+        return PNG.png_decode(data), "png"
     if data[:4] != MAGIC:
         raise ValueError("not an ADT1 image")
     code, w, h = struct.unpack_from("<BII", data, 4)
@@ -254,9 +268,12 @@ def sample_frame_indices(n_frames: int, k: int) -> np.ndarray:
 
 
 def decode_stub_real_codec(data: bytes):  # pragma: no cover
-    """Where a real JPEG/PNG decoder would plug in (PIL/libjpeg absent in this container).
+    """Where a real JPEG decoder would plug in (libjpeg absent in this container).
 
-    The Ray-side plumbing (schema, actor signature, batch sizing) is identical — only this
-    dispatch would change.
+    PNG is REAL (functions/png.py, dispatched by signature in :func:`decode`); JPEG's
+    bit-serial Huffman stage is not expressible as numpy kernels, so the lossy path
+    stays ``qz`` (PSNR ≥ 42 dB) behind the same interface. The Ray-side plumbing
+    (schema, actor signature, batch sizing) is identical — only this dispatch would
+    change.
     """
-    raise NotImplementedError("real JPEG/PNG decode requires PIL/libjpeg; use rawz/qz")
+    raise NotImplementedError("real JPEG decode requires libjpeg; use qz (lossy) or png/rawz")

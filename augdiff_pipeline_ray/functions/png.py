@@ -108,6 +108,8 @@ def _unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
 
 def png_decode(data: bytes) -> np.ndarray:
     """PNG bytes → (h, w, 3) uint8 RGB (gray broadcast to RGB, alpha dropped)."""
+    if not isinstance(data, bytes):
+        data = bytes(data)  # memoryview/Arrow buffer → bytes (signed-format compares)
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG stream")
     pos = 8
