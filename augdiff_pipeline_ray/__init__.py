@@ -30,7 +30,8 @@ def _register_pickle_by_value() -> None:
         "keys", "cells", "georef", "schemas", "heap",
         "functions", "functions.geom", "functions.scalar", "functions.osm",
         "functions.assembly", "functions.text", "functions.dedup",
-        "functions.similarity", "functions.image", "functions.sketch",
+        "functions.similarity", "functions.image", "functions.png",
+        "functions.sketch",
         "sources", "sources.osc", "sources.snapshot", "sources.geojson",
         "stages", "stages.edges", "stages.closure", "stages.augment",
         "stages.render", "stages.tiles", "stages.shuffle", "stages.components",
