@@ -31,7 +31,7 @@ def _register_pickle_by_value() -> None:
         "functions", "functions.geom", "functions.scalar", "functions.osm",
         "functions.assembly", "functions.text", "functions.dedup",
         "functions.similarity", "functions.image", "functions.png",
-        "functions.sketch",
+        "functions.jpeg", "functions.sketch",
         "sources", "sources.osc", "sources.snapshot", "sources.geojson",
         "stages", "stages.edges", "stages.closure", "stages.augment",
         "stages.render", "stages.tiles", "stages.shuffle", "stages.components",

@@ -378,10 +378,15 @@ def _build_image_rows(idx: np.ndarray, plan: dict) -> pa.Table:
         i = int(i)
         iid = f"img-{i:08d}"
         w, h = int(plan["w"][i]), int(plan["h"][i])
-        # lossless tiles alternate the engine container (rawz) with REAL PNG
-        # (functions/png.py) so the decode path exercises a foreign-consumable
-        # format end-to-end; lossy stays qz (see image.decode_stub_real_codec)
-        fmt = ("png" if i % 16 == 0 else "rawz") if plan["raw"][i] else "qz"
+        # both flavors mix the engine container formats with the REAL codecs so the
+        # decode path exercises foreign-consumable formats end-to-end: lossless
+        # alternates rawz with PNG (functions/png.py), lossy alternates qz with
+        # baseline JPEG (functions/jpeg.py) on the offset phase
+        fmt = (
+            ("png" if i % 16 == 0 else "rawz")
+            if plan["raw"][i]
+            else ("jpeg" if i % 16 == 8 else "qz")
+        )
         px = IMG.synth_pixels(iid, w, h)
         ph = _phash_for_position(plan["lat"][i], plan["lon"][i], IMG.phash64(px) & 0x7FFF_FFFF)
         ids.append(iid)
