@@ -4562,3 +4562,205 @@ def q_canonical_per_source(sf_dir: str):
         )
 
     return cand.groupby("source").map_groups(final, batch_format="pandas")
+
+
+# -- geospatial vector additions: distance pair join + density clustering + EMA scan --
+
+_SPATIAL_R = 6.0  # degrees; chosen so every sf yields non-degenerate pair/cluster sets
+
+_SQL_SPATIAL_PAIRS = f"""
+    WITH t AS (
+      SELECT doc_id, lat, lon,
+             FLOOR(lon / {_SPATIAL_R}) AS bx, FLOOR(lat / {_SPATIAL_R}) AS by
+      FROM ({TP.SQL_TILE_LATLON})
+    ),
+    r AS (
+      SELECT t.*, bx + d.dx AS gx, by + d.dy AS gy
+      FROM t CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) AS d(dx, dy)
+    ),
+    p AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             (a.lat - b.lat) * (a.lat - b.lat)
+               + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+      FROM r a JOIN r b ON a.gx = b.gx AND a.gy = b.gy AND a.doc_id < b.doc_id
+    )
+    SELECT DISTINCT a, b, d2 FROM p
+    WHERE d2 < {_SPATIAL_R} * {_SPATIAL_R}
+"""
+
+
+def _spatial_pair_dataset(sf_dir: str) -> rd.Dataset:
+    """Distance-threshold spatial self-join over tile centroids (columns a, b, d2).
+
+    Grid-hash join: each point replicates to its home bucket plus the three
+    (+1)-quadrant neighbors at bucket size == radius R, so every qualifying pair
+    co-occurs in its CANONICAL bucket (max of the two homes, componentwise) — 4×
+    replication, equality-keyed shuffle, and the canonical-bucket filter makes each
+    pair emit EXACTLY once with no distinct pass (the SQL oracle, lacking the
+    per-group filter, dedups with DISTINCT instead). At 10^12 rows this is the
+    standard scale shape: no all-pairs, per-bucket work bounded by local density,
+    one groupby on the bucket key.
+    """
+    R = _SPATIAL_R
+    docs = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["doc_id"])
+
+    def replicate(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ph = TP.image_params(d)["phash"]
+        lat, lon = georef.centroid(ph)
+        bx = np.floor(lon / R).astype(np.int64)
+        by = np.floor(lat / R).astype(np.int64)
+        parts = []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                g = (bx + dx + 64) * 256 + (by + dy + 64)
+                parts.append(pa.table({
+                    "g": pa.array(g), "doc_id": pa.array(d),
+                    "lat": pa.array(lat), "lon": pa.array(lon),
+                    "bx": pa.array(bx), "by": pa.array(by),
+                }))
+        return pa.concat_tables(parts)
+
+    def pairs(grp: pd.DataFrame) -> pd.DataFrame:
+        o = np.argsort(grp["doc_id"].to_numpy(np.int64), kind="stable")
+        d = grp["doc_id"].to_numpy(np.int64)[o]
+        lat = grp["lat"].to_numpy(np.float64)[o]
+        lon = grp["lon"].to_numpy(np.float64)[o]
+        bx = grp["bx"].to_numpy(np.int64)[o]
+        by = grp["by"].to_numpy(np.int64)[o]
+        g = int(grp["g"].iloc[0])
+        gx, gy = g // 256 - 64, g % 256 - 64
+        ii, jj = np.triu_indices(len(d), k=1)
+        if len(ii):
+            d2 = (lat[ii] - lat[jj]) ** 2 + (lon[ii] - lon[jj]) ** 2
+            keep = (
+                (d2 < R * R)
+                & (np.maximum(bx[ii], bx[jj]) == gx)
+                & (np.maximum(by[ii], by[jj]) == gy)
+            )
+            ii, jj, d2 = ii[keep], jj[keep], d2[keep]
+        else:
+            d2 = np.empty(0, np.float64)
+        return pd.DataFrame({"a": d[ii], "b": d[jj], "d2": d2})
+
+    return (
+        docs.map_batches(replicate, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+@query("spatial_neighbor_pairs", _SQL_SPATIAL_PAIRS)
+def q_spatial_neighbor_pairs(sf_dir: str):
+    """All tile pairs whose centroids lie within R degrees (euclidean in degree
+    space — the exact quadratic-form the oracle reproduces bit-identically from the
+    shared phash→lat/lon derivation). See ``_spatial_pair_dataset`` for the
+    replicate-to-canonical-bucket join shape."""
+    return _spatial_pair_dataset(sf_dir)
+
+
+@query(
+    "spatial_clusters",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lat, lon,
+             FLOOR(lon / {_SPATIAL_R}) AS bx, FLOOR(lat / {_SPATIAL_R}) AS by
+      FROM ({TP.SQL_TILE_LATLON})
+    ),
+    r AS (
+      SELECT t.*, bx + d.dx AS gx, by + d.dy AS gy
+      FROM t CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) AS d(dx, dy)
+    ),
+    p AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM r a JOIN r b ON a.gx = b.gx AND a.gy = b.gy AND a.doc_id < b.doc_id
+      WHERE (a.lat - b.lat) * (a.lat - b.lat)
+              + (a.lon - b.lon) * (a.lon - b.lon)
+            < {_SPATIAL_R} * {_SPATIAL_R}
+    ),
+    und AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+    reach(x, y) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.x, u.b FROM reach r JOIN und u ON r.y = u.a),
+    lab AS (SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster_id FROM reach GROUP BY x)
+    SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+    """,
+)
+def q_spatial_clusters(sf_dir: str):
+    """Spatial density clustering (DBSCAN with minPts=2 at eps=R): the R-radius
+    neighbor graph from ``_spatial_pair_dataset`` feeds distributed connected
+    components (``stages/components``); every tile gets its component's min doc_id,
+    singletons label themselves. Oracle: the same pairs via the replicated grid
+    equality-join, then a recursive-CTE min-label fixpoint — the CTE enumerates
+    all-pairs reachability, quadratic in component size, so (like
+    ``ngram_jaccard_pairs``) the oracle is checked at sf0.001/sf0.01 where
+    components are small (≤ 29 tiles); at sf0.1 the tile lattice densifies into one
+    global component and only the Ray side is sized for it."""
+    from ..stages import components as CC
+
+    pdf = _spatial_pair_dataset(sf_dir).to_pandas()  # output-sized pair list
+    edges = pa.table({
+        "a": pa.array(pdf["a"].to_numpy(np.int64)),
+        "b": pa.array(pdf["b"].to_numpy(np.int64)),
+    })
+    lab = CC.components_auto(edges)
+    if isinstance(lab, rd.Dataset):  # pragma: no cover - corpus-scale plan
+        lab = pa.concat_tables(
+            list(lab.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+    nodes = lab["node"].to_numpy(zero_copy_only=False)
+    clus = lab["cluster"].to_numpy(zero_copy_only=False)
+    all_ids = (
+        SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["doc_id"])
+        .to_pandas()["doc_id"]
+        .to_numpy(np.int64)
+    )
+    cluster = all_ids.copy()
+    if len(nodes):
+        pos = np.clip(np.searchsorted(nodes, all_ids), 0, len(nodes) - 1)
+        hit = nodes[pos] == all_ids
+        cluster[hit] = clus[pos[hit]]
+    return pd.DataFrame({"doc_id": all_ids, "cluster_id": cluster})
+
+
+@query(
+    "ema_per_user",
+    """
+    WITH o AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM events)
+    SELECT user_id, cnt AS n_events,
+           SUM(CASE WHEN rn = 0 THEN value * POW(0.75, cnt - 1)
+                    ELSE 0.25 * value * POW(0.75, cnt - 1 - rn) END) AS ema
+    FROM o GROUP BY user_id, cnt
+    """,
+)
+def q_ema_per_user(sf_dir: str):
+    """Exponential moving average per user (α=0.25, ordered by ts then event_id):
+    the stateful linear-recurrence scan e_t = α·v_t + (1−α)·e_{t−1}, e_0 = v_0.
+    Groups evaluate the recurrence in closed form — one vectorized weighted sum
+    per key, e_T = v_0·(1−α)^T + α·Σ_{i≥1} v_i·(1−α)^(T−i) — the same expression
+    the SQL oracle computes, so both engines share the POW/multiply kernel shapes
+    and agree to rounding. Scale shape: per-key map_groups (keys hash-partition;
+    a single key's history is the irreducible sequential unit of any EMA)."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    def ema(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        v = g["value"].to_numpy(np.float64)
+        T = len(v) - 1
+        w = np.power(0.75, T - np.arange(len(v), dtype=np.float64))
+        e = v[0] * w[0] + 0.25 * float((v[1:] * w[1:]).sum()) if len(v) > 1 else v[0]
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_events": [np.int64(len(v))],
+            "ema": [np.float64(e)],
+        })
+
+    return ds.groupby("user_id").map_groups(ema, batch_format="pandas")
