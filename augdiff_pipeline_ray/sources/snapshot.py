@@ -411,11 +411,27 @@ def list_partitions(root: str) -> set[int]:
 
 PARALLEL_LOAD_MIN_BYTES = 64 * 1024 * 1024  # below this, Ray startup dwarfs the read
 
-_PADS_CACHE: dict = {}
-_TABLE_CACHE: dict = {}
-_LATEST_CACHE: dict = {}  # root → _node_latest_mask over _TABLE_CACHE[root]'s rows
-_DELTA_TBL_CACHE: dict = {}  # root → {delta path: (table, sorted key array)}
-_SERVE_CACHE: dict = {}  # root → _build_serve_view over _LATEST_CACHE[root]
+
+class _ProcessLocalCache(dict):
+    """A dict that never ships between processes: pickles to an empty instance.
+
+    This module is cloudpickle-registered by VALUE (the repo is never installed on
+    workers), so any function/class shipped to an actor captures the module globals
+    it references — including these caches' CONTENTS at export time. A driver whose
+    hot-cache was warm would silently ship the whole snapshot table inside every
+    actor definition (observed: a 30 MiB AugmentShard at sf0.1; unbounded at the
+    10^12-row scale). Each process warms its own cache instead (the documented
+    protocol — actors call ``warm_cache`` in ``__init__``)."""
+
+    def __reduce__(self):
+        return (self.__class__, ())
+
+
+_PADS_CACHE: dict = _ProcessLocalCache()
+_TABLE_CACHE: dict = _ProcessLocalCache()
+_LATEST_CACHE: dict = _ProcessLocalCache()  # root → _node_latest_mask over _TABLE_CACHE rows
+_DELTA_TBL_CACHE: dict = _ProcessLocalCache()  # root → {delta path: (table, sorted keys)}
+_SERVE_CACHE: dict = _ProcessLocalCache()  # root → _build_serve_view over _LATEST_CACHE
 
 
 def _build_serve_view(meta: tuple) -> tuple:
