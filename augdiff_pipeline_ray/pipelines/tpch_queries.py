@@ -4764,3 +4764,104 @@ def q_ema_per_user(sf_dir: str):
         })
 
     return ds.groupby("user_id").map_groups(ema, batch_format="pandas")
+
+
+# -- stream-stream window join + corpus mixture resampling ----------------------------
+
+
+@query(
+    "window_self_join",
+    """
+    SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+           epoch_ms(b.ts) - epoch_ms(a.ts) AS dt_ms
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND (epoch_ms(b.ts) > epoch_ms(a.ts)
+          OR (epoch_ms(b.ts) = epoch_ms(a.ts) AND a.event_id < b.event_id))
+     AND epoch_ms(b.ts) - epoch_ms(a.ts) <= 1800000
+    """,
+)
+def q_window_self_join(sf_dir: str):
+    """Stream-stream sliding-window self-join: per user, all ordered event pairs at
+    most 30 minutes apart (earlier → later; simultaneous events ordered by id).
+    The canonical CEP/attribution primitive. Scale shape: hash-partition by the join
+    key, sort each group once, then a two-pointer window — every group emits with
+    O(n log n + output) work, never the O(n²) a time-range theta-join would cost;
+    output is linear in data size for a fixed window (771 pairs at sf0.1)."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["user_id", "event_id", "ts"]
+    )
+    W = 1_800_000
+
+    def window_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ms = g["ts"].astype("datetime64[ms]").astype(np.int64).to_numpy()
+        eid = g["event_id"].to_numpy(np.int64)
+        hi = np.searchsorted(ms, ms + W, side="right")
+        cnt = hi - np.arange(len(ms)) - 1  # pairs starting at each i: (i, i+1..hi)
+        ii = np.repeat(np.arange(len(ms)), cnt)
+        jj = np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt) + ii + 1
+        return pd.DataFrame({
+            "user_id": np.repeat(g["user_id"].iloc[0], len(ii)),
+            "e1": eid[ii], "e2": eid[jj], "dt_ms": ms[jj] - ms[ii],
+        })
+
+    return ds.groupby("user_id").map_groups(window_pairs, batch_format="pandas")
+
+
+@query(
+    "domain_mix_resample",
+    """
+    WITH c AS (
+      SELECT source, COUNT(*) AS n,
+             CASE WHEN CAST(SUBSTR(source, 4) AS BIGINT) % 2 = 0 THEN 3.0 ELSE 1.0 END
+               AS wt
+      FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n) AS t, SUM(wt) AS wsum FROM c),
+    thr AS (SELECT source,
+                   CAST(FLOOR(LEAST(1.0, (t * (wt / wsum)) / n) * 4294967296) AS BIGINT)
+                     AS th
+            FROM c, tot)
+    SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+    WHERE (d.doc_id * 2654435761) % 4294967296 < th
+    """,
+)
+def q_domain_mix_resample(sf_dir: str):
+    """Corpus mixture rebalancing: resample documents toward a declared TARGET
+    mixture (here: even-numbered sources weighted 3:1 over odd — over-target
+    sources downsample, under-target ones pass whole; both branches exercised on
+    this corpus). The training-mixture curation step. Two phases: a combiner-shaped
+    per-source count (tiny aggregate, output = #sources), then per-source acceptance
+    thresholds broadcast into a stateless deterministic-hash filter scan (same Knuth
+    multiplicative hash as ``stratified_sample`` — reproducible anywhere, no RNG
+    state, no shuffle of the corpus). Threshold arithmetic is the identical double
+    expression on both engines."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "documents"), columns=["doc_id", "source"]
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        s, c = np.unique(t["source"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"source": pa.array(s), "n": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    per_src = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("source").aggregate(Sum("n", alias_name="n")).to_pandas()
+    )  # output-sized: one row per source
+    wt = np.where(per_src["source"].str[3:].astype(np.int64) % 2 == 0, 3.0, 1.0)
+    t, wsum = float(per_src["n"].sum()), float(wt.sum())
+    thr = {
+        src: np.int64(np.floor(min(1.0, (t * (w / wsum)) / float(n)) * 4294967296.0))
+        for src, n, w in zip(per_src["source"], per_src["n"], wt)
+    }
+
+    def resample(tb: pa.Table) -> pa.Table:
+        ids = tb["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = tb["source"].to_numpy(zero_copy_only=False)
+        h = (ids * np.int64(2654435761)) % np.int64(4294967296)
+        th = np.array([thr[x] for x in src], np.int64)
+        return tb.filter(pa.array(h < th))
+
+    return ds.map_batches(resample, batch_format="pyarrow")

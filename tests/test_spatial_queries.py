@@ -128,3 +128,44 @@ def test_ema_matches_sequential_recurrence(ray_session):
         assert got.loc[uid, "n_events"] == len(g)
         assert got.loc[uid, "ema"] == pytest.approx(e, rel=1e-9)
     assert len(got) == ev["user_id"].nunique()
+
+
+def test_window_self_join_matches_nested_loop(ray_session):
+    from augdiff_pipeline_ray.pipelines.tpch_queries import q_window_self_join
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "event_id", "ts"]
+    ).to_pandas()
+    ev["ms"] = ev["ts"].astype("datetime64[ms]").astype(np.int64)
+    want = set()
+    for _, g in ev.groupby("user_id"):
+        rows = list(g[["event_id", "ms"]].itertuples(index=False))
+        for a in rows:
+            for b in rows:
+                later = b.ms > a.ms or (b.ms == a.ms and a.event_id < b.event_id)
+                if later and b.ms - a.ms <= 1_800_000:
+                    want.add((int(a.event_id), int(b.event_id), int(b.ms - a.ms)))
+    got = _df(q_window_self_join(SF))
+    have = set(zip(got["e1"].astype(int), got["e2"].astype(int), got["dt_ms"].astype(int)))
+    assert have == want and len(have) > 0
+
+
+def test_domain_mix_resample_shifts_the_mixture(ray_session):
+    from augdiff_pipeline_ray.pipelines.tpch_queries import q_domain_mix_resample
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source"]).to_pandas()
+    got = _df(q_domain_mix_resample(SF))
+    # deterministic: exact re-derivation of the per-source thresholds + hash filter
+    n = docs.groupby("source").size()
+    wt = pd.Series({s: 3.0 if int(s[3:]) % 2 == 0 else 1.0 for s in n.index})
+    rate = np.minimum(1.0, (len(docs) * (wt / wt.sum())) / n)
+    thr = np.floor(rate * 4294967296.0).astype(np.int64)
+    h = (docs["doc_id"].to_numpy(np.int64) * np.int64(2654435761)) % np.int64(4294967296)
+    keep = h < thr.reindex(docs["source"]).to_numpy(np.int64)
+    assert set(got["doc_id"]) == set(docs["doc_id"].to_numpy()[keep])
+    # the mixture actually moved: even sources kept whole, odd sources downsampled
+    kept = got.groupby("source").size()
+    even = [s for s in n.index if int(s[3:]) % 2 == 0]
+    odd = [s for s in n.index if int(s[3:]) % 2 == 1]
+    assert all(kept.get(s, 0) == n[s] for s in even)
+    assert kept.reindex(odd).sum() < n.reindex(odd).sum()
