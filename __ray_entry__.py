@@ -29,6 +29,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from augdiff_pipeline_ray.pipelines import extra_queries  # noqa: F401 — registers
     from augdiff_pipeline_ray.pipelines import tpch_queries as Q
 
     out: dict[str, Callable[[str], Any]] = dict(Q.QUERIES)
@@ -44,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from augdiff_pipeline_ray.pipelines import extra_queries  # noqa: F401 — registers
     from augdiff_pipeline_ray.pipelines import tpch_queries as Q
 
     return dict(Q.ORACLE_SQL)

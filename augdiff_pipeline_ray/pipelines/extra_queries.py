@@ -1,0 +1,580 @@
+"""Second query registry module: operators added in the round-2 continuation.
+
+Registers into the same ``QUERIES`` / ``ORACLE_SQL`` dicts as
+``tpch_queries`` (shared ``@query`` decorator) — ``__ray_entry__`` imports both
+modules before reading the registry.
+
+Same contract and float discipline as tpch_queries: integral-exact aggregates,
+identical IEEE arithmetic on both engine and oracle sides, deterministic
+tie-breaks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from .. import sources as SRC
+from ..stages import shuffle as SHF
+from . import tpch as TP
+from .tpch_queries import query
+
+# ---------------------------------------------------------------------------
+# substring-level exact dedup: maximal duplicated token spans (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better" — the suffix-array
+# substring criterion, re-expressed as a sliding k-gram dataflow)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8
+
+
+@query(
+    "duplicate_spans",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+      FROM documents
+    ),
+    g AS (SELECT doc_id, i-1 AS pos,
+           string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND {_SPAN_K - 1} FOLLOWING) AS gram,
+           COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND {_SPAN_K - 1} FOLLOWING) AS glen
+         FROM w),
+    g8 AS (SELECT doc_id, pos, gram FROM g WHERE glen = {_SPAN_K}),
+    dup AS (SELECT doc_id, pos FROM g8 WHERE gram IN
+             (SELECT gram FROM g8 GROUP BY gram HAVING COUNT(*) >= 2)),
+    isl AS (SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM dup)
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_SPAN_K} AS span_end,
+           COUNT(*) AS n_grams
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def q_duplicate_spans(sf_dir: str):
+    """Maximal duplicated substrings: a token position is *covered* when the K-gram
+    starting there occurs at >= 2 (doc, pos) sites corpus-wide; runs of covered
+    positions merge into maximal spans (doc_id, span_start, span_end, n_grams) —
+    the spans a substring-dedup pass would cut (vs passage_dedup's fixed chunks).
+
+    Plan (reference has no analogue; Lee et al. use one giant suffix array, which
+    does not shard — the k-gram formulation does): grams never materialize as
+    strings. Each batch dictionary-encodes its words, hashes only the (small)
+    dictionary (two independent siphash keys), and folds each sliding window to a
+    128-bit polynomial gram fingerprint — pure numpy, no per-row loop, and only
+    16-byte keys + (doc, pos) pairs ever shuffle. A count-combiner groupby finds
+    fingerprints with >= 2 sites; an inner hash join marks covered positions; a
+    per-doc map_groups merges runs (numpy gaps-and-islands). Two all-to-alls
+    (fingerprint count, fingerprint join) + one doc-keyed shuffle. 128-bit
+    fingerprints make a false dup-mark ~2^-128·n² — negligible even at 10^12
+    grams (a paranoid deployment re-verifies marked spans with one more join)."""
+    from ray.data.aggregate import Sum
+
+    K = _SPAN_K
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    P1, P2 = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F
+    PW1 = np.array([pow(P1, j, 2**64) for j in range(K)], np.uint64)
+    PW2 = np.array([pow(P2, j, 2**64) for j in range(K)], np.uint64)
+
+    def grams(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts, ends = off[:-1], off[1:]
+        ng = np.maximum(ends - starts - K + 1, 0)
+        total = int(ng.sum())
+        if total == 0:
+            return pa.table(
+                {"h1": pa.array([], pa.int64()), "h2": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+            )
+        # per-word 64-bit hashes, batch-independent: hash the distinct words only
+        enc = words.values.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dic = enc.dictionary.to_numpy(zero_copy_only=False)
+        wh1 = pd.util.hash_array(dic, hash_key="0123456789123456").astype(np.uint64)
+        wh2 = pd.util.hash_array(dic, hash_key="augdiffgramhash2").astype(np.uint64)
+        hv1, hv2 = wh1[codes], wh2[codes]
+        doc_of = np.repeat(np.arange(len(ng)), ng)
+        pos_in_doc = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(ng)[:-1]]), ng
+        )
+        gs = starts[doc_of] + pos_in_doc  # flat word index of each gram start
+        acc1 = np.zeros(total, np.uint64)
+        acc2 = np.zeros(total, np.uint64)
+        for j in range(K):  # 2K vector ops — the whole gram fold
+            acc1 += hv1[gs + j] * PW1[j]
+            acc2 += hv2[gs + j] * PW2[j]
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)[doc_of]
+        return pa.table(
+            {"h1": pa.array(acc1.view(np.int64)), "h2": pa.array(acc2.view(np.int64)),
+             "doc_id": pa.array(docs), "pos": pa.array(pos_in_doc)}
+        )
+
+    g = ds.map_batches(grams, batch_format="pyarrow")
+
+    # fingerprint multiplicity: per-batch combiner (one row per distinct in-batch
+    # fingerprint) then a small groupby — only (h1, h2, partial_n) rows shuffle
+    def local_counts(t: pa.Table) -> pa.Table:
+        arr = np.stack(
+            [t["h1"].to_numpy(zero_copy_only=False),
+             t["h2"].to_numpy(zero_copy_only=False)],
+            axis=1,
+        )
+        uniq, n = np.unique(arr, axis=0, return_counts=True)
+        return pa.table(
+            {"h1": pa.array(uniq[:, 0]), "h2": pa.array(uniq[:, 1]),
+             "n": pa.array(n.astype(np.int64))}
+        )
+
+    dup_grams = (
+        g.map_batches(local_counts, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n"], 2)).select(["h1", "h2"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    from ..stages.closure import default_join_partitions
+
+    covered = g.join(
+        dup_grams,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("h1", "h2"),
+    ).select_columns(["doc_id", "pos"])
+
+    def spans(grp: pd.DataFrame) -> pd.DataFrame:
+        pos = np.sort(grp["pos"].to_numpy(np.int64))
+        brk = np.flatnonzero(np.diff(pos) > 1)
+        s = np.concatenate([[0], brk + 1])
+        e = np.concatenate([brk, [len(pos) - 1]])
+        return pd.DataFrame(
+            {"doc_id": np.full(len(s), int(grp["doc_id"].iloc[0]), np.int64),
+             "span_start": pos[s],
+             "span_end": pos[e] + K,
+             "n_grams": (e - s + 1).astype(np.int64)}
+        )
+
+    return covered.groupby("doc_id").map_groups(spans, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# triangle counting: per-vertex triangles in the part co-order graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "triangle_count",
+    """
+    WITH top3 AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_quantity DESC, l_partkey, l_linenumber) AS rk
+        FROM lineitem)
+      WHERE rk <= 3
+    ),
+    e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+          FROM top3 a JOIN top3 b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    tri AS (SELECT e1.x, e1.y, e2.y AS z
+            FROM e e1 JOIN e e2 ON e2.x = e1.y
+                      JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y)
+    SELECT v AS partkey, COUNT(*) AS n_tri FROM (
+      SELECT x AS v FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ) GROUP BY v
+    """,
+)
+def q_triangle_count(sf_dir: str):
+    """Per-vertex triangle counts over the part co-order graph (top-3 lineitems of
+    each order by quantity pairwise connected — every order seeds a triangle, plus
+    cross-order closures). The classic distributed plan: edges ordered x < y, wedge
+    join (e1.y = e2.x gives x < y < z exactly once), closing-edge hash join on
+    (x, z), then a 3-way unpivot + count groupby. Wedge volume is Σ deg², the
+    scale knob — at 10^12 edges the standard mitigation (orient by degree, salt
+    the hottest wedge centers via stages/shuffle.py) applies to the same plan; the
+    co-order graph here is triangle-union sparse so x<y orientation suffices."""
+    from ray.data.aggregate import Count
+    from ..stages.closure import default_join_partitions
+
+    np_j = default_join_partitions()
+    li = SRC.read_parquet_clean(
+        TP._p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_quantity", "l_linenumber"],
+    )
+
+    def pairs(grp: pa.Table) -> pa.Table:
+        q = grp["l_quantity"].to_numpy(zero_copy_only=False)
+        pk = grp["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = grp["l_linenumber"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((ln, pk, -q))[:3]
+        sel = np.unique(pk[o])
+        if len(sel) < 2:
+            return pa.table({"x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        i, j = np.triu_indices(len(sel), k=1)
+        return pa.table({"x": pa.array(sel[i]), "y": pa.array(sel[j])})
+
+    edges = (
+        li.groupby("l_orderkey")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Count(alias_name="m"))
+        .select_columns(["x", "y"])
+    )
+
+    wedges = edges.rename_columns({"x": "y", "y": "z"}).join(
+        edges, join_type="inner", num_partitions=np_j, on=("y",)
+    )  # (y, z, x) with x < y < z
+    closing = edges.rename_columns({"y": "z"})
+    tri = wedges.join(
+        closing, join_type="inner", num_partitions=np_j, on=("x", "z")
+    )
+
+    def unpivot(t: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [t["x"].to_numpy(zero_copy_only=False),
+             t["y"].to_numpy(zero_copy_only=False),
+             t["z"].to_numpy(zero_copy_only=False)]
+        )
+        keys, cnt = np.unique(v, return_counts=True)
+        return pa.table({"partkey": pa.array(keys), "n": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    return (
+        tri.map_batches(unpivot, batch_format="pyarrow")
+        .groupby("partkey")
+        .aggregate(Sum("n", alias_name="n_tri"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-time watermark window: streaming tumbling-window aggregate with
+# allowed lateness, as a distributed block-prefix scan
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+_LATENESS_US = 2 * 3_600_000_000  # 2 h allowed lateness
+_WM_SENTINEL = -(2**62)
+
+
+@query(
+    "watermark_window",
+    """
+    WITH a AS (
+      SELECT event_id, ts, value, date_trunc('day', ts) AS win,
+             max(ts) OVER (ORDER BY event_id % 16, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_ts
+      FROM events),
+    f AS (SELECT *,
+           (wm_ts IS NOT NULL AND win + INTERVAL 1 DAY <= wm_ts - INTERVAL 2 HOUR)
+             AS late
+          FROM a)
+    SELECT win AS window_start,
+           COUNT(*) FILTER (WHERE NOT late) AS n_events,
+           CAST(COALESCE(SUM(CAST(floor(value * 100) AS BIGINT))
+                      FILTER (WHERE NOT late), 0) AS BIGINT) AS sum_cents,
+           COUNT(*) FILTER (WHERE late) AS n_late
+    FROM f GROUP BY win
+    """,
+)
+def q_watermark_window(sf_dir: str):
+    """Streaming event-time semantics: events arrive interleaved from 16 sources
+    (arrival order = (event_id % 16, event_id) — each source in-order, sources
+    merged source-major, so a lagging source's backlog genuinely arrives late);
+    the watermark after each arrival is max(event ts so far) - 2 h; an event whose
+    1-day tumbling window has already closed under the watermark at its arrival is
+    dropped as late (counted per window). Output: per-window accepted count +
+    integral-cents sum + late count — deterministic, equal to the replayed stream.
+
+    The watermark is a running prefix max over *arrival order* — inherently
+    sequential, distributed here as the classic two-pass block scan (the
+    zip_with_index pattern, stages/shuffle.py:118): blocks of the arrival-ordered
+    stream stay in the object store; pass 1 reads one (rows, max_ts) pair per
+    block; the driver exclusive-prefix-maxes the tiny vector; pass 2 stamps each
+    block with its carry-in and resolves per-row watermarks with a vectorized
+    np.maximum.accumulate, folding straight to per-block window partials — rows
+    never touch the driver, and the only all-to-all is the final tiny per-window
+    groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["event_id", "ts", "value"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "arrival", pc.bit_wise_and(t["event_id"], 15)
+        ),
+        batch_format="pyarrow",
+    ).sort(["arrival", "event_id"])  # arrival order (no-op at real scale:
+    # ingestion order IS arrival order; the sort exists to pin determinism here)
+    refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def block_max(t: pa.Table):
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        return int(ts.max()) if len(ts) else _WM_SENTINEL
+
+    maxima = np.array(ray.get([block_max.remote(r) for r in refs]), np.int64)
+    carry = np.concatenate([[_WM_SENTINEL], np.maximum.accumulate(maxima)[:-1]])
+
+    @ray.remote
+    def fold(t: pa.Table, carry_in: int) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        prefix = np.maximum.accumulate(ts)
+        # watermark ts before each arrival: the carry (max over ALL prior blocks)
+        # folded into every row's exclusive within-block prefix, not just row 0
+        wm = np.maximum(np.concatenate([[_WM_SENTINEL], prefix[:-1]]), carry_in)
+        win = (ts // _DAY_US) * _DAY_US
+        late = (wm != _WM_SENTINEL) & (win + _DAY_US <= wm - _LATENESS_US)
+        tbl = pa.table(
+            {"window_start": pa.array(win),
+             "n_events": pa.array((~late).astype(np.int64)),
+             "sum_cents": pa.array(np.where(late, 0, cents)),
+             "n_late": pa.array(late.astype(np.int64))}
+        )
+        g = tbl.group_by("window_start").aggregate(
+            [("n_events", "sum"), ("sum_cents", "sum"), ("n_late", "sum")]
+        )
+        return pa.table(
+            {"window_start": g["window_start"].cast(pa.timestamp("us")),
+             "n_events": g["n_events_sum"], "sum_cents": g["sum_cents_sum"],
+             "n_late": g["n_late_sum"]}
+        )
+
+    parts = [fold.remote(r, int(c)) for r, c in zip(refs, carry)]
+    return rd.from_arrow_refs(parts).groupby("window_start").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_cents", alias_name="sum_cents"),
+        Sum("n_late", alias_name="n_late"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GPS-track length: per-customer polyline length over the order sequence
+# ---------------------------------------------------------------------------
+
+_TRK_XMUL, _TRK_XMOD = 7919, 36000
+_TRK_YMUL, _TRK_YMOD = 104729, 18000
+
+
+@query(
+    "track_length",
+    f"""
+    WITH pts AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ((o_orderkey * {_TRK_XMUL}) % {_TRK_XMOD}) / 100.0 - 180.0 AS x,
+             ((o_orderkey * {_TRK_YMUL}) % {_TRK_YMOD}) / 100.0 - 90.0 AS y
+      FROM orders),
+    seg AS (
+      SELECT o_custkey, x, y,
+             lag(x) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS px,
+             lag(y) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS py
+      FROM pts)
+    SELECT o_custkey, COUNT(*) AS n_points,
+           CAST(COALESCE(SUM(CAST(floor(
+             sqrt((x-px)*(x-px) + (y-py)*(y-py)) * 1000000 + 0.5) AS BIGINT)), 0)
+             AS BIGINT) AS track_microdeg
+    FROM seg GROUP BY o_custkey
+    """,
+)
+def q_track_length(sf_dir: str):
+    """Per-entity polyline (GPS-track) length: each customer's orders, sorted by
+    date, form a track through deterministic synthetic lon/lat waypoints; output
+    total planar length in integer micro-degrees (per-segment fixed-point
+    quantization — identical IEEE mul/sub/sqrt on both sides, so the integer sums
+    match exactly regardless of summation order). Scale shape: one hash shuffle on
+    the track key, vectorized per-group sort + diff + hypot — the standard
+    trajectory-aggregation plan (same key reused by the cell queries, so a real
+    pipeline co-partitions once)."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+
+    def track(grp: pd.DataFrame) -> pd.DataFrame:
+        ok = grp["o_orderkey"].to_numpy(np.int64)
+        dt = grp["o_orderdate"].to_numpy()
+        o = np.lexsort((ok, dt))
+        ok = ok[o]
+        x = (ok * _TRK_XMUL % _TRK_XMOD) / 100.0 - 180.0
+        y = (ok * _TRK_YMUL % _TRK_YMOD) / 100.0 - 90.0
+        dx, dy = np.diff(x), np.diff(y)
+        seg = np.floor(np.sqrt(dx * dx + dy * dy) * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {"o_custkey": [int(grp["o_custkey"].iloc[0])],
+             "n_points": np.array([len(ok)], np.int64),
+             "track_microdeg": np.array([seg.sum()], np.int64)}
+        )
+
+    return ds.groupby("o_custkey").map_groups(track, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# cell-neighborhood aggregate: 3x3 ring smoothing over the point-count grid
+# ---------------------------------------------------------------------------
+
+_NROWS, _NCOLS = 32768, 65536
+
+
+@query(
+    "cell_ring_agg",
+    f"""
+    WITH pts AS ({TP.SQL_NODE_LATLON}),
+    cc AS (SELECT
+             LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * {_NROWS}) AS BIGINT), 0),
+                   {_NROWS - 1}) AS r,
+             (((CAST(FLOOR((lon + 180.0) / 360.0 * {_NCOLS}) AS BIGINT) % {_NCOLS})
+               + {_NCOLS}) % {_NCOLS}) AS c
+           FROM pts),
+    cnt AS (SELECT r, c, COUNT(*) AS n FROM cc GROUP BY r, c),
+    offs AS (SELECT dr.dr, dc.dc FROM (VALUES (-1),(0),(1)) dr(dr),
+                                       (VALUES (-1),(0),(1)) dc(dc)),
+    shift AS (SELECT r + dr AS r2, ((c + dc) % {_NCOLS} + {_NCOLS}) % {_NCOLS} AS c2, n
+              FROM cnt, offs),
+    ring AS (SELECT r2 AS r, c2 AS c, CAST(SUM(n) AS BIGINT) AS n_ring FROM shift
+             WHERE r2 BETWEEN 0 AND {_NROWS - 1} GROUP BY r2, c2)
+    SELECT cnt.r AS cell_row, cnt.c AS cell_col, cnt.n AS n_self,
+           ring.n_ring AS n_ring
+    FROM cnt JOIN ring ON ring.r = cnt.r AND ring.c = cnt.c
+    """,
+)
+def q_cell_ring_agg(sf_dir: str):
+    """Neighborhood (k-ring, k=1) smoothing over the cell grid: per-cell point
+    count plus the 3x3-ring sum around it — the raster-convolution-on-vector-counts
+    primitive behind density surfaces / hotspot detection. Grid matches
+    cells.cell_of exactly (rows clamped at the poles, columns wrap in longitude).
+
+    Plan: per-batch partial counts (only (r, c, n) rows shuffle, never points) →
+    cell groupby → a 9-way vectorized shift flat-map of the *small* count table →
+    second groupby → hash join ring sums back onto the self counts. The ring
+    convolution moves 9 rows per OCCUPIED cell — independent of point count, the
+    right shape when points are 10^12 but occupied cells are millions."""
+    from ray.data.aggregate import Sum
+    from ..stages.closure import default_join_partitions
+
+    ds = TP.nodes_dataset(sf_dir)
+
+    def cell_counts(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        r = np.clip(np.floor((lat + 90.0) / 180.0 * _NROWS).astype(np.int64), 0, _NROWS - 1)
+        c = np.floor((lon + 180.0) / 360.0 * _NCOLS).astype(np.int64) % _NCOLS
+        key = r * _NCOLS + c
+        uk, n = np.unique(key, return_counts=True)
+        return pa.table(
+            {"r": pa.array(uk // _NCOLS), "c": pa.array(uk % _NCOLS),
+             "n": pa.array(n.astype(np.int64))}
+        )
+
+    cnt = (
+        ds.map_batches(cell_counts, batch_format="pyarrow")
+        .groupby(["r", "c"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def shifts(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        dr = np.repeat(np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1]), len(t))
+        dc = np.repeat(np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1]), len(t))
+        r2 = np.tile(r, 9) + dr
+        c2 = (np.tile(c, 9) + dc) % _NCOLS
+        n9 = np.tile(n, 9)
+        keep = (r2 >= 0) & (r2 < _NROWS)
+        return pa.table(
+            {"r": pa.array(r2[keep]), "c": pa.array(c2[keep]), "n": pa.array(n9[keep])}
+        )
+
+    ring = (
+        cnt.map_batches(shifts, batch_format="pyarrow")
+        .groupby(["r", "c"])
+        .aggregate(Sum("n", alias_name="n_ring"))
+    )
+
+    out = cnt.join(
+        ring, join_type="inner", num_partitions=default_join_partitions(), on=("r", "c")
+    )
+    return out.rename_columns({"r": "cell_row", "c": "cell_col", "n": "n_self"})
+
+
+# ---------------------------------------------------------------------------
+# z-order (Morton) data layout: space-filling-curve sort + partition assignment
+# ---------------------------------------------------------------------------
+
+_Z_PART_ROWS = 256
+
+
+def _morton_sql() -> str:
+    terms = [f"(((c >> {i}) & 1) << {2 * i})" for i in range(16)]
+    terms += [f"(((r >> {i}) & 1) << {2 * i + 1})" for i in range(15)]
+    return " + ".join(terms)
+
+
+def _morton_np(r: np.ndarray, c: np.ndarray) -> np.ndarray:
+    z = np.zeros(len(r), np.int64)
+    for i in range(16):
+        z |= ((c >> i) & 1) << (2 * i)
+    for i in range(15):
+        z |= ((r >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@query(
+    "zorder_layout",
+    f"""
+    WITH pts AS ({TP.SQL_NODE_LATLON}),
+    cc AS (SELECT p_partkey AS id,
+             LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * {_NROWS}) AS BIGINT), 0),
+                   {_NROWS - 1}) AS r,
+             (((CAST(FLOOR((lon + 180.0) / 360.0 * {_NCOLS}) AS BIGINT) % {_NCOLS})
+               + {_NCOLS}) % {_NCOLS}) AS c
+           FROM pts),
+    z AS (SELECT id, {_morton_sql()} AS zkey FROM cc)
+    SELECT id, zkey,
+           (ROW_NUMBER() OVER (ORDER BY zkey, id) - 1) // {_Z_PART_ROWS} AS part_id
+    FROM z
+    """,
+)
+def q_zorder_layout(sf_dir: str):
+    """Z-order (Morton) layout assignment: interleave the 15-bit row / 16-bit col
+    cell coordinates of every point into a space-filling-curve key, globally sort
+    by (zkey, id), and assign fixed-size output partitions by rank — the write
+    layout that makes later spatial range reads touch O(sqrt) of the files (the
+    same curve Delta/Iceberg OPTIMIZE ZORDER uses). The global rank is the
+    no-collect zip_with_index block scan (stages/shuffle.py): one distributed sort
+    on the 8-byte key, count metadata to the driver, per-block rank stamp — rows
+    never leave the object store."""
+    ds = TP.nodes_dataset(sf_dir)
+
+    def zkey(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        r = np.clip(np.floor((lat + 90.0) / 180.0 * _NROWS).astype(np.int64), 0, _NROWS - 1)
+        c = np.floor((lon + 180.0) / 360.0 * _NCOLS).astype(np.int64) % _NCOLS
+        return pa.table({"id": t["id"], "zkey": pa.array(_morton_np(r, c))})
+
+    z = ds.map_batches(zkey, batch_format="pyarrow").sort(["zkey", "id"])
+    ranked = SHF.zip_with_index(z, index_col="rank")
+
+    def part(t: pa.Table) -> pa.Table:
+        pid = t["rank"].to_numpy(zero_copy_only=False) // _Z_PART_ROWS
+        return pa.table({"id": t["id"], "zkey": t["zkey"], "part_id": pa.array(pid)})
+
+    return ranked.map_batches(part, batch_format="pyarrow")
