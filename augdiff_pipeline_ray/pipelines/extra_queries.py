@@ -578,3 +578,330 @@ def q_zorder_layout(sf_dir: str):
         return pa.table({"id": t["id"], "zkey": t["zkey"], "part_id": pa.array(pid)})
 
     return ranked.map_batches(part, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 changelog compaction: upsert stream -> validity-interval history
+# ---------------------------------------------------------------------------
+
+# open-tail sentinel kept inside pandas' ns-representable range (< 2262)
+_SCD2_OPEN_US = 7_258_118_400_000_000  # TIMESTAMP '2200-01-01 00:00:00' in us
+
+
+@query(
+    "scd2_history",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             lag(CAST(floor(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    chg AS (SELECT user_id, event_id, ts, cents FROM s
+            WHERE prev IS NULL OR cents != prev),
+    iv AS (SELECT user_id, cents, ts AS valid_from,
+            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+           FROM chg)
+    SELECT user_id, cents, valid_from,
+           COALESCE(valid_to, TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+    FROM iv
+    """,
+)
+def q_scd2_history(sf_dir: str):
+    """SCD2 changelog compaction: each user's event stream is an upsert log of a
+    single attribute; output the type-2 dimension history — one row per VALUE RUN
+    (no-change updates compacted away) with [valid_from, valid_to) intervals, the
+    open tail pinned to a far-future sentinel. The merge-on-read/compaction primitive of a
+    lakehouse CDC pipeline. Scale shape: one hash shuffle on the business key,
+    then a vectorized per-key sort + change-mask + shift — same partitioning
+    assumption as sessionize (one key's history per task; a key whose history
+    exceeds a task splits by time range with boundary stitching)."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    def compact(grp: pd.DataFrame) -> pd.DataFrame:
+        ts = grp["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = grp["event_id"].to_numpy(np.int64)
+        o = np.lexsort((eid, ts))
+        ts = ts[o]
+        cents = np.floor(grp["value"].to_numpy(np.float64) * 100).astype(np.int64)[o]
+        keep = np.concatenate([[True], cents[1:] != cents[:-1]])
+        vf = ts[keep]
+        vt = np.concatenate([vf[1:], [_SCD2_OPEN_US]])
+        return pd.DataFrame(
+            {"user_id": np.full(keep.sum(), int(grp["user_id"].iloc[0]), np.int64),
+             "cents": cents[keep],
+             "valid_from": vf.astype("datetime64[us]"),
+             "valid_to": vt.astype("datetime64[us]")}
+        )
+
+    return ds.groupby("user_id").map_groups(compact, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff: added / removed / changed between two table versions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "snapshot_diff",
+    """
+    WITH old AS (SELECT o_orderkey AS k,
+                        CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+    new AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 3 = 0 THEN 500 ELSE 0 END AS v
+      FROM orders WHERE o_orderkey % 7 != 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, CAST(floor(o_totalprice * 100) AS BIGINT)
+      FROM orders WHERE o_orderkey % 11 = 0)
+    SELECT COALESCE(o.k, n.k) AS o_orderkey,
+           CASE WHEN o.k IS NULL THEN 'added'
+                WHEN n.k IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    WHERE o.k IS NULL OR n.k IS NULL OR o.v != n.v
+    """,
+)
+def q_snapshot_diff(sf_dir: str):
+    """Snapshot diff (CDC between two table versions): emit each key as added /
+    removed / changed, unchanged keys dropped. The new version is derived
+    deterministically from orders (every 7th key deleted, every 3rd price-bumped,
+    every 11th re-inserted under a new key). Plan: both sides reduced to
+    (key, value-hash) in one column-pruned scan each, then ONE full-outer hash
+    join on the key and a null-pattern classifier batch — at 10^12 rows nothing
+    but 16-byte (key, hash) pairs shuffle; real deployments diff column-level
+    hashes the same way."""
+    from ..stages.closure import default_join_partitions
+
+    base = SRC.read_parquet_clean(
+        TP._p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def old_side(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"k": pa.array(k), "v_old": pa.array(v)})
+
+    def new_side(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        keep = k % 7 != 0
+        kk, vv = k[keep], v[keep] + np.where(k[keep] % 3 == 0, 500, 0)
+        ins = k % 11 == 0
+        return pa.table(
+            {"k": pa.array(np.concatenate([kk, k[ins] + 10_000_000])),
+             "v_new": pa.array(np.concatenate([vv, v[ins]]))}
+        )
+
+    old = base.map_batches(old_side, batch_format="pyarrow")
+    new = base.map_batches(new_side, batch_format="pyarrow")
+    j = old.join(
+        new, join_type="full_outer",
+        num_partitions=default_join_partitions(), on=("k",),
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        vo, vn = t["v_old"], t["v_new"]
+        o_null = pc.is_null(vo).to_numpy(zero_copy_only=False)
+        n_null = pc.is_null(vn).to_numpy(zero_copy_only=False)
+        vo_np = vo.to_numpy(zero_copy_only=False)
+        vn_np = vn.to_numpy(zero_copy_only=False)
+        changed = ~o_null & ~n_null & (vo_np != vn_np)
+        keep = o_null | n_null | changed
+        status = np.where(o_null, "added", np.where(n_null, "removed", "changed"))
+        return pa.table(
+            {"o_orderkey": pc.filter(t["k"], pa.array(keep)),
+             "status": pa.array(status[keep])}
+        )
+
+    return j.map_batches(classify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# frequent itemsets (pairs) with the a-priori prune
+# ---------------------------------------------------------------------------
+
+_FI_SUPPORT = 2
+
+
+@query(
+    "frequent_itemsets",
+    f"""
+    WITH e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+          FROM e a JOIN e b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT x, y, COUNT(*) AS support FROM p GROUP BY x, y
+    HAVING COUNT(*) >= {_FI_SUPPORT}
+    """,
+)
+def q_frequent_itemsets(sf_dir: str):
+    """Frequent itemset mining (level-2 a-priori): part pairs co-occurring in
+    >= {support} distinct orders. The a-priori prune is engine-side only and
+    result-invariant (a frequent pair's items are necessarily frequent): pass 1
+    counts per-item basket support with a combiner groupby, the frequent-item set
+    broadcasts via ray.put, and pass 2 generates pairs ONLY among surviving items
+    inside each basket group — at market-basket scale this is what keeps the pair
+    explosion polynomial. Pair counting itself is the standard basket map_groups +
+    (x, y) groupby-sum."""
+    from ray.data.aggregate import Count
+
+    li = SRC.read_parquet_clean(
+        TP._p(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+
+    def item_partials(t: pa.Table) -> pa.Table:
+        arr = np.stack(
+            [t["l_orderkey"].to_numpy(zero_copy_only=False),
+             t["l_partkey"].to_numpy(zero_copy_only=False)], axis=1
+        )
+        uniq = np.unique(arr, axis=0)
+        return pa.table({"l_orderkey": pa.array(uniq[:, 0]), "l_partkey": pa.array(uniq[:, 1])})
+
+    dedup = li.map_batches(item_partials, batch_format="pyarrow")
+    item_support = (
+        dedup.groupby("l_partkey").aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n"], _FI_SUPPORT)).select(["l_partkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    freq_ref = ray.put(
+        item_support.to_pandas()["l_partkey"].to_numpy(np.int64)
+    )  # item-cardinality bound, tiny relative to baskets
+
+    def pairs(grp: pa.Table) -> pa.Table:
+        freq = ray.get(freq_ref)
+        pk = np.unique(grp["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+        pk = pk[np.isin(pk, freq)]  # a-priori prune
+        if len(pk) < 2:
+            return pa.table({"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())})
+        i, j = np.triu_indices(len(pk), k=1)
+        return pa.table({"x": pa.array(pk[i]), "y": pa.array(pk[j])})
+
+    return (
+        dedup.groupby("l_orderkey")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Count(alias_name="support"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["support"], _FI_SUPPORT)),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# inverted index build: token -> df + ordered posting list
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "inverted_postings",
+    """
+    WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents)
+    SELECT token, COUNT(*) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM tok GROUP BY token
+    """,
+)
+def q_inverted_postings(sf_dir: str):
+    """Inverted-index build: per token, document frequency + the sorted posting
+    list (comma-joined, the text serialization of the int posting array a real
+    index would emit as a delta-encoded binary column). Per-batch combiner emits
+    distinct (token, doc_id) once (Arrow dictionary-encode + np.unique on codes,
+    no Python tokens); one token-keyed shuffle; per-token vectorized sort + one
+    binary_join. Posting lists are the classic skew case — a stop-word's list is
+    the corpus; the salted-groupby (stages/shuffle.py) handles it by emitting
+    per-salt sub-lists merged by ordered concat."""
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def tok_pairs(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False), np.diff(off)
+        )
+        enc = words.values.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pair = np.stack([codes, docs], axis=1)
+        uniq = np.unique(pair, axis=0)
+        return pa.table(
+            {"token": enc.dictionary.take(pa.array(uniq[:, 0])),
+             "doc_id": pa.array(uniq[:, 1])}
+        )
+
+    def postings(grp: pd.DataFrame) -> pd.DataFrame:
+        d = np.unique(grp["doc_id"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {"token": [grp["token"].iloc[0]],
+             "df": np.array([len(d)], np.int64),
+             "postings": [",".join(str(x) for x in d)]}
+        )
+
+    return (
+        ds.map_batches(tok_pairs, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(postings, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# predicate-pushdown pruned read: row-group stats skip at the source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pruned_read",
+    """
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-03-01' AND l_shipdate < TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q_pruned_read(sf_dir: str):
+    """Prune-at-the-read: the shipdate range predicate is handed to the parquet
+    source as a pyarrow dataset expression, so row groups whose min/max statistics
+    exclude the range are never decoded (and only the 3 referenced columns are
+    read at all). The aggregation itself is a per-batch combiner + a 3-row
+    groupby. This is the read-path half of the engine's scale story — the same
+    expression pushes into a Lance or Iceberg scan unchanged."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64("1998-03-01", "us").astype("datetime64[us]")
+    hi = np.datetime64("1998-09-01", "us").astype("datetime64[us]")
+    expr = (pads.field("l_shipdate") >= pa.scalar(lo)) & (
+        pads.field("l_shipdate") < pa.scalar(hi)
+    )
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_extendedprice", "l_shipdate"],
+        filter=expr,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        g = pa.table(
+            {"l_returnflag": t["l_returnflag"], "n": pa.array(np.ones(len(t), np.int64)),
+             "revenue_cents": pa.array(cents)}
+        ).group_by("l_returnflag").aggregate([("n", "sum"), ("revenue_cents", "sum")])
+        return g.rename_columns(["l_returnflag", "n", "revenue_cents"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("revenue_cents", alias_name="revenue_cents"))
+    )

@@ -239,3 +239,115 @@ def test_zorder_layout_locality(ray_session):
     p = rng.permutation(len(r))
     d_rand = np.abs(np.diff(r[p])).mean() + np.abs(np.diff(c[p])).mean()
     assert d_near < d_rand / 2
+
+
+def test_scd2_history_invariants(ray_session, events):
+    from augdiff_pipeline_ray.pipelines.extra_queries import (
+        _SCD2_OPEN_US,
+        q_scd2_history,
+    )
+
+    out = _df(q_scd2_history(SF))
+    ev = events.copy()
+    ev["cents"] = np.floor(ev.value.values * 100).astype(np.int64)
+    for uid, grp in list(out.groupby("user_id"))[:30]:
+        g = grp.sort_values("valid_from").reset_index(drop=True)
+        # intervals are contiguous and end in the open sentinel
+        vt = g.valid_to.values.astype("datetime64[us]").astype(np.int64)
+        vf = g.valid_from.values.astype("datetime64[us]").astype(np.int64)
+        assert (vt[:-1] == vf[1:]).all()
+        assert vt[-1] == _SCD2_OPEN_US
+        # consecutive runs always change value (compaction)
+        assert (g.cents.values[1:] != g.cents.values[:-1]).all()
+        # replay: the value at each event ts matches the interval containing it
+        e = ev[ev.user_id == uid].sort_values(["ts", "event_id"])
+        first_change = e.cents.ne(e.cents.shift()).to_numpy()
+        want = e[first_change]
+        assert (g.cents.values == want.cents.values).all()
+
+
+def test_snapshot_diff_matches_brute(ray_session):
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_snapshot_diff
+
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    k = orders.o_orderkey.values.astype(np.int64)
+    v = np.floor(orders.o_totalprice.values * 100).astype(np.int64)
+    old = dict(zip(k, v))
+    new = {}
+    for kk, vv in zip(k, v):
+        if kk % 7 != 0:
+            new[kk] = vv + (500 if kk % 3 == 0 else 0)
+        if kk % 11 == 0:
+            new[kk + 10_000_000] = vv
+    want = {}
+    for kk in set(old) | set(new):
+        if kk not in old:
+            want[kk] = "added"
+        elif kk not in new:
+            want[kk] = "removed"
+        elif old[kk] != new[kk]:
+            want[kk] = "changed"
+    out = _df(q_snapshot_diff(SF))
+    got = dict(zip(out.o_orderkey, out.status))
+    assert got == want
+    assert {"added", "removed", "changed"} <= set(want.values())
+
+
+def test_frequent_itemsets_matches_brute(ray_session):
+    from collections import Counter
+
+    from augdiff_pipeline_ray.pipelines.extra_queries import (
+        _FI_SUPPORT,
+        q_frequent_itemsets,
+    )
+
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    cnt = Counter()
+    item = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        pks = sorted(set(grp.l_partkey))
+        item.update(pks)
+        for i in range(len(pks)):
+            for j in range(i + 1, len(pks)):
+                cnt[(pks[i], pks[j])] += 1
+    want = {p: c for p, c in cnt.items() if c >= _FI_SUPPORT}
+    out = _df(q_frequent_itemsets(SF))
+    got = {(x, y): s for x, y, s in zip(out.x, out.y, out.support)}
+    assert got == want
+    # a-priori soundness: both items of every frequent pair are frequent
+    for x, y in got:
+        assert item[x] >= _FI_SUPPORT and item[y] >= _FI_SUPPORT
+
+
+def test_inverted_postings_matches_brute(ray_session, docs):
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_inverted_postings
+
+    want = {}
+    for doc_id, txt in zip(docs.doc_id, docs.text):
+        for w in set(txt.split(" ")):
+            want.setdefault(w, set()).add(doc_id)
+    out = _df(q_inverted_postings(SF))
+    assert len(out) == len(want)
+    for _, row in out.iterrows():
+        d = sorted(want[row.token])
+        assert row.df == len(d)
+        assert row.postings == ",".join(str(x) for x in d)
+
+
+def test_pruned_read_equals_full_scan(ray_session):
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_pruned_read
+
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_shipdate"],
+    ).to_pandas()
+    lo = np.datetime64("1998-03-01")
+    hi = np.datetime64("1998-09-01")
+    sel = li[(li.l_shipdate >= lo) & (li.l_shipdate < hi)].copy()
+    sel["cents"] = np.floor(sel.l_extendedprice.values * 100).astype(np.int64)
+    want = sel.groupby("l_returnflag").agg(n=("cents", "size"), rev=("cents", "sum"))
+    out = _df(q_pruned_read(SF)).set_index("l_returnflag")
+    assert len(out) == len(want)
+    for rf, row in want.iterrows():
+        assert out.loc[rf, "n"] == row.n
+        assert out.loc[rf, "revenue_cents"] == row.rev
