@@ -121,6 +121,10 @@ def q_duplicate_spans(sf_dir: str):
              "doc_id": pa.array(docs), "pos": pa.array(pos_in_doc)}
         )
 
+    # g feeds both the count branch and the join probe side; it is deliberately
+    # NOT materialized — the gram pass is a cheap vectorized re-scan, whereas
+    # caching ~24 B/gram across a 100 TB corpus would pin the object store.
+    # Recompute-over-cache is the right trade for a map-only lineage this wide.
     g = ds.map_batches(grams, batch_format="pyarrow")
 
     # fingerprint multiplicity: per-batch combiner (one row per distinct in-batch
@@ -236,6 +240,10 @@ def q_triangle_count(sf_dir: str):
         .groupby(["x", "y"])
         .aggregate(Count(alias_name="m"))
         .select_columns(["x", "y"])
+        # the edge set feeds THREE join inputs below; materialize once (it is
+        # output-sized — far smaller than lineitem) instead of recomputing the
+        # basket pass per consumer (was 3x Sort+Aggregate in the executed plan)
+        .materialize()
     )
 
     wedges = edges.rename_columns({"x": "y", "y": "z"}).join(
@@ -486,6 +494,9 @@ def q_cell_ring_agg(sf_dir: str):
         ds.map_batches(cell_counts, batch_format="pyarrow")
         .groupby(["r", "c"])
         .aggregate(Sum("n", alias_name="n"))
+        # consumed twice (shift branch + self side of the join); occupied-cell
+        # sized, so cache it rather than re-scanning the points per consumer
+        .materialize()
     )
 
     def shifts(t: pa.Table) -> pa.Table:

@@ -35,6 +35,22 @@ EXPECTED = {
     "set_except": 1,             # same single-shuffle plan as set_intersect
     "running_total": 1,          # one hash sort per key; scan is in-group vectorized
     "full_outer_spenders": 5,    # 2 side aggregates + 2 empty-block repartitions + join
+    # --- round-2 continuation operators (extra_queries.py) ---
+    "duplicate_spans": 3,        # fingerprint count groupby + mark join + doc groupby
+    #                              (gram pass recomputed per consumer by design)
+    "triangle_count": 5,         # edge build (sort+agg, materialized ONCE) +
+    #                              wedge join + closing join + unpivot count
+    "watermark_window": 1,       # block scan is side-pass; only the window groupby
+    "track_length": 1,           # one hash sort per track key
+    "cell_ring_agg": 3,          # cnt groupby (materialized once) + ring groupby + join
+    "zorder_layout": 0,          # morton sort + rank run in the zip_with_index side
+    #                              pass; final plan is a pure map over stamped blocks
+    "scd2_history": 1,           # one hash sort per business key
+    "snapshot_diff": 1,          # ONE full-outer join over (key, value-hash) pairs
+    "frequent_itemsets": 2,      # basket pair generation + (x,y) support count
+    #                              (item-support prune is an eager side pass)
+    "inverted_postings": 1,      # one token-keyed shuffle
+    "pruned_read": 1,            # combiner + 3-row groupby; predicate at the source
 }
 
 
@@ -42,6 +58,7 @@ EXPECTED = {
 def test_shuffle_budget(ray_session, name):
     import ray.data as rd
 
+    from augdiff_pipeline_ray.pipelines import extra_queries  # noqa: F401 — registers
     from augdiff_pipeline_ray.pipelines import tpch_queries as Q
 
     ds = Q.QUERIES[name](SF)
