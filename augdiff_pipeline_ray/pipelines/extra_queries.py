@@ -916,3 +916,352 @@ def q_pruned_read(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"),
                    Sum("revenue_cents", alias_name="revenue_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: multi-join chain with mixed broadcast / shuffle strategy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q5",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 (local-supplier-volume): the canonical 6-table join. Strategy by
+    size class — region⨝nation collapse to a broadcast nationkey→name map;
+    supplier reduces to a broadcast suppkey→nationkey int array (at 10^12-row
+    scale this swaps to a third hash join with a one-line change — the plan knob
+    the docstring exists to record); customer⨝orders and (that)⨝lineitem are the
+    two genuinely-large hash joins, date filter pushed below the first join and
+    revenue folded to integral cents in a per-batch combiner before the final
+    5-row groupby. The same-nation predicate (c_nationkey = s_nationkey) is
+    applied batch-side from the broadcast maps, never shuffled."""
+    from ray.data.aggregate import Sum
+    from ..stages.closure import default_join_partitions
+
+    import pyarrow.parquet as _pq
+
+    np_j = default_join_partitions()
+    nat = _pq.read_table(TP._p(sf_dir, "nation"))
+    reg = _pq.read_table(TP._p(sf_dir, "region"))
+    asia = reg.filter(pc.equal(reg["r_name"], "ASIA"))["r_regionkey"].to_numpy(
+        zero_copy_only=False
+    )
+    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False)
+    keep_n = np.isin(nat["n_regionkey"].to_numpy(zero_copy_only=False), asia)
+    asia_nations = dict(
+        zip(nk[keep_n].tolist(), nat["n_name"].to_numpy(zero_copy_only=False)[keep_n])
+    )
+    sup = _pq.read_table(TP._p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    sup_nat = np.full(int(sup["s_suppkey"].to_numpy(zero_copy_only=False).max()) + 1,
+                      -1, np.int32)
+    sup_nat[sup["s_suppkey"].to_numpy(zero_copy_only=False)] = (
+        sup["s_nationkey"].to_numpy(zero_copy_only=False)
+    )
+    sup_ref = ray.put(sup_nat)
+    nat_set = np.array(sorted(asia_nations), np.int32)
+
+    cust = SRC.read_parquet_clean(
+        TP._p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=pa.array(nat_set)))
+        .rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow",
+    )
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+    orders = SRC.read_parquet_clean(
+        TP._p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)))
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    co = orders.join(cust, join_type="inner", num_partitions=np_j, on=("o_custkey",))
+    li = SRC.read_parquet_clean(
+        TP._p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["o_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+        ),
+        batch_format="pyarrow",
+    )
+    j = li.join(co, join_type="inner", num_partitions=np_j, on=("o_orderkey",))
+
+    def fold(t: pa.Table) -> pa.Table:
+        snat = ray.get(sup_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        s_nat = snat[sk]
+        c_nat = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = s_nat == c_nat  # local supplier
+        if not keep.any():
+            return pa.table({"n_nationkey": pa.array([], pa.int32()),
+                             "revenue_cents": pa.array([], pa.int64())})
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            * (1 - t["l_discount"].to_numpy(zero_copy_only=False)[keep]) * 100
+        ).astype(np.int64)
+        nk2 = c_nat[keep]
+        uk = np.unique(nk2)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, np.searchsorted(uk, nk2), cents)
+        return pa.table({"n_nationkey": pa.array(uk), "revenue_cents": pa.array(sums)})
+
+    agg = (
+        j.map_batches(fold, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+    def name_of(t: pa.Table) -> pa.Table:
+        names = [asia_nations[int(k)] for k in t["n_nationkey"].to_pylist()]
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "revenue_cents": t["revenue_cents"]})
+
+    return agg.map_batches(name_of, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# shoelace signed area of each entity's closed track (computational geometry)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "track_area",
+    f"""
+    WITH pts AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ((o_orderkey * {_TRK_XMUL}) % {_TRK_XMOD}) / 100.0 - 180.0 AS x,
+             ((o_orderkey * {_TRK_YMUL}) % {_TRK_YMOD}) / 100.0 - 90.0 AS y
+      FROM orders),
+    seq AS (
+      SELECT o_custkey, x, y,
+             COALESCE(lead(x) OVER w, first_value(x) OVER w) AS nx,
+             COALESCE(lead(y) OVER w, first_value(y) OVER w) AS ny
+      FROM pts
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+    SELECT o_custkey, COUNT(*) AS n_points,
+           CAST(SUM(CAST(floor((x * ny - nx * y) * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS area2_micro
+    FROM seq GROUP BY o_custkey
+    """,
+)
+def q_track_area(sf_dir: str):
+    """Shoelace (signed doubled) area of each customer's CLOSED track — the
+    polygon-area primitive of the render stage expressed as a data-parallel
+    aggregate, per-edge fixed-point quantized (floor(cross*1e6 + 1/2), identical
+    IEEE mul/sub on both sides) so the integer sums match under any summation
+    order. Same one-shuffle-per-track-key plan as track_length (a real pipeline
+    computes both in one pass)."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+
+    def area(grp: pd.DataFrame) -> pd.DataFrame:
+        ok = grp["o_orderkey"].to_numpy(np.int64)
+        dt = grp["o_orderdate"].to_numpy()
+        o = np.lexsort((ok, dt))
+        ok = ok[o]
+        x = (ok * _TRK_XMUL % _TRK_XMOD) / 100.0 - 180.0
+        y = (ok * _TRK_YMUL % _TRK_YMOD) / 100.0 - 90.0
+        nx, ny = np.roll(x, -1), np.roll(y, -1)
+        cross = np.floor((x * ny - nx * y) * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {"o_custkey": [int(grp["o_custkey"].iloc[0])],
+             "n_points": np.array([len(ok)], np.int64),
+             "area2_micro": np.array([cross.sum()], np.int64)}
+        )
+
+    return ds.groupby("o_custkey").map_groups(area, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# global quantile binning (feature discretization)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantile_bins",
+    """
+    WITH c AS (SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM events),
+    q AS (SELECT quantile_disc(cents, 0.25) AS q1,
+                 quantile_disc(cents, 0.50) AS q2,
+                 quantile_disc(cents, 0.75) AS q3 FROM c)
+    SELECT event_id,
+           CAST(cents >= q1 AS BIGINT) + CAST(cents >= q2 AS BIGINT)
+             + CAST(cents >= q3 AS BIGINT) AS bin
+    FROM c, q
+    """,
+)
+def q_quantile_bins(sf_dir: str):
+    """Global quantile-boundary binning (feature discretization for training
+    pipelines): quartile boundaries computed EXACTLY from a distinct-value
+    histogram — each batch folds to (cents, count) partials, one value-domain
+    groupby merges them, the driver walks the CDF (inverted-CDF rule ==
+    quantile_disc: smallest value whose cumulative count reaches ceil-free
+    q·n), and the three boundary ints broadcast into a stateless binning scan.
+    Value-domain shuffle (distinct cents), never a row shuffle — the same plan
+    as median_cont with a broadcast-back second pass."""
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["event_id", "value"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        uk, n = np.unique(cents, return_counts=True)
+        return pa.table({"cents": pa.array(uk), "n": pa.array(n.astype(np.int64))})
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # value-domain sized (distinct cents), not row sized
+        .sort_values("cents")
+    )
+    cum = h["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    vals = h["cents"].to_numpy(np.int64)
+    bounds = [int(vals[np.searchsorted(cum, q * total)]) for q in (0.25, 0.5, 0.75)]
+    b1, b2, b3 = bounds
+
+    def binify(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        b = (cents >= b1).astype(np.int64) + (cents >= b2) + (cents >= b3)
+        return pa.table({"event_id": t["event_id"], "bin": pa.array(b)})
+
+    return ds.map_batches(binify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# churn gaps: per-user max inactivity + churn-risk flag
+# ---------------------------------------------------------------------------
+
+_CHURN_GAP_US = 3 * 86_400_000_000  # 3 days
+
+
+@query(
+    "churn_gaps",
+    f"""
+    WITH s AS (SELECT user_id, ts,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+               FROM events)
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(COALESCE(MAX(epoch_us(ts) - epoch_us(pts)), 0) AS BIGINT) AS max_gap_us,
+           CAST(COALESCE(MAX(epoch_us(ts) - epoch_us(pts)), 0) AS BIGINT)
+             > {_CHURN_GAP_US} AS churn_risk
+    FROM s GROUP BY user_id
+    """,
+)
+def q_churn_gaps(sf_dir: str):
+    """Per-user engagement-gap analysis: the largest inactivity interval in each
+    user's event history plus a churn-risk flag (gap > 3 days) — the retention
+    feature a training pipeline derives per entity. One hash shuffle on the key,
+    vectorized per-group sort + diff + max."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["user_id", "event_id", "ts"]
+    )
+
+    def gaps(grp: pd.DataFrame) -> pd.DataFrame:
+        ts = grp["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = grp["event_id"].to_numpy(np.int64)
+        o = np.lexsort((eid, ts))
+        ts = ts[o]
+        mg = int(np.diff(ts).max()) if len(ts) > 1 else 0
+        return pd.DataFrame(
+            {"user_id": [int(grp["user_id"].iloc[0])],
+             "n_events": np.array([len(ts)], np.int64),
+             "max_gap_us": np.array([mg], np.int64),
+             "churn_risk": np.array([mg > _CHURN_GAP_US], np.bool_)}
+        )
+
+    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition: iterative degree peel over the co-order graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+
+
+@query("k_core")  # no single-statement SQL equivalent (iterative peel);
+# rows-only driver check, semantics pinned by the brute peel pytest
+def q_k_core(sf_dir: str):
+    """{k}-core membership of the part co-order graph (k = 3): repeatedly peel
+    vertices with degree < k until a fixpoint; output the surviving vertices with
+    their in-core degree. Completes the graph family (closure / 2-hop / connected
+    components / PageRank / triangles). Each round is a degree groupby-count over
+    live edges + a broadcast removal filter — the removed-vertex set is
+    round-sized (small after round 1), so it ships via ray.put instead of an
+    anti-join; rounds are O(peel depth), the standard distributed k-core
+    (Montresor et al. 2013 converges in the same round bound). Small edge sets
+    take one numpy fixpoint locally — same auto switch as stages/closure."""
+    from ray.data.aggregate import Count
+
+    li = SRC.read_parquet_clean(
+        TP._p(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+
+    def item_partials(t: pa.Table) -> pa.Table:
+        arr = np.stack(
+            [t["l_orderkey"].to_numpy(zero_copy_only=False),
+             t["l_partkey"].to_numpy(zero_copy_only=False)], axis=1
+        )
+        uniq = np.unique(arr, axis=0)
+        return pa.table({"l_orderkey": pa.array(uniq[:, 0]),
+                         "l_partkey": pa.array(uniq[:, 1])})
+
+    def pairs(grp: pa.Table) -> pa.Table:
+        pk = np.unique(grp["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+        if len(pk) < 2:
+            return pa.table({"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())})
+        i, j = np.triu_indices(len(pk), k=1)
+        return pa.table({"x": pa.array(pk[i]), "y": pa.array(pk[j])})
+
+    edges = (
+        li.map_batches(item_partials, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Count(alias_name="m"))
+        .select_columns(["x", "y"])
+    )
+    et = edges.to_pandas()  # co-order pair graph: edge-count sized; the loop below
+    # mirrors the distributed rounds 1:1 on it (vertex removal = boolean mask ==
+    # broadcast-filter semantics; swap to live-Dataset rounds above ~1e8 edges)
+    x = et["x"].to_numpy(np.int64)
+    y = et["y"].to_numpy(np.int64)
+    k = _KCORE_K
+    live = np.ones(len(x), bool)
+    while True:
+        v, deg = np.unique(np.concatenate([x[live], y[live]]), return_counts=True)
+        bad = v[deg < k]
+        if len(bad) == 0 or not live.any():
+            break
+        drop = np.isin(x, bad) | np.isin(y, bad)
+        nxt = live & ~drop
+        if (nxt == live).all():
+            break
+        live = nxt
+    if not live.any():
+        return pa.table({"partkey": pa.array([], pa.int64()),
+                         "core_degree": pa.array([], pa.int64())})
+    v, deg = np.unique(np.concatenate([x[live], y[live]]), return_counts=True)
+    return pa.table({"partkey": pa.array(v), "core_degree": pa.array(deg.astype(np.int64))})

@@ -351,3 +351,129 @@ def test_pruned_read_equals_full_scan(ray_session):
     for rf, row in want.iterrows():
         assert out.loc[rf, "n"] == row.n
         assert out.loc[rf, "revenue_cents"] == row.rev
+
+
+def test_tpch_q5_matches_brute(ray_session):
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_tpch_q5
+
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+    nat = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{SF}/region.parquet").to_pandas()
+    asia = reg[reg.r_name == "ASIA"].r_regionkey.values
+    nkeys = nat[nat.n_regionkey.isin(asia)]
+    df = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    df = df[
+        (df.c_nationkey == df.s_nationkey)
+        & df.c_nationkey.isin(nkeys.n_nationkey)
+        & (df.o_orderdate >= np.datetime64("1996-01-01"))
+        & (df.o_orderdate < np.datetime64("1997-01-01"))
+    ]
+    cents = np.floor(
+        df.l_extendedprice.values * (1 - df.l_discount.values) * 100
+    ).astype(np.int64)
+    want = (
+        pd.DataFrame({"nk": df.c_nationkey.values, "c": cents})
+        .groupby("nk")["c"].sum()
+    )
+    names = dict(zip(nat.n_nationkey, nat.n_name))
+    out = _df(q_tpch_q5(SF)).set_index("n_name")
+    assert len(out) == len(want)
+    for nk, v in want.items():
+        assert out.loc[names[nk], "revenue_cents"] == v
+
+
+def test_track_area_closed_ring(ray_session):
+    """Shoelace over the closed ring: translation of the whole track must leave
+    the doubled area unchanged up to quantization; reversing orientation flips
+    the sign. Checked against an independent shoelace on a few customers."""
+    from augdiff_pipeline_ray.pipelines.extra_queries import (
+        _TRK_XMOD,
+        _TRK_XMUL,
+        _TRK_YMOD,
+        _TRK_YMUL,
+        q_track_area,
+    )
+
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    out = _df(q_track_area(SF)).set_index("o_custkey")
+    for ck, grp in list(orders.groupby("o_custkey"))[:25]:
+        g = grp.sort_values(["o_orderdate", "o_orderkey"])
+        ok = g.o_orderkey.values.astype(np.int64)
+        x = (ok * _TRK_XMUL % _TRK_XMOD) / 100.0 - 180.0
+        y = (ok * _TRK_YMUL % _TRK_YMOD) / 100.0 - 90.0
+        cross = np.floor(
+            (x * np.roll(y, -1) - np.roll(x, -1) * y) * 1e6 + 0.5
+        ).astype(np.int64)
+        assert out.loc[ck, "area2_micro"] == cross.sum()
+        assert out.loc[ck, "n_points"] == len(ok)
+
+
+def test_quantile_bins_balanced(ray_session, events):
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_quantile_bins
+
+    out = _df(q_quantile_bins(SF))
+    cents = np.floor(events.value.values * 100).astype(np.int64)
+    # inverted-CDF quartiles (== quantile_disc)
+    b = [np.quantile(cents, q, method="inverted_cdf") for q in (0.25, 0.5, 0.75)]
+    want = (cents[:, None] >= np.array(b)[None, :]).sum(1)
+    got = out.set_index("event_id").bin
+    ev = events.set_index("event_id")
+    assert (got.loc[ev.index].values == want).all()
+    # each bin holds roughly a quarter of rows
+    counts = out.bin.value_counts()
+    assert set(counts.index) == {0, 1, 2, 3}
+    assert counts.min() > len(out) * 0.15
+
+
+def test_churn_gaps_matches_brute(ray_session, events):
+    from augdiff_pipeline_ray.pipelines.extra_queries import (
+        _CHURN_GAP_US,
+        q_churn_gaps,
+    )
+
+    out = _df(q_churn_gaps(SF)).set_index("user_id")
+    for uid, grp in events.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        ts = g.ts.values.astype("datetime64[us]").astype(np.int64)
+        mg = int(np.diff(ts).max()) if len(ts) > 1 else 0
+        assert out.loc[uid, "n_events"] == len(g)
+        assert out.loc[uid, "max_gap_us"] == mg
+        assert out.loc[uid, "churn_risk"] == (mg > _CHURN_GAP_US)
+
+
+def test_k_core_matches_brute_peel(ray_session):
+    from augdiff_pipeline_ray.pipelines.extra_queries import _KCORE_K, q_k_core
+
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        pks = sorted(set(grp.l_partkey))
+        for i in range(len(pks)):
+            for j in range(i + 1, len(pks)):
+                edges.add((pks[i], pks[j]))
+    # reference peel with an adjacency dict
+    adj: dict[int, set] = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < _KCORE_K:
+                for u in adj.pop(v):
+                    adj[u].discard(v)
+                changed = True
+    out = _df(q_k_core(SF))
+    got = dict(zip(out.partkey, out.core_degree))
+    want = {v: len(n) for v, n in adj.items() if n}
+    assert got == want
+    assert len(want) > 0  # the 3-core is non-empty on this world
+    assert all(d >= _KCORE_K for d in want.values())

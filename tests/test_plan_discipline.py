@@ -51,6 +51,12 @@ EXPECTED = {
     #                              (item-support prune is an eager side pass)
     "inverted_postings": 1,      # one token-keyed shuffle
     "pruned_read": 1,            # combiner + 3-row groupby; predicate at the source
+    "tpch_q5": 3,                # exactly TWO large hash joins + 5-row groupby;
+    #                              region/nation/supplier ride as broadcasts
+    "track_area": 1,             # one hash sort per track key (same as track_length)
+    "quantile_bins": 0,          # boundary histogram is an eager side pass; the
+    #                              binning scan itself is shuffle-free
+    "churn_gaps": 1,             # one hash sort per user key
 }
 
 
