@@ -1265,3 +1265,320 @@ def q_k_core(sf_dir: str):
                          "core_degree": pa.array([], pa.int64())})
     v, deg = np.unique(np.concatenate([x[live], y[live]]), return_counts=True)
     return pa.table({"partkey": pa.array(v), "core_degree": pa.array(deg.astype(np.int64))})
+
+
+# ---------------------------------------------------------------------------
+# BPE pair statistics: one tokenizer-training merge iteration over the corpus
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bpe_pair_stats",
+    """
+    WITH wf AS (SELECT word, COUNT(*) AS f FROM
+                  (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                GROUP BY word),
+    ch AS (SELECT f, substr(word, CAST(i AS INTEGER), 1) AS c1,
+                  substr(word, CAST(i AS INTEGER) + 1, 1) AS c2
+           FROM wf, generate_series(1, 64) AS t(i)
+           WHERE i <= length(word) - 1)
+    SELECT c1 || c2 AS pair, CAST(SUM(f) AS BIGINT) AS n
+    FROM ch GROUP BY c1 || c2
+    """,
+)
+def q_bpe_pair_stats(sf_dir: str):
+    """One BPE-training merge iteration (Sennrich et al. 2016): corpus-weighted
+    adjacent symbol-pair frequencies — argmax of this table IS the next merge
+    rule. The scalable decomposition: pass 1 folds the corpus to (word, freq)
+    with a dictionary-encode combiner (the groupby shuffles vocabulary, not
+    text); pass 2 runs over the VOCAB table only — per batch the word bytes are
+    read straight from the Arrow values buffer (np.frombuffer, zero copy),
+    adjacent byte pairs coded as c1*256+c2, freq-weighted with np.add.at, one
+    row per distinct pair code; a pair-cardinality groupby merges. Corpus text
+    is scanned exactly once. ASCII symbol alphabet here (matches the corpus);
+    the utf8 generalization swaps the byte pairing for a codepoint decode in the
+    same kernel."""
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["text"])
+
+    def word_freq(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        enc = words.values.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        n = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table({"word": enc.dictionary, "f": pa.array(n)})
+
+    vocab = (
+        ds.map_batches(word_freq, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("f", alias_name="f"))
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        w = t["word"]
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        f = t["f"].to_numpy(zero_copy_only=False)
+        # StringArray layout: buffers()[1] = int32 offsets (honor the array's
+        # slice offset), buffers()[2] = utf8 bytes — both read zero-copy
+        off_all = np.frombuffer(w.buffers()[1], np.int32)
+        off = off_all[w.offset : w.offset + len(w) + 1].astype(np.int64)
+        buf = np.frombuffer(w.buffers()[2], np.uint8)
+        starts, ends = off[:-1], off[1:]
+        npair = np.maximum(ends - starts - 1, 0)
+        total = int(npair.sum())
+        if total == 0:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        word_of = np.repeat(np.arange(len(npair)), npair)
+        pos = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(npair)[:-1]]), npair
+        )
+        gs = starts[word_of] + pos
+        code = buf[gs].astype(np.int64) * 256 + buf[gs + 1]
+        uniq, inv = np.unique(code, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, f[word_of])
+        pairs = [chr(c >> 8) + chr(c & 255) for c in uniq.tolist()]
+        return pa.table({"pair": pa.array(pairs, pa.string()), "n": pa.array(sums)})
+
+    return (
+        vocab.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model likelihood scoring (CCNet-style corpus-model quality)
+# ---------------------------------------------------------------------------
+
+
+def _hash_words(arr) -> np.ndarray:
+    return pd.util.hash_array(arr, hash_key="0123456789123456").astype(np.uint64)
+
+
+def _bg_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a * np.uint64(0x9E3779B97F4A7C15) + b
+
+
+@query(
+    "bigram_likelihood",
+    """
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                      generate_subscripts(string_split(text, ' '), 1) AS i
+               FROM documents),
+    bg AS (SELECT doc_id, word AS w1,
+                  lead(word) OVER (PARTITION BY doc_id ORDER BY i) AS w2 FROM w),
+    bgn AS (SELECT w1, w2, COUNT(*) AS nb FROM bg WHERE w2 IS NOT NULL
+            GROUP BY w1, w2),
+    pref AS (SELECT w1, CAST(SUM(nb) AS BIGINT) AS np FROM bgn GROUP BY w1),
+    scored AS (SELECT b.doc_id,
+                 CAST(floor(1000000.0 * n.nb / p.np) AS BIGINT) AS s
+               FROM bg b JOIN bgn n ON b.w1 = n.w1 AND b.w2 = n.w2
+                         JOIN pref p ON b.w1 = p.w1
+               WHERE b.w2 IS NOT NULL)
+    SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(s) AS BIGINT) AS prob_micro_sum
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bigram_likelihood(sf_dir: str):
+    """Corpus-trained bigram LM likelihood per document (the CCNet/KenLM quality
+    gate with the model trained on the corpus itself): each document scores the
+    sum of fixed-point conditional probabilities floor(1e6·c(w1,w2)/c(w1·)) over
+    its word bigrams — single correctly-rounded double division on both engines,
+    so integer sums match exactly. Train pass: per-batch bigram-hash partials →
+    one (a,b)-keyed groupby; prefix totals derive from the bigram table (model-
+    sized). The model broadcasts as two sorted uint64 key arrays + counts
+    (ray.put) and the score pass is pure searchsorted — no per-row Python, no
+    string ever shuffles (same fingerprint discipline as duplicate_spans; at
+    open-vocab scale the broadcast swaps for a hash join on the bigram key)."""
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def bigrams(t: pa.Table):
+        words = pc.split_pattern(t["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts, ends = off[:-1], off[1:]
+        nb = np.maximum(ends - starts - 1, 0)
+        total = int(nb.sum())
+        if total == 0:
+            return None
+        enc = words.values.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        wh = _hash_words(enc.dictionary.to_numpy(zero_copy_only=False))
+        hv = wh[codes]
+        doc_of = np.repeat(np.arange(len(nb)), nb)
+        pos = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(nb)[:-1]]), nb
+        )
+        gs = starts[doc_of] + pos
+        return hv[gs], hv[gs + 1], doc_of, t
+
+    def model_partials(t: pa.Table) -> pa.Table:
+        bg = bigrams(t)
+        if bg is None:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64())})
+        a, b, _, _ = bg
+        arr = np.stack([a.view(np.int64), b.view(np.int64)], axis=1)
+        uniq, n = np.unique(arr, axis=0, return_counts=True)
+        return pa.table({"a": pa.array(uniq[:, 0]), "b": pa.array(uniq[:, 1]),
+                         "nb": pa.array(n.astype(np.int64))})
+
+    model = (
+        ds.map_batches(model_partials, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("nb", alias_name="nb"))
+        .to_pandas()  # model-sized (distinct bigrams), not corpus-sized
+    )
+    ka = model["a"].to_numpy().view(np.uint64)
+    kb = model["b"].to_numpy().view(np.uint64)
+    nb = model["nb"].to_numpy(np.int64)
+    bkey = _bg_key(ka, kb)
+    o = np.argsort(bkey)
+    bkey, nb_s = bkey[o], nb[o]
+    # prefix totals c(w1, ·) derived from the bigram table
+    pu, pinv = np.unique(ka, return_inverse=True)
+    psum = np.zeros(len(pu), np.int64)
+    np.add.at(psum, pinv, nb)
+    model_ref = ray.put((bkey, nb_s, pu, psum))
+
+    def score(t: pa.Table) -> pa.Table:
+        bg = bigrams(t)
+        if bg is None:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_bigrams": pa.array([], pa.int64()),
+                             "prob_micro_sum": pa.array([], pa.int64())})
+        a, b, doc_of, tt = bg
+        bkey_s, nb_s2, pu2, psum2 = ray.get(model_ref)
+        cb = nb_s2[np.searchsorted(bkey_s, _bg_key(a, b))].astype(np.float64)
+        cp = psum2[np.searchsorted(pu2, a)].astype(np.float64)
+        s = np.floor(1_000_000.0 * cb / cp).astype(np.int64)
+        ndocs = tt.num_rows
+        cnt = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+        sums = np.zeros(ndocs, np.int64)
+        np.add.at(sums, doc_of, s)
+        keep = cnt > 0
+        docs = tt["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": pa.array(docs[keep]), "n_bigrams": pa.array(cnt[keep]),
+             "prob_micro_sum": pa.array(sums[keep])}
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_bigrams", alias_name="n_bigrams"),
+                   Sum("prob_micro_sum", alias_name="prob_micro_sum"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# global CDF rank (strictly-less count) per row
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdf_rank",
+    """
+    WITH c AS (SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT event_id, CAST(RANK() OVER (ORDER BY cents) - 1 AS BIGINT) AS n_less
+    FROM c
+    """,
+)
+def q_cdf_rank(sf_dir: str):
+    """Global CDF position of every row (count of strictly smaller values — what
+    RANK()-1 computes) WITHOUT a global sort: the distinct-value histogram
+    (value-domain groupby) cumulates into an exclusive-prefix lookup table that
+    broadcasts, and a stateless searchsorted scan stamps each row. Rows never
+    shuffle — the sort-based plan a SQL engine runs is O(n log n) all-to-all;
+    this is one value-domain exchange + a map."""
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["event_id", "value"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        uk, n = np.unique(cents, return_counts=True)
+        return pa.table({"cents": pa.array(uk), "n": pa.array(n.astype(np.int64))})
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("cents")
+    )
+    vals = h["cents"].to_numpy(np.int64)
+    less = np.concatenate([[0], h["n"].cumsum().to_numpy()[:-1]]).astype(np.int64)
+    table_ref = ray.put((vals, less))
+
+    def stamp(t: pa.Table) -> pa.Table:
+        v, l = ray.get(table_ref)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {"event_id": t["event_id"],
+             "n_less": pa.array(l[np.searchsorted(v, cents)])}
+        )
+
+    return ds.map_batches(stamp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-window exact distinct users
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_distinct",
+    """
+    SELECT date_trunc('day', ts) AS window_start,
+           COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY date_trunc('day', ts)
+    """,
+)
+def q_window_distinct(sf_dir: str):
+    """Exact COUNT(DISTINCT) per tumbling window: per-batch combiner collapses to
+    one row per (window, user) with a partial event count, so the first shuffle
+    is distinct-pair sized (not row sized); the second groupby folds pairs to
+    per-window user counts + event totals. The approximate path for unbounded
+    cardinality is hll_users_per_type; this is its exact sibling keyed by time."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["user_id", "ts"])
+    day = 86_400_000_000
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        win = (ts // day) * day
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        arr = np.stack([win, uid], axis=1)
+        uniq, n = np.unique(arr, axis=0, return_counts=True)
+        return pa.table({"win": pa.array(uniq[:, 0]), "user_id": pa.array(uniq[:, 1]),
+                         "n": pa.array(n.astype(np.int64))})
+
+    per_pair = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["win", "user_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    agg = per_pair.groupby("win").aggregate(
+        Count(alias_name="n_users"), Sum("n", alias_name="n_events")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"window_start": t["win"].cast(pa.timestamp("us")),
+             "n_users": t["n_users"], "n_events": t["n_events"]}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -477,3 +477,73 @@ def test_k_core_matches_brute_peel(ray_session):
     assert got == want
     assert len(want) > 0  # the 3-core is non-empty on this world
     assert all(d >= _KCORE_K for d in want.values())
+
+
+def test_bpe_pair_stats_matches_brute(ray_session, docs):
+    from collections import Counter
+
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_bpe_pair_stats
+
+    wf = Counter()
+    for txt in docs.text:
+        wf.update(txt.split(" "))
+    want = Counter()
+    for w, f in wf.items():
+        for i in range(len(w) - 1):
+            want[w[i : i + 2]] += f
+    out = _df(q_bpe_pair_stats(SF))
+    got = dict(zip(out.pair, out.n))
+    assert got == dict(want)
+    # the argmax of this table is the next BPE merge — must be unique & plausible
+    top = out.sort_values(["n", "pair"], ascending=[False, True]).iloc[0]
+    assert top.n == max(want.values())
+
+
+def test_bigram_likelihood_matches_brute(ray_session, docs):
+    from collections import Counter
+
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_bigram_likelihood
+
+    nb: Counter = Counter()
+    npre: Counter = Counter()
+    per_doc = {}
+    for doc_id, txt in zip(docs.doc_id, docs.text):
+        w = txt.split(" ")
+        bgs = list(zip(w[:-1], w[1:]))
+        per_doc[doc_id] = bgs
+        nb.update(bgs)
+        npre.update(w[:-1])
+    out = _df(q_bigram_likelihood(SF)).set_index("doc_id")
+    for doc_id, bgs in list(per_doc.items())[:60]:
+        if not bgs:
+            assert doc_id not in out.index
+            continue
+        s = sum(
+            int(np.floor(1_000_000.0 * nb[bg] / npre[bg[0]])) for bg in bgs
+        )
+        assert out.loc[doc_id, "n_bigrams"] == len(bgs)
+        assert out.loc[doc_id, "prob_micro_sum"] == s
+
+
+def test_cdf_rank_matches_brute(ray_session, events):
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_cdf_rank
+
+    cents = np.floor(events.value.values * 100).astype(np.int64)
+    out = _df(q_cdf_rank(SF)).set_index("event_id")
+    got = out.loc[events.event_id].n_less.values
+    want = np.searchsorted(np.sort(cents), cents, side="left")
+    assert (got == want).all()
+
+
+def test_window_distinct_matches_brute(ray_session, events):
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_window_distinct
+
+    ev = events.copy()
+    ev["win"] = ev.ts.values.astype("datetime64[D]").astype("datetime64[us]")
+    want = ev.groupby("win").agg(
+        n_users=("user_id", "nunique"), n_events=("user_id", "size")
+    )
+    out = _df(q_window_distinct(SF)).set_index("window_start").sort_index()
+    assert (out.index.values == want.index.values).all()
+    assert (out.n_users.values == want.n_users.values).all()
+    assert (out.n_events.values == want.n_events.values).all()

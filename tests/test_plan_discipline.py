@@ -57,6 +57,12 @@ EXPECTED = {
     "quantile_bins": 0,          # boundary histogram is an eager side pass; the
     #                              binning scan itself is shuffle-free
     "churn_gaps": 1,             # one hash sort per user key
+    "bpe_pair_stats": 2,         # vocab groupby + pair-cardinality groupby;
+    #                              corpus text scanned exactly once
+    "bigram_likelihood": 1,      # scoring pass: broadcast model + per-doc groupby
+    #                              (model train groupby is an eager side pass)
+    "cdf_rank": 0,               # histogram side pass; rank stamp is a pure map
+    "window_distinct": 2,        # (win,user) distinct-pair groupby + window fold
 }
 
 
