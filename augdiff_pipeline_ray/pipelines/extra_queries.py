@@ -1582,3 +1582,233 @@ def q_window_distinct(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# salted hot-key aggregation exposed as a driver-checked query
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "salted_hot_count",
+    "SELECT user_id, CAST(n AS BIGINT) AS n FROM "
+    "(SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)",
+)
+def q_salted_hot_count(sf_dir: str):
+    """Per-user event counts through the skew-salted shuffle (stages/shuffle.py):
+    hot keys above the threshold split across k reducers via a deterministic row
+    salt and re-merge exactly. The threshold here is set BELOW the real per-user
+    counts so the salting path genuinely executes on driver testdata (the north
+    rule's dense-metro-cell treatment, driver-checked end-to-end rather than only
+    pytest-equality-tested)."""
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["user_id"])
+    # events-per-user ~ rows/15 at every sf; threshold at half that guarantees
+    # every real key salts — maximal exercise of the split+merge path
+    hot = max(int(ds.count()) // 30, 2)
+    out = SHF.salted_group_count(ds, "user_id", hot_threshold=hot, k=4)
+    return out.map_batches(
+        lambda t: t.select(["user_id", "n"]), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-stratum exact-k sample
+# ---------------------------------------------------------------------------
+
+_STRAT_K = 10
+
+
+@query(
+    "per_stratum_sample",
+    f"""
+    SELECT event_id, event_type FROM (
+      SELECT event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY (event_id * 2654435761) % 4294967296, event_id) AS rk
+      FROM events)
+    WHERE rk <= {_STRAT_K}
+    """,
+)
+def q_per_stratum_sample(sf_dir: str):
+    """Deterministic exact-k-per-stratum sample (eval-set carving): rank rows
+    inside each stratum by a Knuth-hash of the key and keep the first k — stable
+    under reruns and data layout. Exact top-k is a semilattice, so each batch
+    emits at most k·strata candidate rows (vectorized lexsort + boundary mask, no
+    per-group Python) and the final per-stratum selection runs over candidates
+    only — the groupby shuffles k·strata rows, never the stream."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["event_id", "event_type"]
+    )
+
+    def hkey(eid: np.ndarray) -> np.ndarray:
+        return (eid * 2654435761) % 4294967296
+
+    def candidates(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = et.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        h = hkey(eid)
+        o = np.lexsort((eid, h, codes))
+        codes_s = codes[o]
+        newgrp = np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+        grp_start = np.repeat(
+            np.flatnonzero(newgrp), np.diff(np.append(np.flatnonzero(newgrp), len(codes_s)))
+        )
+        rank_in_grp = np.arange(len(codes_s)) - grp_start
+        keep = o[rank_in_grp < _STRAT_K]
+        return pa.table({"event_id": t["event_id"].take(pa.array(keep)),
+                         "event_type": et.take(pa.array(keep))})
+
+    def final(grp: pd.DataFrame) -> pd.DataFrame:
+        eid = grp["event_id"].to_numpy(np.int64)
+        h = hkey(eid)
+        o = np.lexsort((eid, h))[:_STRAT_K]
+        return pd.DataFrame(
+            {"event_id": eid[o],
+             "event_type": np.full(len(o), grp["event_type"].iloc[0], object)}
+        )
+
+    return (
+        ds.map_batches(candidates, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# one-pass numeric table profiling (data-quality sweep)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "profile_table",
+    " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name, COUNT(*) AS n,
+               COUNT(DISTINCT CAST(floor({c} * 100) AS BIGINT)) AS n_distinct,
+               MIN(CAST(floor({c} * 100) AS BIGINT)) AS min_cents,
+               MAX(CAST(floor({c} * 100) AS BIGINT)) AS max_cents,
+               CAST(SUM(CAST(floor({c} * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def q_profile_table(sf_dir: str):
+    """One-pass numeric data profiling (count / distinct / min / max / sum per
+    column) — the table-health sweep run before any training job. Each batch
+    folds every column to (column, cents, partial_n) value-domain rows in one
+    scan (read once, profile all columns); a (column, cents) groupby merges and a
+    per-column vectorized fold emits the profile. The shuffle is value-domain ×
+    columns sized — independent of row count; unbounded-cardinality columns
+    would swap the exact distinct for the HLL sketch in the same frame."""
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "lineitem"), columns=_PROFILE_COLS)
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols, cents_all, n_all = [], [], []
+        for c in _PROFILE_COLS:
+            cents = np.floor(t[c].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+            uk, n = np.unique(cents, return_counts=True)
+            cols.append(np.full(len(uk), c, object))
+            cents_all.append(uk)
+            n_all.append(n.astype(np.int64))
+        return pa.table(
+            {"column_name": pa.array(np.concatenate(cols), pa.string()),
+             "cents": pa.array(np.concatenate(cents_all)),
+             "n": pa.array(np.concatenate(n_all))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    per_value = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["column_name", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def profile(grp: pd.DataFrame) -> pd.DataFrame:
+        cents = grp["cents"].to_numpy(np.int64)
+        n = grp["n"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"column_name": [grp["column_name"].iloc[0]],
+             "n": np.array([n.sum()], np.int64),
+             "n_distinct": np.array([len(cents)], np.int64),
+             "min_cents": np.array([cents.min()], np.int64),
+             "max_cents": np.array([cents.max()], np.int64),
+             "sum_cents": np.array([(cents * n).sum()], np.int64)}
+        )
+
+    return per_value.groupby("column_name").map_groups(profile, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Douglas-Peucker polyline simplification (vector generalization)
+# ---------------------------------------------------------------------------
+
+_DP_TOL = 25.0  # degrees of perpendicular deviation
+
+
+def _dp_keep_mask(x: np.ndarray, y: np.ndarray, tol: float) -> np.ndarray:
+    """Iterative Douglas-Peucker on one polyline: boolean keep mask."""
+    n = len(x)
+    keep = np.zeros(n, bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        xs, ys = x[a + 1 : b], y[a + 1 : b]
+        dx, dy = x[b] - x[a], y[b] - y[a]
+        L = np.hypot(dx, dy)
+        if L == 0.0:
+            d = np.hypot(xs - x[a], ys - y[a])
+        else:
+            d = np.abs(dx * (ys - y[a]) - dy * (xs - x[a])) / L
+        i = int(np.argmax(d))
+        if d[i] > tol:
+            m = a + 1 + i
+            keep[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+    return keep
+
+
+@query("douglas_peucker")  # recursive geometric simplification — no SQL analogue;
+# rows-only driver check, semantics pinned by the reference-implementation pytest
+def q_douglas_peucker(sf_dir: str):
+    """Douglas-Peucker track simplification (vector generalization before
+    rendering / storage): each customer's order track reduces to the minimal
+    vertex chain whose perpendicular deviation stays under tolerance. Output
+    (o_custkey, seq, o_orderkey) of KEPT vertices in track order. One hash
+    shuffle on the track key; the per-group kernel is the iterative stack DP with
+    vectorized segment-distance sweeps (numpy per split, no per-point Python).
+    Same partitioning assumption as every trajectory operator here (one track per
+    task; a continent-length track splits at cell seams and re-anchors)."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+
+    def simplify(grp: pd.DataFrame) -> pd.DataFrame:
+        ok = grp["o_orderkey"].to_numpy(np.int64)
+        dt = grp["o_orderdate"].to_numpy()
+        o = np.lexsort((ok, dt))
+        ok = ok[o]
+        x = (ok * _TRK_XMUL % _TRK_XMOD) / 100.0 - 180.0
+        y = (ok * _TRK_YMUL % _TRK_YMOD) / 100.0 - 90.0
+        if len(ok) == 1:
+            keep = np.array([True])
+        else:
+            keep = _dp_keep_mask(x, y, _DP_TOL)
+        kept = ok[keep]
+        return pd.DataFrame(
+            {"o_custkey": np.full(len(kept), int(grp["o_custkey"].iloc[0]), np.int64),
+             "seq": np.arange(len(kept), dtype=np.int64),
+             "o_orderkey": kept}
+        )
+
+    return ds.groupby("o_custkey").map_groups(simplify, batch_format="pandas")

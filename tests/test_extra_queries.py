@@ -547,3 +547,101 @@ def test_window_distinct_matches_brute(ray_session, events):
     assert (out.index.values == want.index.values).all()
     assert (out.n_users.values == want.n_users.values).all()
     assert (out.n_events.values == want.n_events.values).all()
+
+
+def test_salted_hot_count_exact(ray_session, events):
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_salted_hot_count
+
+    out = _df(q_salted_hot_count(SF))
+    want = events.groupby("user_id").size()
+    got = out.set_index("user_id").n
+    assert dict(got) == dict(want)
+
+
+def test_per_stratum_sample_deterministic(ray_session, events):
+    from augdiff_pipeline_ray.pipelines.extra_queries import (
+        _STRAT_K,
+        q_per_stratum_sample,
+    )
+
+    out = _df(q_per_stratum_sample(SF))
+    ev = events.copy()
+    ev["h"] = (ev.event_id * 2654435761) % 4294967296
+    for et, grp in ev.groupby("event_type"):
+        want = grp.sort_values(["h", "event_id"]).head(_STRAT_K).event_id.values
+        got = out[out.event_type == et].sort_values("event_id").event_id.values
+        assert sorted(want) == sorted(got)
+    # two runs agree exactly (hash determinism)
+    out2 = _df(q_per_stratum_sample(SF))
+    a = out.sort_values(["event_type", "event_id"]).reset_index(drop=True)
+    b = out2.sort_values(["event_type", "event_id"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_profile_table_matches_brute(ray_session):
+    from augdiff_pipeline_ray.pipelines.extra_queries import (
+        _PROFILE_COLS,
+        q_profile_table,
+    )
+
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=_PROFILE_COLS).to_pandas()
+    out = _df(q_profile_table(SF)).set_index("column_name")
+    for c in _PROFILE_COLS:
+        cents = np.floor(li[c].values * 100).astype(np.int64)
+        row = out.loc[c]
+        assert row.n == len(cents)
+        assert row.n_distinct == len(np.unique(cents))
+        assert row.min_cents == cents.min()
+        assert row.max_cents == cents.max()
+        assert row.sum_cents == cents.sum()
+
+
+def _dp_reference(x, y, tol):
+    """Recursive reference Douglas-Peucker (independent of the engine's stack)."""
+    if len(x) < 3:
+        return list(range(len(x)))
+
+    def rec(a, b):
+        if b - a < 2:
+            return []
+        dx, dy = x[b] - x[a], y[b] - y[a]
+        L = np.hypot(dx, dy)
+        best, bi = -1.0, -1
+        for i in range(a + 1, b):
+            if L == 0.0:
+                d = np.hypot(x[i] - x[a], y[i] - y[a])
+            else:
+                d = abs(dx * (y[i] - y[a]) - dy * (x[i] - x[a])) / L
+            if d > best:
+                best, bi = d, i
+        if best > tol:
+            return rec(a, bi) + [bi] + rec(bi, b)
+        return []
+
+    return [0] + rec(0, len(x) - 1) + [len(x) - 1]
+
+
+def test_douglas_peucker_matches_reference(ray_session):
+    from augdiff_pipeline_ray.pipelines.extra_queries import (
+        _DP_TOL,
+        _TRK_XMOD,
+        _TRK_XMUL,
+        _TRK_YMOD,
+        _TRK_YMUL,
+        q_douglas_peucker,
+    )
+
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    out = _df(q_douglas_peucker(SF))
+    total_in = 0
+    for ck, grp in list(orders.groupby("o_custkey"))[:30]:
+        g = grp.sort_values(["o_orderdate", "o_orderkey"])
+        ok = g.o_orderkey.values.astype(np.int64)
+        x = (ok * _TRK_XMUL % _TRK_XMOD) / 100.0 - 180.0
+        y = (ok * _TRK_YMUL % _TRK_YMOD) / 100.0 - 90.0
+        want = ok[_dp_reference(x, y, _DP_TOL)]
+        got = out[out.o_custkey == ck].sort_values("seq").o_orderkey.values
+        assert (got == want).all()
+        total_in += len(ok)
+    # the tolerance genuinely simplifies (keeps endpoints, drops interior points)
+    assert len(out) < len(orders)

@@ -63,6 +63,11 @@ EXPECTED = {
     #                              (model train groupby is an eager side pass)
     "cdf_rank": 0,               # histogram side pass; rank stamp is a pure map
     "window_distinct": 2,        # (win,user) distinct-pair groupby + window fold
+    "salted_hot_count": 2,       # (key,salt) partial groupby + tiny re-merge
+    #                              (hot-key detection is an eager side pass)
+    "per_stratum_sample": 1,     # k-per-stratum candidates, one stratum groupby
+    "profile_table": 2,          # (column,cents) value-domain groupby + 4-group fold
+    "douglas_peucker": 1,        # one hash sort per track key
 }
 
 
