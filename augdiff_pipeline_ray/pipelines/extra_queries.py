@@ -344,6 +344,13 @@ def q_watermark_window(sf_dir: str):
     @ray.remote
     def fold(t: pa.Table, carry_in: int) -> pa.Table:
         ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        if len(ts) == 0:  # sort can hand back empty range-partition blocks
+            return pa.table(
+                {"window_start": pa.array([], pa.timestamp("us")),
+                 "n_events": pa.array([], pa.int64()),
+                 "sum_cents": pa.array([], pa.int64()),
+                 "n_late": pa.array([], pa.int64())}
+            )
         cents = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         prefix = np.maximum.accumulate(ts)
         # watermark ts before each arrival: the carry (max over ALL prior blocks)
@@ -1812,3 +1819,423 @@ def q_douglas_peucker(sf_dir: str):
         )
 
     return ds.groupby("o_custkey").map_groups(simplify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# segment-intersection spatial join (computational-geometry pair predicate)
+# ---------------------------------------------------------------------------
+
+_SEG_SQL = """
+    SELECT p_partkey AS id,
+           ((p_partkey * 7919) % 2000) / 100.0 - 10.0 AS x1,
+           ((p_partkey * 104729) % 2000) / 100.0 - 10.0 AS y1,
+           ((p_partkey * 7919) % 2000) / 100.0 - 10.0
+             + (((p_partkey * 131) % 300) / 100.0 - 1.5) AS x2,
+           ((p_partkey * 104729) % 2000) / 100.0 - 10.0
+             + (((p_partkey * 137) % 300) / 100.0 - 1.5) AS y2
+    FROM part
+"""
+
+
+def _seg_arrays(pk: np.ndarray):
+    p = pk.astype(np.int64)
+    x1 = ((p * 7919) % 2000) / 100.0 - 10.0
+    y1 = ((p * 104729) % 2000) / 100.0 - 10.0
+    x2 = x1 + (((p * 131) % 300) / 100.0 - 1.5)
+    y2 = y1 + (((p * 137) % 300) / 100.0 - 1.5)
+    return p, x1, y1, x2, y2
+
+
+@query(
+    "segment_intersections",
+    f"""
+    WITH seg AS ({_SEG_SQL}),
+    sb AS (SELECT *, LEAST(x1, x2) AS mnx, GREATEST(x1, x2) AS mxx,
+                  LEAST(y1, y2) AS mny, GREATEST(y1, y2) AS mxy FROM seg),
+    rep AS (SELECT sb.*, CAST(FLOOR(mnx) AS BIGINT) + ox AS cx,
+                   CAST(FLOOR(mny) AS BIGINT) + oy AS cy
+            FROM sb, generate_series(0, 2) t1(ox), generate_series(0, 2) t2(oy)
+            WHERE CAST(FLOOR(mnx) AS BIGINT) + ox <= CAST(FLOOR(mxx) AS BIGINT)
+              AND CAST(FLOOR(mny) AS BIGINT) + oy <= CAST(FLOOR(mxy) AS BIGINT))
+    SELECT a.id AS part_a, b.id AS part_b
+    FROM rep a JOIN rep b ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id
+    WHERE a.cx = CAST(FLOOR(GREATEST(a.mnx, b.mnx)) AS BIGINT)
+      AND a.cy = CAST(FLOOR(GREATEST(a.mny, b.mny)) AS BIGINT)
+      AND ((a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1))
+        * ((a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1)) < 0
+      AND ((b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1))
+        * ((b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1)) < 0
+    """,
+)
+def q_segment_intersections(sf_dir: str):
+    """Segment-intersection spatial join: all pairs of (synthetic, deterministic)
+    line segments that STRICTLY cross — the overlay/conflation primitive (road
+    crossings, cadastral conflicts). Never O(n²): each segment replicates to the
+    ≤3×3 one-degree cells its bbox covers, candidates pair only within a cell,
+    and the CANONICAL-CELL rule — a pair tests only in the cell containing the
+    max of the two bbox minima, which two overlapping bboxes both cover — emits
+    every crossing exactly once with no distinct pass (same discipline as
+    spatial_neighbor_pairs). The crossing predicate is four cross-product sign
+    tests, identical IEEE expression structure on both engines. One equality-
+    keyed shuffle on the cell; per-cell kernel is a vectorized triu all-pairs
+    over that cell's (bounded, density-capped) population — a metro-dense cell
+    salts by sub-grid exactly like the kNN shards."""
+    import pyarrow.parquet as _pq
+
+    pk = _pq.read_table(TP._p(sf_dir, "part"), columns=["p_partkey"])
+    seg = rd.from_arrow(pk)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        p, x1, y1, x2, y2 = _seg_arrays(t["p_partkey"].to_numpy(zero_copy_only=False))
+        mnx, mxx = np.minimum(x1, x2), np.maximum(x1, x2)
+        mny, mxy = np.minimum(y1, y2), np.maximum(y1, y2)
+        fx, fy = np.floor(mnx).astype(np.int64), np.floor(mny).astype(np.int64)
+        gx, gy = np.floor(mxx).astype(np.int64), np.floor(mxy).astype(np.int64)
+        outs = []
+        for ox in range(3):
+            for oy in range(3):
+                m = (fx + ox <= gx) & (fy + oy <= gy)
+                if not m.any():
+                    continue
+                outs.append(
+                    pa.table(
+                        {"cx": pa.array(fx[m] + ox), "cy": pa.array(fy[m] + oy),
+                         "id": pa.array(p[m]),
+                         "x1": pa.array(x1[m]), "y1": pa.array(y1[m]),
+                         "x2": pa.array(x2[m]), "y2": pa.array(y2[m]),
+                         "mnx": pa.array(mnx[m]), "mny": pa.array(mny[m])}
+                    )
+                )
+        return pa.concat_tables(outs) if outs else pa.table(
+            {c: pa.array([], pa.int64() if c in ("cx", "cy", "id") else pa.float64())
+             for c in ("cx", "cy", "id", "x1", "y1", "x2", "y2", "mnx", "mny")}
+        )
+
+    def cell_pairs(grp: pd.DataFrame) -> pd.DataFrame:
+        n = len(grp)
+        if n < 2:
+            return pd.DataFrame({"part_a": pd.Series([], dtype=np.int64),
+                                 "part_b": pd.Series([], dtype=np.int64)})
+        idv = grp["id"].to_numpy(np.int64)
+        x1 = grp["x1"].to_numpy(); y1 = grp["y1"].to_numpy()
+        x2 = grp["x2"].to_numpy(); y2 = grp["y2"].to_numpy()
+        mnx = grp["mnx"].to_numpy(); mny = grp["mny"].to_numpy()
+        cx = int(grp["cx"].iloc[0]); cy = int(grp["cy"].iloc[0])
+        i, j = np.triu_indices(n, k=1)
+        swap = idv[i] > idv[j]
+        a = np.where(swap, j, i)
+        b = np.where(swap, i, j)
+        keep = idv[a] != idv[b]
+        a, b = a[keep], b[keep]
+        # canonical cell: containing the max of the two bbox minima
+        canon = (
+            (np.floor(np.maximum(mnx[a], mnx[b])).astype(np.int64) == cx)
+            & (np.floor(np.maximum(mny[a], mny[b])).astype(np.int64) == cy)
+        )
+        a, b = a[canon], b[canon]
+        d1 = ((x2[a] - x1[a]) * (y1[b] - y1[a]) - (y2[a] - y1[a]) * (x1[b] - x1[a])) \
+            * ((x2[a] - x1[a]) * (y2[b] - y1[a]) - (y2[a] - y1[a]) * (x2[b] - x1[a]))
+        d2 = ((x2[b] - x1[b]) * (y1[a] - y1[b]) - (y2[b] - y1[b]) * (x1[a] - x1[b])) \
+            * ((x2[b] - x1[b]) * (y2[a] - y1[b]) - (y2[b] - y1[b]) * (x2[a] - x1[b]))
+        hit = (d1 < 0) & (d2 < 0)
+        return pd.DataFrame({"part_a": idv[a[hit]], "part_b": idv[b[hit]]})
+
+    return (
+        seg.map_batches(replicate, batch_format="pyarrow")
+        .groupby(["cx", "cy"])
+        .map_groups(cell_pairs, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic negative sampling for link prediction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "negative_samples",
+    """
+    WITH e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    n AS (SELECT COUNT(*) AS np FROM part),
+    pidx AS (SELECT p_partkey, ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS idx
+             FROM part),
+    cand AS (SELECT e.x, p.p_partkey AS y_neg
+             FROM e CROSS JOIN n
+                  JOIN pidx p ON p.idx = (e.x * 31 + e.y * 17) % n.np)
+    SELECT x, y_neg FROM cand c
+    WHERE c.x != c.y_neg
+      AND NOT EXISTS (SELECT 1 FROM e WHERE e.x = LEAST(c.x, c.y_neg)
+                                        AND e.y = GREATEST(c.x, c.y_neg))
+    """,
+)
+def q_negative_samples(sf_dir: str):
+    """Deterministic negative sampling for link-prediction training: each
+    positive co-order edge (x, y) proposes the candidate (x, v[h(x,y) mod |V|])
+    from the vertex table; candidates that hit a REAL edge (either orientation)
+    or a self-loop are rejected — the standard corrupt-one-endpoint scheme with
+    a reproducible hash in place of RNG. Plan: the vertex array broadcasts once
+    (ray.put — vertex-cardinality, tiny next to edges); rejection is ONE
+    LEFT ANTI hash join of normalized candidate pairs against the edge set —
+    never a per-candidate lookup. Rejected negatives are simply dropped
+    (resample rounds would iterate the same pipeline on the remainder)."""
+    import pyarrow.parquet as _pq
+    from ray.data.aggregate import Count
+    from ..stages.closure import default_join_partitions
+
+    li = SRC.read_parquet_clean(
+        TP._p(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+
+    def item_partials(t: pa.Table) -> pa.Table:
+        arr = np.stack(
+            [t["l_orderkey"].to_numpy(zero_copy_only=False),
+             t["l_partkey"].to_numpy(zero_copy_only=False)], axis=1
+        )
+        uniq = np.unique(arr, axis=0)
+        return pa.table({"l_orderkey": pa.array(uniq[:, 0]),
+                         "l_partkey": pa.array(uniq[:, 1])})
+
+    def pairs(grp: pa.Table) -> pa.Table:
+        pk = np.unique(grp["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+        if len(pk) < 2:
+            return pa.table({"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())})
+        i, j = np.triu_indices(len(pk), k=1)
+        return pa.table({"x": pa.array(pk[i]), "y": pa.array(pk[j])})
+
+    edges = (
+        li.map_batches(item_partials, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Count(alias_name="m"))
+        .select_columns(["x", "y"])
+        .materialize()  # consumed twice: candidate generation + anti-join right side
+    )
+    parts = np.sort(
+        _pq.read_table(TP._p(sf_dir, "part"), columns=["p_partkey"])[
+            "p_partkey"
+        ].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    parts_ref = ray.put(parts)
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        v = ray.get(parts_ref)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        yneg = v[(x * 31 + y * 17) % len(v)]
+        keep = x != yneg
+        x, yneg = x[keep], yneg[keep]
+        return pa.table(
+            {"x": pa.array(x), "y_neg": pa.array(yneg),
+             "lo": pa.array(np.minimum(x, yneg)), "hi": pa.array(np.maximum(x, yneg))}
+        )
+
+    cand = edges.map_batches(corrupt, batch_format="pyarrow")
+    rejected = cand.join(
+        edges.rename_columns({"x": "lo", "y": "hi"}),
+        join_type="left_anti",
+        num_partitions=default_join_partitions(),
+        on=("lo", "hi"),
+    )
+    return rejected.select_columns(["x", "y_neg"])
+
+
+# ---------------------------------------------------------------------------
+# hierarchical cell-set compaction (H3 `compact` analog)
+# ---------------------------------------------------------------------------
+
+_COMPACT_LEVELS = 6
+
+
+@query("cells_compact")  # recursive bottom-up set rewrite — no single SQL;
+# rows-only driver check, semantics pinned by the reference-compaction pytest
+def q_cells_compact(sf_dir: str):
+    """Hierarchical compaction of the occupied-cell set (H3 `compact`): wherever
+    all four children of a parent cell are present, replace them by the parent,
+    recursively — the minimal multi-resolution cover that spatial-index
+    manifests store instead of the full leaf set. Occupied leaves come from the
+    point table via the usual per-batch cell-count combiner (one value-domain
+    groupby, never a row shuffle); each compaction round is then a
+    parent-groupby count==4 rewrite over the CELL SET (occupied-cell sized —
+    executed as one vectorized fold here, one Dataset groupby per level at
+    larger-than-memory cell sets, same rewrite either way). Output
+    (res_level, cell_row, cell_col) of the compacted cover, level 0 = leaf."""
+    from ray.data.aggregate import Sum
+
+    ds = TP.nodes_dataset(sf_dir)
+
+    def cell_partials(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        r = np.clip(np.floor((lat + 90.0) / 180.0 * _NROWS).astype(np.int64), 0, _NROWS - 1)
+        c = np.floor((lon + 180.0) / 360.0 * _NCOLS).astype(np.int64) % _NCOLS
+        key = r * _NCOLS + c
+        uk = np.unique(key)
+        return pa.table({"r": pa.array(uk // _NCOLS), "c": pa.array(uk % _NCOLS),
+                         "n": pa.array(np.ones(len(uk), np.int64))})
+
+    occ = (
+        ds.map_batches(cell_partials, batch_format="pyarrow")
+        .groupby(["r", "c"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # occupied-cell sized
+    )
+    r = occ["r"].to_numpy(np.int64)
+    c = occ["c"].to_numpy(np.int64)
+    out_lvl, out_r, out_c = [], [], []
+    level = 0
+    while level < _COMPACT_LEVELS and len(r):
+        pr, pc = r >> 1, c >> 1
+        pkey = pr * _NCOLS + pc
+        uk, inv, cnt = np.unique(pkey, return_inverse=True, return_counts=True)
+        full = cnt[inv] == 4  # all four children present -> absorbed by parent
+        out_lvl.append(np.full((~full).sum(), level, np.int64))
+        out_r.append(r[~full])
+        out_c.append(c[~full])
+        parents = uk[cnt == 4]
+        r, c = parents // _NCOLS, parents % _NCOLS
+        level += 1
+    out_lvl.append(np.full(len(r), level, np.int64))
+    out_r.append(r)
+    out_c.append(c)
+    return pa.table(
+        {"res_level": pa.array(np.concatenate(out_lvl)),
+         "cell_row": pa.array(np.concatenate(out_r)),
+         "cell_col": pa.array(np.concatenate(out_c))}
+    )
+
+
+# ---------------------------------------------------------------------------
+# leakage-guarded train/val split (contamination-aware carving)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "split_dedup_guard",
+    """
+    WITH corpus AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000, text FROM documents),
+    tagged AS (SELECT doc_id, text,
+                (doc_id * 2654435761) % 4294967296 % 10 = 0 AS is_val
+               FROM corpus),
+    val_texts AS (SELECT DISTINCT text FROM tagged WHERE is_val)
+    SELECT doc_id,
+           CASE WHEN is_val THEN 'val'
+                WHEN text IN (SELECT text FROM val_texts) THEN 'dropped'
+                ELSE 'train' END AS split
+    FROM tagged
+    """,
+)
+def q_split_dedup_guard(sf_dir: str):
+    """Contamination-aware train/val split: a deterministic hash carves ~10%
+    into val; any TRAIN document whose text duplicates a val document is DROPPED
+    (train/val leakage guard — the eval-integrity step after dedup). The val
+    text set rides as broadcast 128-bit fingerprints (val-sized, tiny), so the
+    guard is one vectorized isin scan — no shuffle at all; the near-dup variant
+    swaps exact fingerprints for MinHash band keys in the same frame. Runs over
+    the doubled corpus (documents ∪ id-shifted copy — the repo's guaranteed-dup
+    dedup fixture) so the guard genuinely fires."""
+    from .tpch_queries import _docs_doubled
+
+    ds = rd.from_arrow(_docs_doubled(sf_dir))
+
+    def fp(texts: pa.Array) -> np.ndarray:
+        arr = texts.to_numpy(zero_copy_only=False)
+        h1 = pd.util.hash_array(arr, hash_key="0123456789123456").astype(np.uint64)
+        h2 = pd.util.hash_array(arr, hash_key="augdiffgramhash2").astype(np.uint64)
+        return h1 ^ (h2 * np.uint64(0x9E3779B97F4A7C15))
+
+    def val_partials(t: pa.Table) -> pa.Table:
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)
+        is_val = (docs * 2654435761) % 4294967296 % 10 == 0
+        tt = t["text"]
+        if isinstance(tt, pa.ChunkedArray):
+            tt = tt.combine_chunks()
+        u = np.unique(fp(tt)[is_val])
+        return pa.table({"f": pa.array(u.view(np.int64))})
+
+    val_set = np.unique(
+        ds.map_batches(val_partials, batch_format="pyarrow").to_pandas()["f"].to_numpy()
+    )
+    val_ref = ray.put(val_set)
+
+    def classify(t: pa.Table) -> pa.Table:
+        vs = ray.get(val_ref)
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)
+        is_val = (docs * 2654435761) % 4294967296 % 10 == 0
+        tt = t["text"]
+        if isinstance(tt, pa.ChunkedArray):
+            tt = tt.combine_chunks()
+        dup = np.isin(fp(tt).view(np.int64), vs)
+        split = np.where(is_val, "val", np.where(dup, "dropped", "train"))
+        return pa.table({"doc_id": t["doc_id"], "split": pa.array(split)})
+
+    return ds.map_batches(classify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit (FK violation finder)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fk_violations",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS fk, COUNT(*) AS n_violations
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', COUNT(*)
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', COUNT(*)
+    FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', COUNT(*)
+    FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+    """,
+)
+def q_fk_violations(sf_dir: str):
+    """Referential-integrity audit across the star schema: count fact rows whose
+    foreign key has no parent — the data-quality gate run before any join-based
+    pipeline trusts its inputs. Each parent key set folds to a broadcast sorted
+    array (dimension-cardinality; the unbounded-dimension variant is the bloom
+    path of bloom_semi_join) and each fact table is audited in ONE column-pruned
+    scan with vectorized searchsorted membership — four FK checks, zero
+    shuffles, output is four counter rows."""
+    import pyarrow.parquet as _pq
+    from ray.data.aggregate import Sum
+
+    checks = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ]
+    outs = []
+    for fk, fact, fcol, dim, dcol in checks:
+        keys = np.unique(
+            _pq.read_table(TP._p(sf_dir, dim), columns=[dcol])[dcol]
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        keys_ref = ray.put(keys)
+
+        def missing(t: pa.Table, _kr=keys_ref, _fc=fcol, _fk=fk) -> pa.Table:
+            ks = ray.get(_kr)
+            v = t[_fc].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(ks, v)
+            idx = np.minimum(idx, len(ks) - 1)
+            bad = int((ks[idx] != v).sum())
+            return pa.table({"fk": pa.array([_fk], pa.string()),
+                             "n_violations": pa.array([bad], pa.int64())})
+
+        outs.append(
+            SRC.read_parquet_clean(TP._p(sf_dir, fact), columns=[fcol])
+            .map_batches(missing, batch_format="pyarrow")
+        )
+    ds = outs[0]
+    for o in outs[1:]:
+        ds = ds.union(o)
+    return ds.groupby("fk").aggregate(Sum("n_violations", alias_name="n_violations"))

@@ -645,3 +645,150 @@ def test_douglas_peucker_matches_reference(ray_session):
         total_in += len(ok)
     # the tolerance genuinely simplifies (keeps endpoints, drops interior points)
     assert len(out) < len(orders)
+
+
+def test_segment_intersections_matches_brute(ray_session):
+    from augdiff_pipeline_ray.pipelines.extra_queries import (
+        _seg_arrays,
+        q_segment_intersections,
+    )
+
+    pk = pq.read_table(f"{SF}/part.parquet", columns=["p_partkey"])[
+        "p_partkey"
+    ].to_numpy()
+    p, x1, y1, x2, y2 = _seg_arrays(pk)
+    n = len(p)
+    want = set()
+    for i in range(n):
+        d1 = (x2[i] - x1[i]) * (y1 - y1[i]) - (y2[i] - y1[i]) * (x1 - x1[i])
+        d2 = (x2[i] - x1[i]) * (y2 - y1[i]) - (y2[i] - y1[i]) * (x2 - x1[i])
+        d3 = (x2 - x1) * (y1[i] - y1) - (y2 - y1) * (x1[i] - x1)
+        d4 = (x2 - x1) * (y2[i] - y1) - (y2 - y1) * (x2[i] - x1)
+        hit = (d1 * d2 < 0) & (d3 * d4 < 0) & (p > p[i])
+        for j in np.flatnonzero(hit):
+            want.add((p[i], p[j]))
+    out = _df(q_segment_intersections(SF))
+    got = set(zip(out.part_a, out.part_b))
+    assert got == want
+    assert len(want) > 0  # the window density guarantees real crossings
+
+
+def test_negative_samples_matches_brute(ray_session):
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_negative_samples
+
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    parts = np.sort(
+        pq.read_table(f"{SF}/part.parquet", columns=["p_partkey"])[
+            "p_partkey"
+        ].to_numpy()
+    )
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        pks = sorted(set(grp.l_partkey))
+        for i in range(len(pks)):
+            for j in range(i + 1, len(pks)):
+                edges.add((pks[i], pks[j]))
+    want = set()
+    for x, y in edges:
+        yneg = parts[(x * 31 + y * 17) % len(parts)]
+        if yneg == x:
+            continue
+        if (min(x, yneg), max(x, yneg)) in edges:
+            continue
+        want.add((x, yneg))
+    out = _df(q_negative_samples(SF))
+    got = set(zip(out.x, out.y_neg))
+    assert got == want
+    assert len(want) > 0
+    # every emitted negative is a genuine non-edge
+    for x, y in got:
+        assert (min(x, y), max(x, y)) not in edges
+
+
+def _compact_reference(leaves: set, levels: int) -> set:
+    """Recursive reference compaction over (level, r, c) with 2x2 children."""
+    out = set()
+    cur = leaves
+    for lvl in range(levels):
+        parents = {}
+        for r, c in cur:
+            parents.setdefault((r >> 1, c >> 1), set()).add((r, c))
+        full = {p for p, ch in parents.items() if len(ch) == 4}
+        for r, c in cur:
+            if (r >> 1, c >> 1) not in full:
+                out.add((lvl, r, c))
+        cur = full
+        if not cur:
+            return out
+    out |= {(levels, r, c) for r, c in cur}
+    return out
+
+
+def test_cells_compact_matches_reference_and_covers(ray_session):
+    from augdiff_pipeline_ray.pipelines import tpch as TP
+    from augdiff_pipeline_ray.pipelines.extra_queries import (
+        _COMPACT_LEVELS,
+        _NCOLS,
+        _NROWS,
+        q_cells_compact,
+    )
+
+    part = pq.read_table(f"{SF}/part.parquet").to_pandas()
+    pk = part.p_partkey.values.astype(np.int64)
+    lat = (pk * TP.LAT_MUL % TP.LAT_MOD) / 1000.0 - 90.0
+    lon = (pk * TP.LON_MUL % TP.LON_MOD) / 1000.0 - 180.0
+    r = np.clip(np.floor((lat + 90.0) / 180.0 * _NROWS).astype(np.int64), 0, _NROWS - 1)
+    c = np.floor((lon + 180.0) / 360.0 * _NCOLS).astype(np.int64) % _NCOLS
+    leaves = set(zip(r.tolist(), c.tolist()))
+    want = _compact_reference(leaves, _COMPACT_LEVELS)
+    out = _df(q_cells_compact(SF))
+    got = set(zip(out.res_level, out.cell_row, out.cell_col))
+    assert got == want
+    # exact disjoint cover: expanding every emitted cell back to leaves
+    # reproduces the original occupied set with no overlaps
+    expanded = []
+    for lvl, rr, cc in got:
+        span = 1 << lvl
+        for dr in range(span):
+            for dc in range(span):
+                expanded.append(((rr << lvl) + dr, (cc << lvl) + dc))
+    # no over-coverage: every expanded position must be an occupied leaf,
+    # and every occupied leaf is covered exactly once
+    assert len(expanded) == len(leaves)
+    from collections import Counter
+
+    cover_count = Counter(expanded)
+    assert set(cover_count) == leaves
+    assert all(v == 1 for v in cover_count.values())
+
+
+def test_split_dedup_guard_matches_brute(ray_session, docs):
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_split_dedup_guard
+
+    corpus = pd.concat(
+        [docs[["doc_id", "text"]],
+         docs[["doc_id", "text"]].assign(doc_id=docs.doc_id + 1_000_000)]
+    )
+    is_val = (corpus.doc_id.values * 2654435761) % 4294967296 % 10 == 0
+    val_texts = set(corpus.text.values[is_val])
+    want = {}
+    for d, t, v in zip(corpus.doc_id, corpus.text, is_val):
+        want[d] = "val" if v else ("dropped" if t in val_texts else "train")
+    out = _df(q_split_dedup_guard(SF))
+    got = dict(zip(out.doc_id, out.split))
+    assert got == want
+    # the doubled corpus guarantees the guard fires
+    assert "dropped" in set(want.values())
+    # no val text survives in train
+    texts = dict(zip(corpus.doc_id, corpus.text))
+    train_texts = {texts[d] for d, s in got.items() if s == "train"}
+    assert not (train_texts & val_texts)
+
+
+def test_fk_violations_zero_on_clean_world(ray_session):
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_fk_violations
+
+    out = _df(q_fk_violations(SF))
+    assert len(out) == 4
+    # driver testdata is referentially intact — the audit must prove it
+    assert (out.n_violations == 0).all()

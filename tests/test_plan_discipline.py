@@ -68,6 +68,12 @@ EXPECTED = {
     "per_stratum_sample": 1,     # k-per-stratum candidates, one stratum groupby
     "profile_table": 2,          # (column,cents) value-domain groupby + 4-group fold
     "douglas_peucker": 1,        # one hash sort per track key
+    "segment_intersections": 1,  # one cell-keyed shuffle; canonical-cell rule
+    #                              needs no distinct pass
+    "negative_samples": 3,       # edge build (sort+agg, materialized once) +
+    #                              ONE left-anti rejection join
+    "split_dedup_guard": 0,      # broadcast val fingerprints; pure scan
+    "fk_violations": 1,          # four broadcast-membership scans + 4-row fold
 }
 
 
