@@ -2239,3 +2239,150 @@ def q_fk_violations(sf_dir: str):
     for o in outs[1:]:
         ds = ds.union(o)
     return ds.groupby("fk").aggregate(Sum("n_violations", alias_name="n_violations"))
+
+
+# ---------------------------------------------------------------------------
+# trajectory stay-point detection
+# ---------------------------------------------------------------------------
+
+_STAY_R = 5.0   # degrees
+_STAY_M = 3     # minimum run length
+
+
+@query(
+    "stay_points",
+    f"""
+    WITH pts AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ((o_orderkey * 7919) % 2000) / 100.0 - 10.0 AS x,
+             ((o_orderkey * 104729) % 2000) / 100.0 - 10.0 AS y,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS i
+      FROM orders),
+    ends AS (
+      SELECT a.o_custkey, a.o_orderkey, a.i,
+             COALESCE(MIN(b.i), (SELECT MAX(i) + 1 FROM pts p
+                                 WHERE p.o_custkey = a.o_custkey)) AS j
+      FROM pts a LEFT JOIN pts b
+        ON b.o_custkey = a.o_custkey AND b.i > a.i
+       AND (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+           > {_STAY_R} * {_STAY_R}
+      GROUP BY a.o_custkey, a.o_orderkey, a.i)
+    SELECT o_custkey, o_orderkey AS anchor_orderkey,
+           CAST(j - i AS BIGINT) AS run_len
+    FROM ends WHERE j - i >= {_STAY_M}
+    """,
+)
+def q_stay_points(sf_dir: str):
+    """Trajectory stay-point detection: an anchor point is a stay point when the
+    next >= M track points (in time order) all remain within radius R of it —
+    the dwell/POI-visit primitive of trajectory mining (Li et al. 2008). Per-
+    anchor definition (run ends at the FIRST exceedance, overlaps allowed) keeps
+    it SQL-expressible. One hash shuffle on the track key; the per-track kernel
+    is a vectorized first-exceedance sweep (pairwise distance row per anchor —
+    fine at per-task track lengths; a continent-length track swaps in the
+    two-pointer O(n) scan, same outputs)."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+
+    def stays(grp: pd.DataFrame) -> pd.DataFrame:
+        ok = grp["o_orderkey"].to_numpy(np.int64)
+        dt = grp["o_orderdate"].to_numpy()
+        o = np.lexsort((ok, dt))
+        ok = ok[o]
+        x = (ok * 7919 % 2000) / 100.0 - 10.0
+        y = (ok * 104729 % 2000) / 100.0 - 10.0
+        n = len(ok)
+        dx = x[None, :] - x[:, None]
+        dy = y[None, :] - y[:, None]
+        far = (dx * dx + dy * dy) > _STAY_R * _STAY_R
+        idx = np.arange(n)
+        far &= idx[None, :] > idx[:, None]  # only k > i counts
+        # first exceedance per anchor (n if none)
+        first = np.where(far.any(1), far.argmax(1), n)
+        run = first - idx
+        keep = run >= _STAY_M
+        return pd.DataFrame(
+            {"o_custkey": np.full(keep.sum(), int(grp["o_custkey"].iloc[0]), np.int64),
+             "anchor_orderkey": ok[keep],
+             "run_len": run[keep].astype(np.int64)}
+        )
+
+    return ds.groupby("o_custkey").map_groups(stays, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance: base aggregate + delta merge == full recompute
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "incremental_agg",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           MIN(CAST(floor(value * 100) AS BIGINT)) AS min_cents,
+           MAX(CAST(floor(value * 100) AS BIGINT)) AS max_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def q_incremental_agg(sf_dir: str):
+    """Incremental view maintenance: the per-type aggregate is computed as
+    merge(agg(BASE), agg(DELTA)) — the base view (first 80% of the stream by
+    event_id) is materialized once, then the delta batch folds in WITHOUT
+    rescanning the base — and the result must equal the oracle's full
+    recompute. All four aggregates are mergeable (count/sum add, min/max
+    combine); this is the maintenance contract the adiff memory tier implements
+    for the snapshot, exposed as a driver-checked aggregate. Non-mergeable
+    aggregates (exact median) would keep a value-domain auxiliary as in
+    median_cont."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+    n_total = int(ds.count())
+    cut = (n_total * 8) // 10
+
+    def fold(lo: int, hi: int):
+        def f(t: pa.Table) -> pa.Table:
+            eid = t["event_id"].to_numpy(zero_copy_only=False)
+            m = (eid >= lo) & (eid < hi)
+            cents = np.floor(
+                t["value"].to_numpy(zero_copy_only=False)[m] * 100
+            ).astype(np.int64)
+            et = t["event_type"].to_numpy(zero_copy_only=False)[m]
+            if not len(et):
+                return pa.table(
+                    {"event_type": pa.array([], pa.string()),
+                     "n": pa.array([], pa.int64()), "sum_cents": pa.array([], pa.int64()),
+                     "min_cents": pa.array([], pa.int64()),
+                     "max_cents": pa.array([], pa.int64())}
+                )
+            uk, inv = np.unique(et, return_inverse=True)
+            cnt = np.bincount(inv).astype(np.int64)
+            s = np.zeros(len(uk), np.int64); np.add.at(s, inv, cents)
+            mn = np.full(len(uk), np.iinfo(np.int64).max); np.minimum.at(mn, inv, cents)
+            mx = np.full(len(uk), np.iinfo(np.int64).min); np.maximum.at(mx, inv, cents)
+            return pa.table(
+                {"event_type": pa.array(uk), "n": pa.array(cnt),
+                 "sum_cents": pa.array(s), "min_cents": pa.array(mn),
+                 "max_cents": pa.array(mx)}
+            )
+        return f
+
+    def merged(parts: rd.Dataset) -> rd.Dataset:
+        return parts.groupby("event_type").aggregate(
+            Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"),
+            Min("min_cents", alias_name="min_cents"),
+            Max("max_cents", alias_name="max_cents"),
+        )
+
+    # the materialized base view (computed once; at steady state this is a
+    # stored table, not a recompute)
+    base = merged(ds.map_batches(fold(0, cut), batch_format="pyarrow")).materialize()
+    delta = ds.map_batches(fold(cut, np.iinfo(np.int64).max), batch_format="pyarrow")
+    # maintenance step: merge the delta partials INTO the base aggregate —
+    # the base table never rescans
+    return merged(base.union(delta))

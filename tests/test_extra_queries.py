@@ -792,3 +792,50 @@ def test_fk_violations_zero_on_clean_world(ray_session):
     assert len(out) == 4
     # driver testdata is referentially intact — the audit must prove it
     assert (out.n_violations == 0).all()
+
+
+def test_stay_points_matches_brute(ray_session):
+    from augdiff_pipeline_ray.pipelines.extra_queries import (
+        _STAY_M,
+        _STAY_R,
+        q_stay_points,
+    )
+
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    want = set()
+    for ck, grp in orders.groupby("o_custkey"):
+        g = grp.sort_values(["o_orderdate", "o_orderkey"])
+        ok = g.o_orderkey.values.astype(np.int64)
+        x = (ok * 7919 % 2000) / 100.0 - 10.0
+        y = (ok * 104729 % 2000) / 100.0 - 10.0
+        n = len(ok)
+        for i in range(n):
+            j = n
+            for k in range(i + 1, n):
+                if (x[k] - x[i]) ** 2 + (y[k] - y[i]) ** 2 > _STAY_R**2:
+                    j = k
+                    break
+            if j - i >= _STAY_M:
+                want.add((ck, ok[i], j - i))
+    out = _df(q_stay_points(SF))
+    got = set(zip(out.o_custkey, out.anchor_orderkey, out.run_len))
+    assert got == want
+    assert len(want) > 0
+
+
+def test_incremental_agg_equals_full_recompute(ray_session, events):
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_incremental_agg
+
+    cents = np.floor(events.value.values * 100).astype(np.int64)
+    full = (
+        pd.DataFrame({"t": events.event_type, "c": cents})
+        .groupby("t")["c"]
+        .agg(["size", "sum", "min", "max"])
+    )
+    out = _df(q_incremental_agg(SF)).set_index("event_type")
+    assert len(out) == len(full)
+    for t, row in full.iterrows():
+        assert out.loc[t, "n"] == row["size"]
+        assert out.loc[t, "sum_cents"] == row["sum"]
+        assert out.loc[t, "min_cents"] == row["min"]
+        assert out.loc[t, "max_cents"] == row["max"]

@@ -74,6 +74,9 @@ EXPECTED = {
     #                              ONE left-anti rejection join
     "split_dedup_guard": 0,      # broadcast val fingerprints; pure scan
     "fk_violations": 1,          # four broadcast-membership scans + 4-row fold
+    "stay_points": 1,            # one hash sort per track key
+    "incremental_agg": 2,        # delta partial groupby + base∪delta merge
+    #                              (base view aggregate is a one-time side pass)
 }
 
 
