@@ -2386,3 +2386,131 @@ def q_incremental_agg(sf_dir: str):
     # maintenance step: merge the delta partials INTO the base aggregate —
     # the base table never rescans
     return merged(base.union(delta))
+
+
+# ---------------------------------------------------------------------------
+# substring-dedup applied: cut duplicated spans and rebuild the corpus
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_cut_corpus",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+      FROM documents
+    ),
+    g AS (SELECT doc_id, i-1 AS pos,
+           string_agg(word, ' ') OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND {_SPAN_K - 1} FOLLOWING) AS gram,
+           COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND {_SPAN_K - 1} FOLLOWING) AS glen
+         FROM w),
+    g8 AS (SELECT doc_id, pos, gram FROM g WHERE glen = {_SPAN_K}),
+    dup AS (SELECT doc_id, pos FROM g8 WHERE gram IN
+             (SELECT gram FROM g8 GROUP BY gram HAVING COUNT(*) >= 2)),
+    cutidx AS (SELECT DISTINCT doc_id, pos + o AS widx
+               FROM dup, generate_series(0, {_SPAN_K - 1}) t(o)),
+    kept AS (SELECT w.doc_id, w.i, w.word FROM w LEFT JOIN cutidx c
+             ON c.doc_id = w.doc_id AND c.widx = w.i - 1
+             WHERE c.doc_id IS NULL)
+    SELECT doc_id, COUNT(*) AS kept_words,
+           string_agg(word, ' ' ORDER BY i) AS text_clean
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q_dedup_cut_corpus(sf_dir: str):
+    """Substring dedup APPLIED (the Lee et al. treatment end-to-end): every word
+    inside a corpus-duplicated K-gram span is cut and each document's clean text
+    is rebuilt — documents that were entirely duplicated boilerplate vanish.
+    Plan: pass 1 is duplicate_spans' fingerprint-count groupby, but only the
+    DUPLICATED fingerprints come back (dup-cardinality, small on real corpora)
+    and broadcast as a sorted key array; pass 2 recomputes each batch's gram
+    fingerprints (the recompute-over-cache trade again), marks covered spans by
+    searchsorted membership, expands the cut mask vectorized, and rebuilds each
+    doc zero-copy-ish: kept words filter straight off the shared Arrow values
+    buffer into fresh list offsets + one binary_join. ONE value-domain shuffle,
+    no join, no row shuffle; a corpus where the dup set itself is huge falls
+    back to the duplicate_spans join plan with the same outputs."""
+    from ray.data.aggregate import Sum
+
+    K = _SPAN_K
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    P1, P2 = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F
+    PW1 = np.array([pow(P1, j, 2**64) for j in range(K)], np.uint64)
+    PW2 = np.array([pow(P2, j, 2**64) for j in range(K)], np.uint64)
+
+    def gram_hashes(t: pa.Table):
+        words = pc.split_pattern(t["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts, ends = off[:-1], off[1:]
+        ng = np.maximum(ends - starts - K + 1, 0)
+        total = int(ng.sum())
+        if total == 0:
+            return words, starts, ends, ng, None, None
+        enc = words.values.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dic = enc.dictionary.to_numpy(zero_copy_only=False)
+        wh1 = pd.util.hash_array(dic, hash_key="0123456789123456").astype(np.uint64)
+        wh2 = pd.util.hash_array(dic, hash_key="augdiffgramhash2").astype(np.uint64)
+        hv1, hv2 = wh1[codes], wh2[codes]
+        doc_of = np.repeat(np.arange(len(ng)), ng)
+        pos = np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(ng)[:-1]]), ng)
+        gs = starts[doc_of] + pos
+        a1 = np.zeros(total, np.uint64); a2 = np.zeros(total, np.uint64)
+        for j in range(K):
+            a1 += hv1[gs + j] * PW1[j]
+            a2 += hv2[gs + j] * PW2[j]
+        return words, starts, ends, ng, _bg_key(a1, a2), gs
+
+    def fp_counts(t: pa.Table) -> pa.Table:
+        _, _, _, _, key, _ = gram_hashes(t)
+        if key is None:
+            return pa.table({"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        uk, n = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(uk.view(np.int64)), "n": pa.array(n.astype(np.int64))})
+
+    dup_keys = np.sort(
+        ds.map_batches(fp_counts, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n"], 2)).select(["k"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["k"].to_numpy().view(np.uint64)
+    )
+    dup_ref = ray.put(dup_keys)
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        dk = ray.get(dup_ref)
+        words, starts, ends, ng, key, gs = gram_hashes(t)
+        cut = np.zeros(len(words.values), bool)  # mask over the full values buffer
+        if key is not None and len(dk):
+            idx = np.searchsorted(dk, key)
+            idx = np.minimum(idx, len(dk) - 1)
+            covered = dk[idx] == key  # gram-start flat word index gs is covered
+            # expand each covered gram to its K words
+            for j in range(K):  # K vector ops, not a row loop
+                cut[gs[covered] + j] = True
+        keep = ~cut
+        # rebuild: kept words per doc -> fresh offsets + one binary_join
+        csum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        kept_per_doc = csum[ends] - csum[starts]
+        new_off = np.concatenate([[0], np.cumsum(kept_per_doc)]).astype(np.int32)
+        kept_words = words.values.filter(pa.array(keep))
+        lst = pa.ListArray.from_arrays(pa.array(new_off), kept_words)
+        text_clean = pc.binary_join(lst, " ")
+        nonzero = kept_per_doc > 0
+        return pa.table(
+            {"doc_id": t["doc_id"].filter(pa.array(nonzero)),
+             "kept_words": pa.array(kept_per_doc[nonzero]),
+             "text_clean": text_clean.filter(pa.array(nonzero))}
+        )
+
+    return ds.map_batches(rebuild, batch_format="pyarrow")

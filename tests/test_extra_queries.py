@@ -839,3 +839,41 @@ def test_incremental_agg_equals_full_recompute(ray_session, events):
         assert out.loc[t, "sum_cents"] == row["sum"]
         assert out.loc[t, "min_cents"] == row["min"]
         assert out.loc[t, "max_cents"] == row["max"]
+
+
+def test_dedup_cut_corpus_matches_brute(ray_session, docs):
+    from collections import Counter
+
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_dedup_cut_corpus
+
+    K = 8
+    sites = Counter()
+    words_per_doc = {}
+    for doc_id, txt in zip(docs.doc_id, docs.text):
+        w = txt.split(" ")
+        words_per_doc[doc_id] = w
+        sites.update(" ".join(w[i : i + K]) for i in range(max(len(w) - K + 1, 0)))
+    want = {}
+    for doc_id, w in words_per_doc.items():
+        cut = np.zeros(len(w), bool)
+        for i in range(max(len(w) - K + 1, 0)):
+            if sites[" ".join(w[i : i + K])] >= 2:
+                cut[i : i + K] = True
+        kept = [x for x, c in zip(w, cut) if not c]
+        if kept:
+            want[doc_id] = (len(kept), " ".join(kept))
+    out = _df(q_dedup_cut_corpus(SF))
+    got = dict(zip(out.doc_id, zip(out.kept_words, out.text_clean)))
+    assert got == want
+    # fully-duplicated documents vanish; others shrink or stay
+    assert len(want) < len(docs)
+    # no duplicated 8-gram SURVIVES across the cleaned corpus... except grams
+    # newly formed at cut seams — verify the original dup grams are gone
+    clean_sites = Counter()
+    for _, (_, txt) in want.items():
+        w = txt.split(" ")
+        clean_sites.update(
+            " ".join(w[i : i + K]) for i in range(max(len(w) - K + 1, 0))
+        )
+    originally_dup = {g for g, c in sites.items() if c >= 2}
+    assert not (originally_dup & set(clean_sites))

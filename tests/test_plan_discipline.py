@@ -77,6 +77,8 @@ EXPECTED = {
     "stay_points": 1,            # one hash sort per track key
     "incremental_agg": 2,        # delta partial groupby + base∪delta merge
     #                              (base view aggregate is a one-time side pass)
+    "dedup_cut_corpus": 0,       # dup-fingerprint set is an eager side pass +
+    #                              broadcast; the cut/rebuild scan is shuffle-free
 }
 
 
