@@ -2514,3 +2514,110 @@ def q_dedup_cut_corpus(sf_dir: str):
         )
 
     return ds.map_batches(rebuild, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# vocabulary encoding: dense frequency-rank token ids
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vocab_encode",
+    """
+    WITH vf AS (SELECT word, COUNT(*) AS f FROM
+                  (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                GROUP BY word)
+    SELECT word, CAST(f AS BIGINT) AS f,
+           ROW_NUMBER() OVER (ORDER BY f DESC, word) - 1 AS token_id
+    FROM vf
+    """,
+)
+def q_vocab_encode(sf_dir: str):
+    """Tokenizer vocabulary finalization: dense token ids assigned by corpus
+    frequency rank (most frequent = id 0, ties lexicographic) — the id table
+    every downstream encode pass broadcasts. Corpus folds to (word, freq) with
+    the dictionary combiner (vocabulary shuffles, never text); the rank is the
+    no-collect zip_with_index block scan over the frequency-sorted vocab —
+    same machinery as zorder_layout, applied to the vocab table."""
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["text"])
+
+    def word_freq(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        enc = words.values.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        n = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table({"word": enc.dictionary, "f": pa.array(n)})
+
+    vocab = (
+        ds.map_batches(word_freq, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("f", alias_name="f"))
+        .sort(["f", "word"], descending=[True, False])
+    )
+    return SHF.zip_with_index(vocab, index_col="token_id")
+
+
+# ---------------------------------------------------------------------------
+# multi-resolution count pyramid over the cell grid (one pass)
+# ---------------------------------------------------------------------------
+
+_PYR_LEVELS = (0, 2, 4)  # grid shift per level (1x, 4x, 16x coarser per axis)
+
+
+@query(
+    "count_pyramid",
+    f"""
+    WITH pts AS ({TP.SQL_NODE_LATLON}),
+    cc AS (SELECT
+             LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * {_NROWS}) AS BIGINT), 0),
+                   {_NROWS - 1}) AS r,
+             (((CAST(FLOOR((lon + 180.0) / 360.0 * {_NCOLS}) AS BIGINT) % {_NCOLS})
+               + {_NCOLS}) % {_NCOLS}) AS c
+           FROM pts),
+    l AS (SELECT 0 AS lvl, r, c FROM cc
+          UNION ALL SELECT 2, r // 4, c // 4 FROM cc
+          UNION ALL SELECT 4, r // 16, c // 16 FROM cc)
+    SELECT lvl, r AS cell_row, c AS cell_col, COUNT(*) AS n
+    FROM l GROUP BY lvl, r, c
+    """,
+)
+def q_count_pyramid(sf_dir: str):
+    """Multi-resolution density pyramid (the vector-count sibling of
+    raster_pyramid): per-cell point counts at three zoom levels, built in ONE
+    pass — each batch emits combined (level, cell, partial_n) rows for all
+    levels at once (the coarser levels are bit-shifts of the same key, nearly
+    free), one value-domain groupby merges. The heatmap-tile serving layout at
+    every web-map zoom, without re-scanning points per level."""
+    from ray.data.aggregate import Sum
+
+    ds = TP.nodes_dataset(sf_dir)
+
+    def fold(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        r = np.clip(np.floor((lat + 90.0) / 180.0 * _NROWS).astype(np.int64), 0, _NROWS - 1)
+        c = np.floor((lon + 180.0) / 360.0 * _NCOLS).astype(np.int64) % _NCOLS
+        lvls, rows, cols, ns = [], [], [], []
+        for s in _PYR_LEVELS:
+            key = (r >> s) * _NCOLS + (c >> s)
+            uk, n = np.unique(key, return_counts=True)
+            lvls.append(np.full(len(uk), s, np.int64))
+            rows.append(uk // _NCOLS)
+            cols.append(uk % _NCOLS)
+            ns.append(n.astype(np.int64))
+        return pa.table(
+            {"lvl": pa.array(np.concatenate(lvls)),
+             "cell_row": pa.array(np.concatenate(rows)),
+             "cell_col": pa.array(np.concatenate(cols)),
+             "n": pa.array(np.concatenate(ns))}
+        )
+
+    return (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["lvl", "cell_row", "cell_col"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

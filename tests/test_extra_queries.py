@@ -877,3 +877,59 @@ def test_dedup_cut_corpus_matches_brute(ray_session, docs):
         )
     originally_dup = {g for g, c in sites.items() if c >= 2}
     assert not (originally_dup & set(clean_sites))
+
+
+def test_vocab_encode_rank_order(ray_session, docs):
+    from collections import Counter
+
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_vocab_encode
+
+    vf = Counter()
+    for txt in docs.text:
+        vf.update(txt.split(" "))
+    want = sorted(vf.items(), key=lambda kv: (-kv[1], kv[0]))
+    out = _df(q_vocab_encode(SF)).sort_values("token_id").reset_index(drop=True)
+    assert list(zip(out.word, out.f)) == want
+    assert (out.token_id.values == np.arange(len(want))).all()
+
+
+def test_count_pyramid_levels_consistent(ray_session):
+    from augdiff_pipeline_ray.pipelines.extra_queries import (
+        _PYR_LEVELS,
+        q_count_pyramid,
+    )
+
+    out = _df(q_count_pyramid(SF))
+    lv = {s: out[out.lvl == s] for s in _PYR_LEVELS}
+    total = lv[0].n.sum()
+    for s in _PYR_LEVELS:
+        assert lv[s].n.sum() == total  # every level is a partition of the points
+    # each coarse cell's count equals the sum of its children at the finer level
+    fine = lv[0].set_index(["cell_row", "cell_col"]).n
+    coarse = lv[2]
+    for _, row in coarse.head(40).iterrows():
+        kids = fine[
+            (fine.index.get_level_values(0) // 4 == row.cell_row)
+            & (fine.index.get_level_values(1) // 4 == row.cell_col)
+        ]
+        assert kids.sum() == row.n
+
+
+def test_spans_and_cut_agree(ray_session, docs):
+    """Cross-operator consistency: the words dedup_cut_corpus removes are
+    exactly the union of duplicate_spans' spans."""
+    from augdiff_pipeline_ray.pipelines.extra_queries import (
+        q_dedup_cut_corpus,
+        q_duplicate_spans,
+    )
+
+    spans = _df(q_duplicate_spans(SF))
+    cut_w = spans.assign(w=spans.span_end - spans.span_start).groupby("doc_id").w.sum()
+    nwords = {d: len(t.split(" ")) for d, t in zip(docs.doc_id, docs.text)}
+    out = _df(q_dedup_cut_corpus(SF)).set_index("doc_id")
+    for d, n in nwords.items():
+        expect = n - int(cut_w.get(d, 0))
+        if expect == 0:
+            assert d not in out.index  # fully-duplicated doc vanished
+        else:
+            assert out.loc[d, "kept_words"] == expect

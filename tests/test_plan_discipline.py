@@ -79,6 +79,9 @@ EXPECTED = {
     #                              (base view aggregate is a one-time side pass)
     "dedup_cut_corpus": 0,       # dup-fingerprint set is an eager side pass +
     #                              broadcast; the cut/rebuild scan is shuffle-free
+    "vocab_encode": 0,           # vocab groupby+sort are eager side passes;
+    #                              final plan = stamped-block map (zip_with_index)
+    "count_pyramid": 1,          # all three levels fold in one pass, one groupby
 }
 
 
