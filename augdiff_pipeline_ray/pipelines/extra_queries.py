@@ -2621,3 +2621,128 @@ def q_count_pyramid(sf_dir: str):
         .groupby(["lvl", "cell_row", "cell_col"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# vector-column profiling: per-dimension statistics of the embedding column
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_stats",
+    """
+    WITH e AS (SELECT unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS dim
+               FROM embeddings)
+    SELECT dim - 1 AS dim, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_micro,
+           MIN(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS min_micro,
+           MAX(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS max_micro
+    FROM e GROUP BY dim
+    """,
+)
+def q_embedding_stats(sf_dir: str):
+    """Per-dimension profiling of the vector column (count / fixed-point sum /
+    min / max per embedding dimension) — the drift/normalization check run
+    before any ANN index build trusts its vectors. Each batch reads the
+    list<float> column zero-copy (offsets + flat values buffer), reshapes to
+    (rows, dim), and folds straight to ONE 64-row partial per batch (dim-
+    cardinality) — the groupby merges per-dimension rows, never a vector. The
+    ragged-length generalization (validate first!) uses the same flat-values
+    fold keyed by position-within-list."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "embeddings"), columns=["embedding"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        widths = np.diff(off)
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(widths) == 0:
+            return pa.table({"dim": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+                             "sum_micro": pa.array([], pa.int64()),
+                             "min_micro": pa.array([], pa.int64()),
+                             "max_micro": pa.array([], pa.int64())})
+        d = int(widths[0])
+        assert (widths == d).all(), "ragged embedding lengths"
+        m = np.floor(vals * 1_000_000).astype(np.int64).reshape(-1, d)
+        return pa.table(
+            {"dim": pa.array(np.arange(d, dtype=np.int64)),
+             "n": pa.array(np.full(d, m.shape[0], np.int64)),
+             "sum_micro": pa.array(m.sum(0)),
+             "min_micro": pa.array(m.min(0)),
+             "max_micro": pa.array(m.max(0))}
+        )
+
+    return (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_micro", alias_name="sum_micro"),
+                   Min("min_micro", alias_name="min_micro"),
+                   Max("max_micro", alias_name="max_micro"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# trajectory profile: every per-track feature in ONE shuffle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "track_profile",
+    f"""
+    WITH pts AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ((o_orderkey * {_TRK_XMUL}) % {_TRK_XMOD}) / 100.0 - 180.0 AS x,
+             ((o_orderkey * {_TRK_YMUL}) % {_TRK_YMOD}) / 100.0 - 90.0 AS y
+      FROM orders),
+    seq AS (
+      SELECT o_custkey, x, y,
+             lag(x) OVER w AS px, lag(y) OVER w AS py,
+             COALESCE(lead(x) OVER w, first_value(x) OVER w) AS nx,
+             COALESCE(lead(y) OVER w, first_value(y) OVER w) AS ny
+      FROM pts
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+    SELECT o_custkey, COUNT(*) AS n_points,
+           CAST(COALESCE(SUM(CAST(floor(
+             sqrt((x-px)*(x-px) + (y-py)*(y-py)) * 1000000 + 0.5) AS BIGINT)), 0)
+             AS BIGINT) AS track_microdeg,
+           CAST(SUM(CAST(floor((x * ny - nx * y) * 1000000 + 0.5) AS BIGINT))
+             AS BIGINT) AS area2_micro
+    FROM seq GROUP BY o_custkey
+    """,
+)
+def q_track_profile(sf_dir: str):
+    """Trajectory feature profile: length AND closed-ring area per track from
+    ONE hash shuffle + one per-group kernel — the composition argument made
+    executable: computing track features as separate queries shuffles the
+    trajectory table once per feature; a real pipeline derives them all in one
+    pass (track_length / track_area / stay_points / douglas_peucker each pin
+    their own semantics; this is the fused production shape)."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "orders"), columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+
+    def profile(grp: pd.DataFrame) -> pd.DataFrame:
+        ok = grp["o_orderkey"].to_numpy(np.int64)
+        dt = grp["o_orderdate"].to_numpy()
+        o = np.lexsort((ok, dt))
+        ok = ok[o]
+        x = (ok * _TRK_XMUL % _TRK_XMOD) / 100.0 - 180.0
+        y = (ok * _TRK_YMUL % _TRK_YMOD) / 100.0 - 90.0
+        dx, dy = np.diff(x), np.diff(y)
+        seg = np.floor(np.sqrt(dx * dx + dy * dy) * 1e6 + 0.5).astype(np.int64)
+        nx, ny = np.roll(x, -1), np.roll(y, -1)
+        cross = np.floor((x * ny - nx * y) * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {"o_custkey": [int(grp["o_custkey"].iloc[0])],
+             "n_points": np.array([len(ok)], np.int64),
+             "track_microdeg": np.array([seg.sum()], np.int64),
+             "area2_micro": np.array([cross.sum()], np.int64)}
+        )
+
+    return ds.groupby("o_custkey").map_groups(profile, batch_format="pandas")

@@ -933,3 +933,32 @@ def test_spans_and_cut_agree(ray_session, docs):
             assert d not in out.index  # fully-duplicated doc vanished
         else:
             assert out.loc[d, "kept_words"] == expect
+
+
+def test_embedding_stats_matches_brute(ray_session):
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_embedding_stats
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    m = np.floor(
+        np.stack(emb["embedding"].to_pylist()).astype(np.float64) * 1_000_000
+    ).astype(np.int64)
+    out = _df(q_embedding_stats(SF)).set_index("dim").sort_index()
+    assert (out.n.values == m.shape[0]).all()
+    assert (out.sum_micro.values == m.sum(0)).all()
+    assert (out.min_micro.values == m.min(0)).all()
+    assert (out.max_micro.values == m.max(0)).all()
+
+
+def test_track_profile_fuses_length_and_area(ray_session):
+    from augdiff_pipeline_ray.pipelines.extra_queries import (
+        q_track_area,
+        q_track_length,
+        q_track_profile,
+    )
+
+    prof = _df(q_track_profile(SF)).set_index("o_custkey").sort_index()
+    length = _df(q_track_length(SF)).set_index("o_custkey").sort_index()
+    area = _df(q_track_area(SF)).set_index("o_custkey").sort_index()
+    assert (prof.n_points.values == length.n_points.values).all()
+    assert (prof.track_microdeg.values == length.track_microdeg.values).all()
+    assert (prof.area2_micro.values == area.area2_micro.values).all()

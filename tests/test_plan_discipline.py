@@ -82,6 +82,8 @@ EXPECTED = {
     "vocab_encode": 0,           # vocab groupby+sort are eager side passes;
     #                              final plan = stamped-block map (zip_with_index)
     "count_pyramid": 1,          # all three levels fold in one pass, one groupby
+    "embedding_stats": 1,        # dim-cardinality partials, one 64-row groupby
+    "track_profile": 1,          # length + area fused into ONE track-key shuffle
 }
 
 
