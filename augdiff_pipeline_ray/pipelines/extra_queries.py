@@ -2746,3 +2746,92 @@ def q_track_profile(sf_dir: str):
         )
 
     return ds.groupby("o_custkey").map_groups(profile, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact join-cardinality statistic (planner-style, computed without the join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_cardinality",
+    """
+    WITH a AS (SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey),
+    b AS (SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+    SELECT CAST(SUM(a.n * b.n) AS BIGINT) AS join_rows,
+           CAST(COUNT(*) AS BIGINT) AS matched_keys
+    FROM a JOIN b ON a.k = b.k
+    """,
+)
+def q_join_cardinality(sf_dir: str):
+    """Exact join-size statistic WITHOUT running the join (the planner input
+    that decides broadcast-vs-shuffle-vs-salt): |A ⨝ B| = Σ_k cntA(k)·cntB(k).
+    Both sides fold to per-key count tables with batch combiners (only
+    (key, n) pairs shuffle — key-cardinality, not row), the count tables hash
+    join, and a per-batch dot-product partial sums to two scalars. The CMS
+    inner-product estimate (functions/sketch.py) is the sketch of this same
+    quantity when even the key set is too large; this is the exact path."""
+    from ray.data.aggregate import Sum
+    from ..stages.closure import default_join_partitions
+
+    def counts(path: str, col: str) -> rd.Dataset:
+        ds = SRC.read_parquet_clean(path, columns=[col])
+
+        def partial(t: pa.Table) -> pa.Table:
+            uk, n = np.unique(t[col].to_numpy(zero_copy_only=False), return_counts=True)
+            return pa.table({"k": pa.array(uk.astype(np.int64)),
+                             "n": pa.array(n.astype(np.int64))})
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(Sum("n", alias_name="n"))
+        )
+
+    a = counts(TP._p(sf_dir, "lineitem"), "l_orderkey")
+    b = counts(TP._p(sf_dir, "orders"), "o_orderkey").rename_columns({"n": "nb"})
+    j = a.join(b, join_type="inner", num_partitions=default_join_partitions(), on=("k",))
+
+    def dot(t: pa.Table) -> pa.Table:
+        na = t["n"].to_numpy(zero_copy_only=False)
+        nb = t["nb"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"join_rows": pa.array([int((na * nb).sum())]),
+             "matched_keys": pa.array([len(t)], pa.int64())}
+        )
+
+    agg = j.map_batches(dot, batch_format="pyarrow").aggregate(
+        Sum("join_rows", alias_name="join_rows"),
+        Sum("matched_keys", alias_name="matched_keys"),
+    )  # two scalars to the driver — the statistic, not the data
+    return pa.table(
+        {"join_rows": pa.array([int(agg["join_rows"])]),
+         "matched_keys": pa.array([int(agg["matched_keys"])])}
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide pixel histogram (image-column profiling in the decode actors)
+# ---------------------------------------------------------------------------
+
+
+@query("pixel_histogram")  # pixel values come from the codec — not SQL-expressible;
+# rows-only driver check, exact equality vs a local decode pytest-pinned
+def q_pixel_histogram(sf_dir: str):
+    """Image-corpus profiling: the global 16-bin intensity histogram per RGB
+    channel across every tile — the pixels-side sibling of embedding_stats /
+    profile_table (the normalization check before any vision model consumes the
+    corpus). PixelHistogram decode actors fold each tile to 48 int64s and each
+    BATCH to one 48-row partial; pixels never leave the actor, and the groupby
+    merges 48-row partials regardless of corpus size."""
+    from ray.data.aggregate import Sum
+
+    from .. import georef
+    from ..stages import raster as RAS
+
+    t = TP.images_from_documents(sf_dir)
+    part = rd.from_arrow(pa.table({"bytes": t["bytes"]})).map_batches(
+        RAS.PixelHistogram, batch_format="pyarrow", batch_size=64,
+        concurrency=2, num_cpus=1,
+    )
+    return part.groupby(["channel", "bin"]).aggregate(Sum("n_px", alias_name="n_px"))

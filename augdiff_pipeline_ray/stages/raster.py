@@ -103,3 +103,29 @@ class ZonalSums:
                 "sum_b": pa.array(sums[:, 2]),
             }
         )
+
+
+class PixelHistogram:
+    """Actor-pool decode stage for corpus-wide pixel statistics: per tile, a
+    16-bin histogram per RGB channel (int64 counts) — one 48-value partial row
+    per tile; pixels never leave the actor. Downstream is a (channel, bin)
+    groupby-sum of 48-row partials."""
+
+    BINS = 16
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = len(t)
+        hists = np.zeros((n, 3, self.BINS), np.int64)
+        for i, blob in enumerate(t["bytes"]):
+            px, _ = IMG.decode(blob.as_py())
+            flat = px.reshape(-1, 3) >> 4  # 256 -> 16 bins
+            for ch in range(3):
+                hists[i, ch] = np.bincount(flat[:, ch], minlength=self.BINS)
+        # fold the batch to one row per (channel, bin)
+        batch = hists.sum(axis=0)  # (3, BINS)
+        ch = np.repeat(np.arange(3, dtype=np.int64), self.BINS)
+        bins = np.tile(np.arange(self.BINS, dtype=np.int64), 3)
+        return pa.table(
+            {"channel": pa.array(ch), "bin": pa.array(bins),
+             "n_px": pa.array(batch.reshape(-1))}
+        )

@@ -962,3 +962,34 @@ def test_track_profile_fuses_length_and_area(ray_session):
     assert (prof.n_points.values == length.n_points.values).all()
     assert (prof.track_microdeg.values == length.track_microdeg.values).all()
     assert (prof.area2_micro.values == area.area2_micro.values).all()
+
+
+def test_join_cardinality_matches_actual_join(ray_session):
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_join_cardinality
+
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey"]).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey"]).to_pandas()
+    actual = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    out = _df(q_join_cardinality(SF))
+    assert out.join_rows.iloc[0] == len(actual)
+    assert out.matched_keys.iloc[0] == actual.l_orderkey.nunique()
+
+
+def test_pixel_histogram_matches_local_decode(ray_session):
+    from augdiff_pipeline_ray.functions import image as IMG
+    from augdiff_pipeline_ray.pipelines import tpch as TP
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_pixel_histogram
+
+    t = TP.images_from_documents(SF)
+    want = np.zeros((3, 16), np.int64)
+    for blob in t["bytes"]:
+        px, _ = IMG.decode(blob.as_py())
+        flat = px.reshape(-1, 3) >> 4
+        for ch in range(3):
+            want[ch] += np.bincount(flat[:, ch], minlength=16)
+    out = _df(q_pixel_histogram(SF))
+    got = np.zeros((3, 16), np.int64)
+    for _, row in out.iterrows():
+        got[row.channel, row.bin] = row.n_px
+    assert (got == want).all()
+    assert want.sum() > 0

@@ -84,6 +84,7 @@ EXPECTED = {
     "count_pyramid": 1,          # all three levels fold in one pass, one groupby
     "embedding_stats": 1,        # dim-cardinality partials, one 64-row groupby
     "track_profile": 1,          # length + area fused into ONE track-key shuffle
+    "pixel_histogram": 1,        # 48-row partials per batch, one tiny groupby
 }
 
 
