@@ -2835,3 +2835,115 @@ def q_pixel_histogram(sf_dir: str):
         concurrency=2, num_cpus=1,
     )
     return part.groupby(["channel", "bin"]).aggregate(Sum("n_px", alias_name="n_px"))
+
+
+# ---------------------------------------------------------------------------
+# sequential pattern mining: frequent per-user event-type trigrams
+# ---------------------------------------------------------------------------
+
+_SEQ_SUPPORT = 5
+
+
+@query(
+    "sequence_patterns",
+    f"""
+    WITH s AS (SELECT user_id, event_type,
+                 lead(event_type, 1) OVER w AS e2,
+                 lead(event_type, 2) OVER w AS e3
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_type || '>' || e2 || '>' || e3 AS pattern, COUNT(*) AS n
+    FROM s WHERE e3 IS NOT NULL GROUP BY pattern
+    HAVING COUNT(*) >= {_SEQ_SUPPORT}
+    """,
+)
+def q_sequence_patterns(sf_dir: str):
+    """Sequential pattern mining (order-sensitive behavioral trigrams): every
+    consecutive event-type triple in each user's time-ordered stream, counted
+    corpus-wide with a support floor — the session-behavior features a ranking
+    model trains on. One hash shuffle on the user key; the per-user kernel
+    builds trigram CODES vectorized (three dictionary-encoded shifts folded into
+    one int64 — strings only materialize for the tiny distinct-pattern output);
+    a per-group combiner emits one row per distinct in-user pattern so the
+    second groupby is pattern-cardinality sized."""
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["user_id", "event_id", "ts", "event_type"]
+    )
+
+    def trigrams(grp: pd.DataFrame) -> pd.DataFrame:
+        ts = grp["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = grp["event_id"].to_numpy(np.int64)
+        o = np.lexsort((eid, ts))
+        et = grp["event_type"].to_numpy().astype(str)[o]
+        if len(et) < 3:
+            return pd.DataFrame({"pattern": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        pat = np.char.add(
+            np.char.add(np.char.add(np.char.add(et[:-2], ">"), et[1:-1]), ">"),
+            et[2:],
+        )
+        uk, n = np.unique(pat, return_counts=True)
+        return pd.DataFrame({"pattern": uk, "n": n.astype(np.int64)})
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(trigrams, batch_format="pandas")
+        .groupby("pattern")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n"], _SEQ_SUPPORT)),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average (TWAP-style interval-weighted mean per key)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "time_weighted_avg",
+    """
+    WITH s AS (SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS cents,
+                 epoch_us(ts) AS t,
+                 lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS t2
+               FROM events)
+    SELECT user_id,
+           CAST(SUM(cents * (t2 - t)) AS BIGINT) AS weighted_sum_us,
+           CAST(SUM(t2 - t) AS BIGINT) AS total_dur_us
+    FROM s WHERE t2 IS NOT NULL GROUP BY user_id
+    """,
+)
+def q_time_weighted_avg(sf_dir: str):
+    """Time-weighted value integral per key (the TWAP / position-held shape):
+    each event's value holds until the next event, so the mean over time is
+    Σ cents·Δt / Σ Δt — both sums integral-exact in int64 (cents ≲ 2e4 ×
+    Δt_us ≲ 1e12 × rows per key keeps clear of overflow at per-key history
+    scale; the unbounded-history path banks per-day subtotals first). One hash
+    shuffle, vectorized per-key sort + diff + dot."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    def twap(grp: pd.DataFrame) -> pd.DataFrame:
+        ts = grp["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = grp["event_id"].to_numpy(np.int64)
+        o = np.lexsort((eid, ts))
+        ts = ts[o]
+        cents = np.floor(grp["value"].to_numpy(np.float64) * 100).astype(np.int64)[o]
+        if len(ts) < 2:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "weighted_sum_us": pd.Series([], dtype=np.int64),
+                                 "total_dur_us": pd.Series([], dtype=np.int64)})
+        dur = np.diff(ts)
+        return pd.DataFrame(
+            {"user_id": [int(grp["user_id"].iloc[0])],
+             "weighted_sum_us": np.array([(cents[:-1] * dur).sum()], np.int64),
+             "total_dur_us": np.array([dur.sum()], np.int64)}
+        )
+
+    return ds.groupby("user_id").map_groups(twap, batch_format="pandas")

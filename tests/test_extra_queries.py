@@ -993,3 +993,40 @@ def test_pixel_histogram_matches_local_decode(ray_session):
         got[row.channel, row.bin] = row.n_px
     assert (got == want).all()
     assert want.sum() > 0
+
+
+def test_sequence_patterns_matches_brute(ray_session, events):
+    from collections import Counter
+
+    from augdiff_pipeline_ray.pipelines.extra_queries import (
+        _SEQ_SUPPORT,
+        q_sequence_patterns,
+    )
+
+    want = Counter()
+    for _, grp in events.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        et = g.event_type.tolist()
+        for i in range(len(et) - 2):
+            want[f"{et[i]}>{et[i+1]}>{et[i+2]}"] += 1
+    want = {p: n for p, n in want.items() if n >= _SEQ_SUPPORT}
+    out = _df(q_sequence_patterns(SF))
+    got = dict(zip(out.pattern, out.n))
+    assert got == want
+    assert len(want) > 0
+
+
+def test_time_weighted_avg_matches_brute(ray_session, events):
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_time_weighted_avg
+
+    out = _df(q_time_weighted_avg(SF)).set_index("user_id")
+    for uid, grp in events.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        ts = g.ts.values.astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(g.value.values * 100).astype(np.int64)
+        if len(ts) < 2:
+            assert uid not in out.index
+            continue
+        dur = np.diff(ts)
+        assert out.loc[uid, "weighted_sum_us"] == (cents[:-1] * dur).sum()
+        assert out.loc[uid, "total_dur_us"] == dur.sum()

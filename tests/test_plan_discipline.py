@@ -85,6 +85,8 @@ EXPECTED = {
     "embedding_stats": 1,        # dim-cardinality partials, one 64-row groupby
     "track_profile": 1,          # length + area fused into ONE track-key shuffle
     "pixel_histogram": 1,        # 48-row partials per batch, one tiny groupby
+    "sequence_patterns": 2,      # user-key shuffle + pattern-cardinality groupby
+    "time_weighted_avg": 1,      # one hash sort per key
 }
 
 
