@@ -2947,3 +2947,116 @@ def q_time_weighted_avg(sf_dir: str):
         )
 
     return ds.groupby("user_id").map_groups(twap, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# BFS depth labeling from a seed set (bounded-depth graph traversal)
+# ---------------------------------------------------------------------------
+
+_BFS_DEPTH = 2
+
+
+@query(
+    "bfs_depths",
+    f"""
+    WITH RECURSIVE top3 AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_quantity DESC, l_partkey, l_linenumber) AS rk
+        FROM lineitem)
+      WHERE rk <= 3
+    ),
+    eu AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+           FROM top3 a JOIN top3 b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey),
+    seed AS (SELECT p_partkey AS v FROM part WHERE p_partkey % 97 = 1),
+    walk(v, d) AS (
+      SELECT v, 0 FROM seed
+      UNION ALL
+      SELECT eu.y, walk.d + 1 FROM walk JOIN eu ON eu.x = walk.v
+      WHERE walk.d < {_BFS_DEPTH}
+    )
+    SELECT v AS partkey, CAST(MIN(d) AS BIGINT) AS depth FROM walk GROUP BY v
+    """,
+)
+def q_bfs_depths(sf_dir: str):
+    """Bounded-depth BFS from a seed set over the co-order graph: minimum hop
+    distance (<= {depth}) from any seed — the expand-by-frontier traversal the
+    reference's 2-hop closure query special-cases, generalized. Each round is
+    one hash join (frontier ⨝ edges) + a vectorized already-visited filter
+    against the broadcast visited set (vertex-cardinality — the depth-d
+    frontier table at truly unbounded vertex counts keeps visited as a dataset
+    and anti-joins, same rounds). The oracle's recursive CTE enumerates every
+    path and MINs; the engine never materializes paths — frontiers only."""
+    from ray.data.aggregate import Count
+    from ..stages.closure import default_join_partitions
+
+    import pyarrow.parquet as _pq
+
+    np_j = default_join_partitions()
+    li = SRC.read_parquet_clean(
+        TP._p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_quantity", "l_linenumber"],
+    )
+
+    def pairs(grp: pa.Table) -> pa.Table:
+        q = grp["l_quantity"].to_numpy(zero_copy_only=False)
+        pk = grp["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = grp["l_linenumber"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((ln, pk, -q))[:3]
+        sel = np.unique(pk[o])
+        if len(sel) < 2:
+            return pa.table({"x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        i, j = np.triu_indices(len(sel), k=1)
+        # undirected: emit both orientations
+        return pa.table(
+            {"x": pa.array(np.concatenate([sel[i], sel[j]])),
+             "y": pa.array(np.concatenate([sel[j], sel[i]]))}
+        )
+
+    edges = (
+        li.groupby("l_orderkey")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Count(alias_name="m"))
+        .select_columns(["x", "y"])
+        .materialize()  # joined once per BFS round
+    )
+
+    pk = _pq.read_table(TP._p(sf_dir, "part"), columns=["p_partkey"])[
+        "p_partkey"
+    ].to_numpy(zero_copy_only=False).astype(np.int64)
+    seeds = np.sort(pk[pk % 97 == 1])
+
+    out = [pa.table({"partkey": pa.array(seeds),
+                     "depth": pa.array(np.zeros(len(seeds), np.int64))})]
+    visited = seeds
+    frontier = rd.from_arrow(pa.table({"x": pa.array(seeds)}))
+    for d in range(1, _BFS_DEPTH + 1):
+        vis_ref = ray.put(visited)
+
+        def expand(t: pa.Table, _vr=vis_ref) -> pa.Table:
+            vis = ray.get(_vr)
+            y = t["y"].to_numpy(zero_copy_only=False)
+            uy = np.unique(y)
+            idx = np.minimum(np.searchsorted(vis, uy), len(vis) - 1)
+            return pa.table({"x": pa.array(uy[vis[idx] != uy])})
+
+        nxt = (
+            frontier.join(edges, join_type="inner", num_partitions=np_j, on=("x",))
+            .select_columns(["y"])
+            .map_batches(expand, batch_format="pyarrow")
+            .groupby("x")
+            .aggregate(Count(alias_name="c"))
+            .select_columns(["x"])
+        )
+        nxt_keys = np.sort(nxt.to_pandas()["x"].to_numpy(np.int64))
+        if len(nxt_keys) == 0:
+            break
+        out.append(pa.table({"partkey": pa.array(nxt_keys),
+                             "depth": pa.array(np.full(len(nxt_keys), d, np.int64))}))
+        visited = np.union1d(visited, nxt_keys)
+        frontier = rd.from_arrow(pa.table({"x": pa.array(nxt_keys)}))
+    return pa.concat_tables(out)

@@ -1030,3 +1030,37 @@ def test_time_weighted_avg_matches_brute(ray_session, events):
         dur = np.diff(ts)
         assert out.loc[uid, "weighted_sum_us"] == (cents[:-1] * dur).sum()
         assert out.loc[uid, "total_dur_us"] == dur.sum()
+
+
+def test_bfs_depths_matches_brute(ray_session):
+    from augdiff_pipeline_ray.pipelines.extra_queries import _BFS_DEPTH, q_bfs_depths
+
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    adj: dict[int, set] = {}
+    for _, grp in li.groupby("l_orderkey"):
+        top = grp.sort_values(
+            ["l_quantity", "l_partkey", "l_linenumber"],
+            ascending=[False, True, True],
+        ).head(3)
+        pks = sorted(set(top.l_partkey))
+        for i in range(len(pks)):
+            for j in range(len(pks)):
+                if i != j:
+                    adj.setdefault(pks[i], set()).add(pks[j])
+    part = pq.read_table(f"{SF}/part.parquet", columns=["p_partkey"]).to_pandas()
+    seeds = [p for p in part.p_partkey if p % 97 == 1]
+    depth = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for d in range(1, _BFS_DEPTH + 1):
+        nxt = set()
+        for v in frontier:
+            for u in adj.get(v, ()):
+                if u not in depth:
+                    nxt.add(u)
+        for u in nxt:
+            depth[u] = d
+        frontier = nxt
+    out = _df(q_bfs_depths(SF))
+    got = dict(zip(out.partkey, out.depth))
+    assert got == depth
+    assert max(depth.values()) == _BFS_DEPTH  # traversal actually expands
