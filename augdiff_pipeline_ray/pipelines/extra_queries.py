@@ -3060,3 +3060,159 @@ def q_bfs_depths(sf_dir: str):
         visited = np.union1d(visited, nxt_keys)
         frontier = rd.from_arrow(pa.table({"x": pa.array(nxt_keys)}))
     return pa.concat_tables(out)
+
+
+# ---------------------------------------------------------------------------
+# co-visitation top-k (item2item recommender table)
+# ---------------------------------------------------------------------------
+
+_COVIS_K = 3
+
+
+@query(
+    "covisitation_topk",
+    f"""
+    WITH e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS n
+          FROM e a JOIN e b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey)
+    SELECT x AS partkey, y AS partner, CAST(n AS BIGINT) AS n, rk FROM (
+      SELECT x, y, n, ROW_NUMBER() OVER (PARTITION BY x ORDER BY n DESC, y) AS rk
+      FROM p)
+    WHERE rk <= {_COVIS_K}
+    """,
+)
+def q_covisitation_topk(sf_dir: str):
+    """Item2item co-visitation table (the classic candidate-generation
+    recommender): for each item, its top-k most co-ordered partners by basket
+    count (ties by partner id). Basket pairs (both orientations) count in one
+    (x, y) groupby; the per-item top-k then uses the exact-top-k-is-a-
+    semilattice combiner — each batch emits at most k rows per item seen
+    (vectorized lexsort + boundary mask) and the final per-item selection runs
+    over candidates only."""
+    from ray.data.aggregate import Count
+
+    li = SRC.read_parquet_clean(
+        TP._p(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+
+    def item_partials(t: pa.Table) -> pa.Table:
+        arr = np.stack(
+            [t["l_orderkey"].to_numpy(zero_copy_only=False),
+             t["l_partkey"].to_numpy(zero_copy_only=False)], axis=1
+        )
+        uniq = np.unique(arr, axis=0)
+        return pa.table({"l_orderkey": pa.array(uniq[:, 0]),
+                         "l_partkey": pa.array(uniq[:, 1])})
+
+    def pairs(grp: pa.Table) -> pa.Table:
+        pk = np.unique(grp["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+        if len(pk) < 2:
+            return pa.table({"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())})
+        i, j = np.triu_indices(len(pk), k=1)
+        return pa.table(
+            {"x": pa.array(np.concatenate([pk[i], pk[j]])),
+             "y": pa.array(np.concatenate([pk[j], pk[i]]))}
+        )
+
+    counts = (
+        li.map_batches(item_partials, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def candidates(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((y, -n, x))
+        xs = x[o]
+        newgrp = np.concatenate([[True], xs[1:] != xs[:-1]])
+        grp_start = np.repeat(
+            np.flatnonzero(newgrp),
+            np.diff(np.append(np.flatnonzero(newgrp), len(xs))),
+        )
+        keep = o[np.arange(len(xs)) - grp_start < _COVIS_K]
+        return pa.table({"x": t["x"].take(pa.array(keep)),
+                         "y": t["y"].take(pa.array(keep)),
+                         "n": t["n"].take(pa.array(keep))})
+
+    def final(grp: pd.DataFrame) -> pd.DataFrame:
+        y = grp["y"].to_numpy(np.int64)
+        n = grp["n"].to_numpy(np.int64)
+        o = np.lexsort((y, -n))[:_COVIS_K]
+        return pd.DataFrame(
+            {"partkey": np.full(len(o), int(grp["x"].iloc[0]), np.int64),
+             "partner": y[o], "n": n[o],
+             "rk": np.arange(1, len(o) + 1, dtype=np.int64)}
+        )
+
+    return (
+        counts.map_batches(candidates, batch_format="pyarrow")
+        .groupby("x")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# contingency lift (association strength without logs — exact in fixed point)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohort_lift",
+    """
+    WITH c AS (SELECT event_type, user_id % 4 AS cohort FROM events),
+    jo AS (SELECT event_type, cohort, COUNT(*) AS nxy FROM c GROUP BY event_type, cohort),
+    mx AS (SELECT event_type, CAST(SUM(nxy) AS BIGINT) AS nx FROM jo GROUP BY event_type),
+    my AS (SELECT cohort, CAST(SUM(nxy) AS BIGINT) AS ny FROM jo GROUP BY cohort),
+    tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM jo)
+    SELECT jo.event_type, jo.cohort, CAST(jo.nxy AS BIGINT) AS nxy,
+           CAST(floor(1000000.0 * jo.nxy * tot.n / (mx.nx * my.ny)) AS BIGINT)
+             AS lift_micro
+    FROM jo, tot
+    JOIN mx ON mx.event_type = jo.event_type
+    JOIN my ON my.cohort = jo.cohort
+    """,
+)
+def q_cohort_lift(sf_dir: str):
+    """Contingency lift (association strength of event_type × user cohort):
+    lift = P(x,y)/(P(x)P(y)) in exact fixed point — the log-free sibling of
+    mutual information (identical single-division IEEE arithmetic on both
+    engines; the MI variant needs only a log kernel with a documented ulp
+    caveat). One (x, y) combiner groupby; the margins derive from the tiny
+    joint table on the driver and the lift stamps in-place — contingency-
+    cardinality work end to end."""
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False).astype(str)
+        coh = (t["user_id"].to_numpy(zero_copy_only=False) % 4).astype(np.int64)
+        df = pd.DataFrame({"event_type": et, "cohort": coh})
+        g = df.groupby(["event_type", "cohort"], sort=False).size().reset_index(name="nxy")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    joint = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["event_type", "cohort"])
+        .aggregate(Sum("nxy", alias_name="nxy"))
+        .to_pandas()  # contingency-cardinality (types × 4)
+    )
+    nx = joint.groupby("event_type").nxy.sum()
+    ny = joint.groupby("cohort").nxy.sum()
+    n = int(joint.nxy.sum())
+    lift = np.floor(
+        1_000_000.0 * joint.nxy.values * n
+        / (nx[joint.event_type].values * ny[joint.cohort].values)
+    ).astype(np.int64)
+    return pa.table(
+        {"event_type": pa.array(joint.event_type.values.astype(object), pa.string()),
+         "cohort": pa.array(joint.cohort.values.astype(np.int64)),
+         "nxy": pa.array(joint.nxy.values.astype(np.int64)),
+         "lift_micro": pa.array(lift)}
+    )

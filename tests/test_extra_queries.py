@@ -1064,3 +1064,50 @@ def test_bfs_depths_matches_brute(ray_session):
     got = dict(zip(out.partkey, out.depth))
     assert got == depth
     assert max(depth.values()) == _BFS_DEPTH  # traversal actually expands
+
+
+def test_covisitation_topk_matches_brute(ray_session):
+    from collections import Counter
+
+    from augdiff_pipeline_ray.pipelines.extra_queries import (
+        _COVIS_K,
+        q_covisitation_topk,
+    )
+
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    cnt = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        pks = sorted(set(grp.l_partkey))
+        for a in pks:
+            for b in pks:
+                if a != b:
+                    cnt[(a, b)] += 1
+    want = {}
+    per_item: dict[int, list] = {}
+    for (a, b), n in cnt.items():
+        per_item.setdefault(a, []).append((-n, b))
+    for a, lst in per_item.items():
+        for rk, (negn, b) in enumerate(sorted(lst)[:_COVIS_K], 1):
+            want[(a, rk)] = (b, -negn)
+    out = _df(q_covisitation_topk(SF))
+    got = {(p, r): (q, n) for p, q, n, r in
+           zip(out.partkey, out.partner, out.n, out.rk)}
+    assert got == want
+
+
+def test_cohort_lift_matches_brute(ray_session, events):
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_cohort_lift
+
+    ev = events.assign(cohort=events.user_id % 4)
+    joint = ev.groupby(["event_type", "cohort"]).size()
+    nx = ev.groupby("event_type").size()
+    ny = ev.groupby("cohort").size()
+    n = len(ev)
+    out = _df(q_cohort_lift(SF)).set_index(["event_type", "cohort"])
+    assert len(out) == len(joint)
+    for (et, coh), nxy in joint.items():
+        row = out.loc[(et, coh)]
+        assert row.nxy == nxy
+        assert row.lift_micro == int(
+            np.floor(1_000_000.0 * nxy * n / (nx[et] * ny[coh]))
+        )

@@ -87,6 +87,7 @@ EXPECTED = {
     "pixel_histogram": 1,        # 48-row partials per batch, one tiny groupby
     "sequence_patterns": 2,      # user-key shuffle + pattern-cardinality groupby
     "time_weighted_avg": 1,      # one hash sort per key
+    "covisitation_topk": 3,      # basket shuffle + (x,y) count + candidate topk
 }
 
 
