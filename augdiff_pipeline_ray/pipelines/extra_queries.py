@@ -3216,3 +3216,121 @@ def q_cohort_lift(sf_dir: str):
          "nxy": pa.array(joint.nxy.values.astype(np.int64)),
          "lift_micro": pa.array(lift)}
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@query(
+    "k_anonymity",
+    f"""
+    SELECT event_type, cohort, hour, CAST(n AS BIGINT) AS n FROM (
+      SELECT event_type, user_id % 4 AS cohort, date_trunc('hour', ts) AS hour,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, user_id % 4, date_trunc('hour', ts))
+    WHERE n < {_KANON_K}
+    """,
+)
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit: quasi-identifier combinations (event_type × cohort ×
+    hour) whose group is smaller than k — the re-identification risk rows a privacy
+    review must suppress or generalize before a dataset ships. One combiner
+    groupby (combination-cardinality shuffle); the generalization loop
+    (coarsen a column, re-audit) re-runs the same query with a coarser key."""
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
+    )
+    hour_us = 3_600_000_000
+
+    def fold(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False).astype(str)
+        coh = (t["user_id"].to_numpy(zero_copy_only=False) % 4).astype(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        hour = (ts // hour_us) * hour_us
+        df = pd.DataFrame({"event_type": et, "cohort": coh, "hour": hour})
+        g = df.groupby(["event_type", "cohort", "hour"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["event_type", "cohort", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["n"], _KANON_K))
+        return pa.table(
+            {"event_type": t["event_type"], "cohort": t["cohort"],
+             "hour": t["hour"].cast(pa.timestamp("us")), "n": t["n"]}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact two-sample KS drift statistic (integer cross-multiplied, no division)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ks_drift",
+    """
+    WITH a AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+                      user_id % 2 AS grp FROM events),
+    h AS (SELECT cents,
+                 COUNT(*) FILTER (WHERE grp = 0) AS n0,
+                 COUNT(*) FILTER (WHERE grp = 1) AS n1
+          FROM a GROUP BY cents),
+    c AS (SELECT cents,
+                 SUM(n0) OVER (ORDER BY cents) AS c0,
+                 SUM(n1) OVER (ORDER BY cents) AS c1
+          FROM h),
+    t AS (SELECT CAST(SUM(n0) AS BIGINT) AS t0, CAST(SUM(n1) AS BIGINT) AS t1 FROM h)
+    SELECT CAST(MAX(ABS(c.c0 * t.t1 - c.c1 * t.t0)) AS BIGINT) AS ks_scaled,
+           t.t0, t.t1
+    FROM c, t GROUP BY t.t0, t.t1
+    """,
+)
+def q_ks_drift(sf_dir: str):
+    """Exact two-sample Kolmogorov–Smirnov statistic between two cohorts' value
+    distributions — the drift gate between data snapshots, computed WITHOUT
+    floats: KS = max|CDF0−CDF1| becomes max|c0·t1 − c1·t0| over the shared
+    value domain (cross-multiplied, integer-exact; divide by t0·t1 only when a
+    human reads it). Per-batch (cents, n0, n1) partials → one value-domain
+    groupby → the CDF walk runs on the merged (distinct-cents-sized) table.
+    Same frame as median_cont/quantile_bins — the value-domain histogram is
+    this engine's workhorse for exact order statistics."""
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["user_id", "value"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        grp = (t["user_id"].to_numpy(zero_copy_only=False) % 2).astype(np.int64)
+        uk, inv = np.unique(cents, return_inverse=True)
+        n0 = np.zeros(len(uk), np.int64)
+        n1 = np.zeros(len(uk), np.int64)
+        np.add.at(n0, inv, (grp == 0).astype(np.int64))
+        np.add.at(n1, inv, (grp == 1).astype(np.int64))
+        return pa.table({"cents": pa.array(uk), "n0": pa.array(n0), "n1": pa.array(n1)})
+
+    h = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("n0", alias_name="n0"), Sum("n1", alias_name="n1"))
+        .to_pandas()  # distinct-cents sized
+        .sort_values("cents")
+    )
+    c0 = h["n0"].cumsum().to_numpy()
+    c1 = h["n1"].cumsum().to_numpy()
+    t0, t1 = int(c0[-1]), int(c1[-1])
+    ks = int(np.abs(c0 * t1 - c1 * t0).max())
+    return pa.table(
+        {"ks_scaled": pa.array([ks]), "t0": pa.array([t0]), "t1": pa.array([t1])}
+    )

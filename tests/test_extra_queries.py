@@ -1111,3 +1111,39 @@ def test_cohort_lift_matches_brute(ray_session, events):
         assert row.lift_micro == int(
             np.floor(1_000_000.0 * nxy * n / (nx[et] * ny[coh]))
         )
+
+
+def test_k_anonymity_matches_brute(ray_session, events):
+    from augdiff_pipeline_ray.pipelines.extra_queries import _KANON_K, q_k_anonymity
+
+    ev = events.assign(
+        cohort=events.user_id % 4,
+        hour=events.ts.values.astype("datetime64[h]").astype("datetime64[us]"),
+    )
+    g = ev.groupby(["event_type", "cohort", "hour"]).size()
+    want = {k: n for k, n in g.items() if n < _KANON_K}
+    out = _df(q_k_anonymity(SF))
+    got = {
+        (et, c, pd.Timestamp(d)): n
+        for et, c, d, n in zip(out.event_type, out.cohort, out.hour, out.n)
+    }
+    assert got == {(et, c, pd.Timestamp(d)): n for (et, c, d), n in want.items()}
+    assert len(want) > 0
+
+
+def test_ks_drift_matches_scipy_free_brute(ray_session, events):
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_ks_drift
+
+    cents = np.floor(events.value.values * 100).astype(np.int64)
+    grp = (events.user_id.values % 2).astype(np.int64)
+    a = np.sort(cents[grp == 0])
+    b = np.sort(cents[grp == 1])
+    dom = np.unique(cents)
+    c0 = np.searchsorted(a, dom, side="right")
+    c1 = np.searchsorted(b, dom, side="right")
+    ks = np.abs(c0 * len(b) - c1 * len(a)).max()
+    out = _df(q_ks_drift(SF))
+    assert out.ks_scaled.iloc[0] == ks
+    assert out.t0.iloc[0] == len(a) and out.t1.iloc[0] == len(b)
+    # sanity: the scaled statistic normalizes to [0, 1]
+    assert 0 <= ks / (len(a) * len(b)) <= 1

@@ -88,6 +88,7 @@ EXPECTED = {
     "sequence_patterns": 2,      # user-key shuffle + pattern-cardinality groupby
     "time_weighted_avg": 1,      # one hash sort per key
     "covisitation_topk": 3,      # basket shuffle + (x,y) count + candidate topk
+    "k_anonymity": 1,            # one quasi-identifier combiner groupby
 }
 
 
