@@ -1147,3 +1147,76 @@ def test_ks_drift_matches_scipy_free_brute(ray_session, events):
     assert out.t0.iloc[0] == len(a) and out.t1.iloc[0] == len(b)
     # sanity: the scaled statistic normalizes to [0, 1]
     assert 0 <= ks / (len(a) * len(b)) <= 1
+
+
+# ---------------------------------------------------------------------------
+# property-based pins for the pure kernels (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-100, 100, allow_nan=False, width=32),
+            st.floats(-100, 100, allow_nan=False, width=32),
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+    st.floats(0.01, 50, allow_nan=False),
+)
+def test_dp_keep_mask_properties(pts, tol):
+    """Douglas-Peucker invariants on arbitrary polylines: endpoints always kept;
+    the kept mask equals the recursive reference; every DROPPED point lies
+    within tol of the simplified chain's enclosing segment at its split."""
+    from augdiff_pipeline_ray.pipelines.extra_queries import _dp_keep_mask
+
+    x = np.array([p[0] for p in pts], np.float64)
+    y = np.array([p[1] for p in pts], np.float64)
+    keep = _dp_keep_mask(x, y, tol)
+    assert keep[0] and keep[-1]
+    ref = np.zeros(len(x), bool)
+    ref[_dp_reference(x, y, tol)] = True
+    assert (keep == ref).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(0, 32767), min_size=1, max_size=50),
+    st.lists(st.integers(0, 65535), min_size=1, max_size=50),
+)
+def test_morton_round_trip_property(rs, cs):
+    from augdiff_pipeline_ray.pipelines.extra_queries import _morton_np
+
+    n = min(len(rs), len(cs))
+    r = np.array(rs[:n], np.int64)
+    c = np.array(cs[:n], np.int64)
+    z = _morton_np(r, c)
+    rr = np.zeros(n, np.int64)
+    cc = np.zeros(n, np.int64)
+    for i in range(16):
+        cc |= ((z >> (2 * i)) & 1) << i
+    for i in range(15):
+        rr |= ((z >> (2 * i + 1)) & 1) << i
+    assert (rr == r).all() and (cc == c).all()
+    # morton keys are unique per (r, c): collision-free by construction
+    assert len(np.unique(z)) == len({(a, b) for a, b in zip(r.tolist(), c.tolist())})
+
+
+def test_compact_reference_idempotent_property():
+    """Compacting an already-compact cover changes nothing (random cell sets)."""
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        leaves = {
+            (int(r), int(c))
+            for r, c in zip(rng.integers(0, 64, 200), rng.integers(0, 64, 200))
+        }
+        out = _compact_reference(leaves, 4)
+        # expand level-0 survivors only; they must re-compact to themselves
+        lvl0 = {(r, c) for l, r, c in out if l == 0}
+        again = _compact_reference(lvl0, 4)
+        assert again == {(0, r, c) for r, c in lvl0}
