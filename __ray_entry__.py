@@ -7,7 +7,8 @@ semi-join fetch → render → tile assignment) and returns the emitted feature 
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
 training-data additions as ``(sf_dir) -> Dataset | DataFrame | Table`` callables;
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for each SQL-expressible one
-(column names match exactly). See augdiff_pipeline_ray/pipelines/tpch_queries.py.
+(column names match exactly). Registry: augdiff_pipeline_ray/pipelines/
+tpch_queries.py + extra_queries.py (shared ``@query`` decorator).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here (nor in
 the library) calls ``ray.init()`` / ``ray.shutdown()``.

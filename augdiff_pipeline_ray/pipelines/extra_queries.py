@@ -3334,3 +3334,31 @@ def q_ks_drift(sf_dir: str):
     return pa.table(
         {"ks_scaled": pa.array([ks]), "t0": pa.array([t0]), "t1": pa.array([t1])}
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic tile augmentation (vision-training augment stage)
+# ---------------------------------------------------------------------------
+
+
+@query("tile_augment")  # pixel transforms aren't SQL; rows-only driver check,
+# exact pixel equality vs a local re-derivation pytest-pinned
+def q_tile_augment(sf_dir: str):
+    """Deterministic image augmentation over the tile corpus: per-tile
+    flip/flip/crop chosen by a reproducible hash of the image id (no RNG — the
+    same tile augments identically on any cluster), lossless re-encode, output
+    blobs + integral checksums. Completes the vision-training loop (decode →
+    verify → featurize → resize → frame-sample → AUGMENT); same actor-pool
+    shape as TileDecoder — pixels never leave the actor, blobs stream through
+    the object store. Returns metadata + checksum columns (blob column dropped
+    from the driver-checked result so the rows-check stays cheap)."""
+    from ..stages import raster as RAS
+
+    t = TP.images_from_documents(sf_dir)
+    part = rd.from_arrow(
+        pa.table({"image_id": t["image_id"], "bytes": t["bytes"]})
+    ).map_batches(
+        RAS.TileAugment, batch_format="pyarrow", batch_size=64,
+        concurrency=2, num_cpus=1,
+    )
+    return part.select_columns(["image_id", "aug_mask", "w", "h", "pixel_sum"])

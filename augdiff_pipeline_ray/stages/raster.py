@@ -129,3 +129,40 @@ class PixelHistogram:
             {"channel": pa.array(ch), "bin": pa.array(bins),
              "n_px": pa.array(batch.reshape(-1))}
         )
+
+
+class TileAugment:
+    """Actor-pool augmentation stage (the vision-training augment step):
+    deterministic per-tile transforms keyed by a hash of the image id — bit 0
+    horizontal flip, bit 1 vertical flip, bit 2 central crop to the middle
+    half — then lossless re-encode. Augmented pixels are produced and consumed
+    inside the actor; the output ships re-encoded blobs + integral checksums
+    so correctness is verifiable without another decode hop."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        out_bytes, masks, ws, hs, sums = [], [], [], [], []
+        for image_id, blob in zip(ids, t["bytes"]):
+            px, _ = IMG.decode(blob.as_py())
+            mask = sum(ord(ch) for ch in image_id) & 7
+            if mask & 1:
+                px = px[:, ::-1]
+            if mask & 2:
+                px = px[::-1, :]
+            if mask & 4:
+                h, w = px.shape[:2]
+                px = px[h // 4 : h // 4 + h // 2, w // 4 : w // 4 + w // 2]
+            px = np.ascontiguousarray(px)
+            out_bytes.append(IMG.encode(px, "rawz"))
+            masks.append(mask)
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            sums.append(int(px.sum(dtype=np.int64)))
+        return pa.table(
+            {"image_id": t["image_id"],
+             "bytes": pa.array(out_bytes, pa.binary()),
+             "aug_mask": pa.array(np.array(masks, np.int64)),
+             "w": pa.array(np.array(ws, np.int64)),
+             "h": pa.array(np.array(hs, np.int64)),
+             "pixel_sum": pa.array(np.array(sums, np.int64))}
+        )

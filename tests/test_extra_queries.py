@@ -1220,3 +1220,28 @@ def test_compact_reference_idempotent_property():
         lvl0 = {(r, c) for l, r, c in out if l == 0}
         again = _compact_reference(lvl0, 4)
         assert again == {(0, r, c) for r, c in lvl0}
+
+
+def test_tile_augment_matches_local_transform(ray_session):
+    from augdiff_pipeline_ray.functions import image as IMG
+    from augdiff_pipeline_ray.pipelines import tpch as TP
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_tile_augment
+
+    t = TP.images_from_documents(SF)
+    out = _df(q_tile_augment(SF)).set_index("image_id")
+    for image_id, blob in list(zip(t["image_id"].to_pylist(), t["bytes"]))[:60]:
+        px, _ = IMG.decode(blob.as_py())
+        mask = sum(ord(ch) for ch in image_id) & 7
+        if mask & 1:
+            px = px[:, ::-1]
+        if mask & 2:
+            px = px[::-1, :]
+        if mask & 4:
+            h, w = px.shape[:2]
+            px = px[h // 4 : h // 4 + h // 2, w // 4 : w // 4 + w // 2]
+        row = out.loc[image_id]
+        assert row.aug_mask == mask
+        assert (row.h, row.w) == px.shape[:2]
+        assert row.pixel_sum == int(px.sum(dtype=np.int64))
+    # all three transform kinds occur across the corpus
+    assert set(np.unique(out.aug_mask % 8)) >= {0, 1, 2}

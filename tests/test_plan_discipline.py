@@ -89,6 +89,7 @@ EXPECTED = {
     "time_weighted_avg": 1,      # one hash sort per key
     "covisitation_topk": 3,      # basket shuffle + (x,y) count + candidate topk
     "k_anonymity": 1,            # one quasi-identifier combiner groupby
+    "tile_augment": 0,           # pure actor-pool map; pixels never shuffle
 }
 
 
