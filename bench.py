@@ -631,6 +631,59 @@ def run_stream_scaling() -> dict:
     return result
 
 
+
+
+# ---------------------------------------------------------------------------
+# --registry: per-operator wall times over a representative registry slice
+# ---------------------------------------------------------------------------
+
+# one per family: dedup / similarity / text / window / join / graph / spatial /
+# trajectory / image / quality — chosen for non-trivial work at sf0.1
+REGISTRY_BENCH = [
+    "minhash_dup_pairs", "cosine_topk", "duplicate_spans", "dedup_cut_corpus",
+    "curation_pipeline", "events_window", "tpch_q5", "hash_join",
+    "triangle_count", "pagerank_entities", "segment_intersections",
+    "cell_ring_agg", "zorder_layout", "track_profile", "scd2_history",
+    "watermark_window", "cdf_rank", "frequent_itemsets", "bfs_depths",
+    "pixel_histogram", "raster_pyramid", "bm25_topk", "quantile_bins",
+    "negative_samples", "covisitation_topk",
+]
+
+
+def run_registry(sf_dir: str, num_cpus: int) -> dict:
+    """Per-operator wall times (one cold run each, shared Ray session) so
+    cross-round diffs localize a regression to the operator that caused it.
+    Not part of the headline contract — the headline suite is run_bench."""
+    import ray
+    import ray.data as rd
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR", ignore_reinit_error=True)
+    rd.DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as E
+
+    Q = E.queries()
+    times, rows = {}, {}
+    for name in REGISTRY_BENCH:
+        t0 = time.time()
+        out = Q[name](sf_dir)
+        n = out.count() if isinstance(out, rd.Dataset) else len(out)
+        times[name] = round(time.time() - t0, 3)
+        rows[name] = int(n)
+    ray.shutdown()
+    result = {
+        "metric": "registry operator wall times (cold, shared session)",
+        "sf_dir": sf_dir, "num_cpus": num_cpus,
+        "total_sec": round(sum(times.values()), 3),
+        "queries": times, "rows": rows,
+        **host_memory_probe(),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/registry_latest.json", "w") as f:
+        json.dump(result, f, indent=2)
+    return result
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         i = sys.argv.index("--scaling-child")
@@ -645,6 +698,10 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--long-stream" in sys.argv:
         print(json.dumps(run_long_stream()))
+    elif "--registry" in sys.argv:
+        sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_registry(sf_dir, num_cpus)))
     else:
         sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
