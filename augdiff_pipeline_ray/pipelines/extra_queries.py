@@ -787,23 +787,26 @@ def q_frequent_itemsets(sf_dir: str):
             batch_format="pyarrow",
         )
     )
+    # superset of the frequent items (over-counting cross-batch dups only ADDS
+    # candidates) — prune correctness needs exactly that
     freq_ref = ray.put(
-        item_support.to_pandas()["l_partkey"].to_numpy(np.int64)
-    )  # item-cardinality bound, tiny relative to baskets
+        np.sort(item_support.to_pandas()["l_partkey"].to_numpy(np.int64))
+    )
 
-    def pairs(grp: pa.Table) -> pa.Table:
+    def prune(t: pa.Table) -> pa.Table:
         freq = ray.get(freq_ref)
-        pk = np.unique(grp["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64))
-        pk = pk[np.isin(pk, freq)]  # a-priori prune
-        if len(pk) < 2:
-            return pa.table({"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())})
-        i, j = np.triu_indices(len(pk), k=1)
-        return pa.table({"x": pa.array(pk[i]), "y": pa.array(pk[j])})
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.minimum(np.searchsorted(freq, pk), max(len(freq) - 1, 0))
+        keep = freq[idx] == pk if len(freq) else np.zeros(len(pk), bool)
+        return t.filter(pa.array(keep))  # a-priori prune, stateless scan
 
+    pairs = SHF.grouped_pairs_sorted(
+        li.map_batches(item_partials, batch_format="pyarrow")
+        .map_batches(prune, batch_format="pyarrow"),
+        key="l_orderkey", val="l_partkey",
+    )
     return (
-        dedup.groupby("l_orderkey")
-        .map_groups(pairs, batch_format="pyarrow")
-        .groupby(["x", "y"])
+        pairs.groupby(["x", "y"])
         .aggregate(Count(alias_name="support"))
         .map_batches(
             lambda t: t.filter(pc.greater_equal(t["support"], _FI_SUPPORT)),
@@ -1235,17 +1238,11 @@ def q_k_core(sf_dir: str):
         return pa.table({"l_orderkey": pa.array(uniq[:, 0]),
                          "l_partkey": pa.array(uniq[:, 1])})
 
-    def pairs(grp: pa.Table) -> pa.Table:
-        pk = np.unique(grp["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64))
-        if len(pk) < 2:
-            return pa.table({"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())})
-        i, j = np.triu_indices(len(pk), k=1)
-        return pa.table({"x": pa.array(pk[i]), "y": pa.array(pk[j])})
-
     edges = (
-        li.map_batches(item_partials, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .map_groups(pairs, batch_format="pyarrow")
+        SHF.grouped_pairs_sorted(
+            li.map_batches(item_partials, batch_format="pyarrow"),
+            key="l_orderkey", val="l_partkey",
+        )
         .groupby(["x", "y"])
         .aggregate(Count(alias_name="m"))
         .select_columns(["x", "y"])
@@ -1997,17 +1994,11 @@ def q_negative_samples(sf_dir: str):
         return pa.table({"l_orderkey": pa.array(uniq[:, 0]),
                          "l_partkey": pa.array(uniq[:, 1])})
 
-    def pairs(grp: pa.Table) -> pa.Table:
-        pk = np.unique(grp["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64))
-        if len(pk) < 2:
-            return pa.table({"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())})
-        i, j = np.triu_indices(len(pk), k=1)
-        return pa.table({"x": pa.array(pk[i]), "y": pa.array(pk[j])})
-
     edges = (
-        li.map_batches(item_partials, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .map_groups(pairs, batch_format="pyarrow")
+        SHF.grouped_pairs_sorted(
+            li.map_batches(item_partials, batch_format="pyarrow"),
+            key="l_orderkey", val="l_partkey",
+        )
         .groupby(["x", "y"])
         .aggregate(Count(alias_name="m"))
         .select_columns(["x", "y"])
@@ -3106,20 +3097,11 @@ def q_covisitation_topk(sf_dir: str):
         return pa.table({"l_orderkey": pa.array(uniq[:, 0]),
                          "l_partkey": pa.array(uniq[:, 1])})
 
-    def pairs(grp: pa.Table) -> pa.Table:
-        pk = np.unique(grp["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64))
-        if len(pk) < 2:
-            return pa.table({"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())})
-        i, j = np.triu_indices(len(pk), k=1)
-        return pa.table(
-            {"x": pa.array(np.concatenate([pk[i], pk[j]])),
-             "y": pa.array(np.concatenate([pk[j], pk[i]]))}
-        )
-
     counts = (
-        li.map_batches(item_partials, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .map_groups(pairs, batch_format="pyarrow")
+        SHF.grouped_pairs_sorted(
+            li.map_batches(item_partials, batch_format="pyarrow"),
+            key="l_orderkey", val="l_partkey", both_orientations=True,
+        )
         .groupby(["x", "y"])
         .aggregate(Count(alias_name="n"))
     )

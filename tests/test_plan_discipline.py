@@ -47,8 +47,8 @@ EXPECTED = {
     #                              pass; final plan is a pure map over stamped blocks
     "scd2_history": 1,           # one hash sort per business key
     "snapshot_diff": 1,          # ONE full-outer join over (key, value-hash) pairs
-    "frequent_itemsets": 2,      # basket pair generation + (x,y) support count
-    #                              (item-support prune is an eager side pass)
+    "frequent_itemsets": 1,      # pair stream via sorted-block kernel (side-pass
+    #                              sort) + ONE (x,y) support-count groupby
     "inverted_postings": 1,      # one token-keyed shuffle
     "pruned_read": 1,            # combiner + 3-row groupby; predicate at the source
     "tpch_q5": 3,                # exactly TWO large hash joins + 5-row groupby;
@@ -70,8 +70,8 @@ EXPECTED = {
     "douglas_peucker": 1,        # one hash sort per track key
     "segment_intersections": 1,  # one cell-keyed shuffle; canonical-cell rule
     #                              needs no distinct pass
-    "negative_samples": 3,       # edge build (sort+agg, materialized once) +
-    #                              ONE left-anti rejection join
+    "negative_samples": 2,       # edge-distinct groupby (pair sort is side-pass)
+    #                              + ONE left-anti rejection join
     "split_dedup_guard": 0,      # broadcast val fingerprints; pure scan
     "fk_violations": 1,          # four broadcast-membership scans + 4-row fold
     "stay_points": 1,            # one hash sort per track key
@@ -87,7 +87,8 @@ EXPECTED = {
     "pixel_histogram": 1,        # 48-row partials per batch, one tiny groupby
     "sequence_patterns": 2,      # user-key shuffle + pattern-cardinality groupby
     "time_weighted_avg": 1,      # one hash sort per key
-    "covisitation_topk": 3,      # basket shuffle + (x,y) count + candidate topk
+    "covisitation_topk": 2,      # (x,y) count + candidate topk (pair sort is
+    #                              the side-pass sorted-block kernel)
     "k_anonymity": 1,            # one quasi-identifier combiner groupby
     "tile_augment": 0,           # pure actor-pool map; pixels never shuffle
 }

@@ -57,3 +57,51 @@ def test_salted_apply_equals_direct(skewed_cells):
     got = dict(zip(out["cell"], out["mx"]))
     want = dict(zip(direct["cell"], direct["mx"]))
     assert got == want
+
+
+def test_grouped_pairs_sorted_matches_brute(ray_session):
+    """Random baskets, forced tiny blocks so groups straddle block boundaries:
+    the sorted-block kernel + residual must emit exactly the per-basket
+    distinct pairs (and both orientations when asked)."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from augdiff_pipeline_ray.stages import shuffle as SH
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 40, 600).astype(np.int64)
+    vals = rng.integers(0, 25, 600).astype(np.int64)
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    ds = rd.from_arrow(t).repartition(13)  # many small blocks -> straddling groups
+
+    baskets: dict[int, set] = {}
+    for k, v in zip(keys.tolist(), vals.tolist()):
+        baskets.setdefault(k, set()).add(v)
+    want = set()
+    for k, vs in baskets.items():
+        for a, b in itertools.combinations(sorted(vs), 2):
+            want.add((a, b))
+    want_multi = {}
+    for k, vs in baskets.items():
+        for a, b in itertools.combinations(sorted(vs), 2):
+            want_multi[(a, b)] = want_multi.get((a, b), 0) + 1
+
+    out = SH.grouped_pairs_sorted(ds, key="k", val="v").to_pandas()
+    got_multi = {}
+    for a, b in zip(out.x, out.y):
+        assert a < b
+        got_multi[(a, b)] = got_multi.get((a, b), 0) + 1
+    assert got_multi == want_multi  # one emission per (basket, pair)
+
+    both = SH.grouped_pairs_sorted(
+        ds, key="k", val="v", both_orientations=True
+    ).to_pandas()
+    assert len(both) == 2 * len(out)
+    fwd = {}
+    for a, b in zip(both.x, both.y):
+        if a < b:
+            fwd[(a, b)] = fwd.get((a, b), 0) + 1
+    assert fwd == want_multi
