@@ -3344,3 +3344,84 @@ def q_tile_augment(sf_dir: str):
         concurrency=2, num_cpus=1,
     )
     return part.select_columns(["image_id", "aug_mask", "w", "h", "pixel_sum"])
+
+
+# ---------------------------------------------------------------------------
+# STR (sort-tile-recursive) R-tree bulk-load packing
+# ---------------------------------------------------------------------------
+
+_STR_SLABS = 8
+_STR_LEAF = 16
+
+
+def _ntile_of_rank(rank: np.ndarray, n: int, tiles: int) -> np.ndarray:
+    """SQL NTILE semantics over 0-based ranks: first n%tiles tiles get one
+    extra row."""
+    base, rem = n // tiles, n % tiles
+    big = rem * (base + 1)
+    return np.where(
+        rank < big, rank // max(base + 1, 1), rem + (rank - big) // max(base, 1)
+    ).astype(np.int64)
+
+
+@query(
+    "str_pack",
+    f"""
+    WITH pts AS (SELECT p_partkey AS id,
+           ((p_partkey * 7717) % 36000) / 100.0 - 180.0 AS x,
+           ((p_partkey * 104717) % 18000) / 100.0 - 90.0 AS y
+         FROM part),
+    s AS (SELECT id, x, y, NTILE({_STR_SLABS}) OVER (ORDER BY x, id) - 1 AS slab
+          FROM pts),
+    l AS (SELECT id, slab,
+           (ROW_NUMBER() OVER (PARTITION BY slab ORDER BY y, id) - 1)
+             // {_STR_LEAF} AS leaf
+         FROM s)
+    SELECT id, slab, leaf FROM l
+    """,
+)
+def q_str_pack(sf_dir: str):
+    """STR (sort-tile-recursive, Leutenegger et al. 1997) R-tree bulk-load
+    packing — the bbox-tree sibling of zorder_layout: slice the point set into
+    vertical slabs of equal count by x, then cut each slab into leaf pages of
+    capacity B by y. Two distributed sorts + two no-collect zip_with_index rank
+    stamps (slab membership is pure arithmetic on the global x-rank with exact
+    NTILE remainder semantics); the second sort keys on (slab, y) so leaves
+    stamp without per-slab dispatch. Output (id, slab, leaf) — the layout a
+    bulk R-tree build writes page-by-page."""
+    import pyarrow.parquet as _pq
+
+    pk = _pq.read_table(TP._p(sf_dir, "part"), columns=["p_partkey"])
+    n = pk.num_rows
+
+    def coords(t: pa.Table) -> pa.Table:
+        p = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = ((p * 7717) % 36000) / 100.0 - 180.0
+        y = ((p * 104717) % 18000) / 100.0 - 90.0
+        return pa.table({"id": pa.array(p), "x": pa.array(x), "y": pa.array(y)})
+
+    pts = rd.from_arrow(pk).map_batches(coords, batch_format="pyarrow")
+    ranked_x = SHF.zip_with_index(pts.sort(["x", "id"]), index_col="xr")
+
+    def slab_of(t: pa.Table) -> pa.Table:
+        xr = t["xr"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"id": t["id"], "y": t["y"],
+             "slab": pa.array(_ntile_of_rank(xr, n, _STR_SLABS))}
+        )
+
+    slabbed = ranked_x.map_batches(slab_of, batch_format="pyarrow")
+    ranked_y = SHF.zip_with_index(slabbed.sort(["slab", "y", "id"]), index_col="yr")
+    # per-slab rank = global (slab, y) rank minus the slab's first global rank;
+    # slab sizes are pure arithmetic (NTILE), so the offsets need no pass
+    base, rem = n // _STR_SLABS, n % _STR_SLABS
+    sizes = np.array([base + 1 if i < rem else base for i in range(_STR_SLABS)])
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+
+    def leaf_of(t: pa.Table) -> pa.Table:
+        slab = t["slab"].to_numpy(zero_copy_only=False)
+        yr = t["yr"].to_numpy(zero_copy_only=False)
+        leaf = (yr - offsets[slab]) // _STR_LEAF
+        return pa.table({"id": t["id"], "slab": pa.array(slab), "leaf": pa.array(leaf)})
+
+    return ranked_y.map_batches(leaf_of, batch_format="pyarrow")

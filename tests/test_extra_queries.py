@@ -1245,3 +1245,37 @@ def test_tile_augment_matches_local_transform(ray_session):
         assert row.pixel_sum == int(px.sum(dtype=np.int64))
     # all three transform kinds occur across the corpus
     assert set(np.unique(out.aug_mask % 8)) >= {0, 1, 2}
+
+
+def test_str_pack_layout_properties(ray_session):
+    from augdiff_pipeline_ray.pipelines.extra_queries import (
+        _STR_LEAF,
+        _STR_SLABS,
+        q_str_pack,
+    )
+
+    out = _df(q_str_pack(SF))
+    part = pq.read_table(f"{SF}/part.parquet", columns=["p_partkey"]).to_pandas()
+    p = part.p_partkey.values.astype(np.int64)
+    x = ((p * 7717) % 36000) / 100.0 - 180.0
+    y = ((p * 104717) % 18000) / 100.0 - 90.0
+    coords = dict(zip(p, zip(x, y)))
+    n = len(p)
+    # slab sizes follow NTILE remainder semantics
+    sizes = out.groupby("slab").size()
+    base, rem = n // _STR_SLABS, n % _STR_SLABS
+    for s_id, sz in sizes.items():
+        assert sz == (base + 1 if s_id < rem else base)
+    # slabs partition x: every point in slab i has x <= every point in slab i+1
+    for s_id in range(_STR_SLABS - 1):
+        hi = max(coords[i][0] for i in out[out.slab == s_id].id)
+        lo = min(coords[i][0] for i in out[out.slab == s_id + 1].id)
+        assert hi <= lo
+    # leaves are capacity-bounded and partition y within a slab
+    for (s_id, l_id), grp in out.groupby(["slab", "leaf"]):
+        assert len(grp) <= _STR_LEAF
+        nxt = out[(out.slab == s_id) & (out.leaf == l_id + 1)]
+        if len(nxt):
+            assert max(coords[i][1] for i in grp.id) <= min(
+                coords[i][1] for i in nxt.id
+            )

@@ -91,6 +91,8 @@ EXPECTED = {
     #                              the side-pass sorted-block kernel)
     "k_anonymity": 1,            # one quasi-identifier combiner groupby
     "tile_augment": 0,           # pure actor-pool map; pixels never shuffle
+    "str_pack": 0,               # both sorts + rank stamps are zip_with_index
+    #                              side passes; final plan is a pure map
 }
 
 
