@@ -3425,3 +3425,150 @@ def q_str_pack(sf_dir: str):
         return pa.table({"id": t["id"], "slab": pa.array(slab), "leaf": pa.array(leaf)})
 
     return ranked_y.map_batches(leaf_of, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-key OLS trend (sufficient-statistics regression)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "trend_per_user",
+    """
+    WITH s AS (SELECT user_id,
+                 epoch_us(ts) // 3600000000 AS xh,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM events),
+    t AS (SELECT user_id, COUNT(*) AS n,
+                 CAST(SUM(xh) AS BIGINT) AS sx,
+                 CAST(SUM(cents) AS BIGINT) AS sy,
+                 CAST(SUM(xh * cents) AS BIGINT) AS sxy,
+                 CAST(SUM(xh * xh) AS BIGINT) AS sxx
+          FROM s GROUP BY user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           CAST(floor(1000000.0 * (n * sxy - sx * sy)
+                      / (n * sxx - sx * sx)) AS BIGINT) AS slope_micro
+    FROM t WHERE n * sxx - sx * sx != 0
+    """,
+)
+def q_trend_per_user(sf_dir: str):
+    """Per-key OLS trend (cents per hour) from sufficient statistics — the
+    per-entity drift feature: each batch folds to five integral sums per key
+    (n, Σx, Σy, Σxy, Σx²; x = epoch hour so every product stays well inside
+    int64), one key groupby merges, and the slope is a single correctly-rounded
+    double division — bit-exact vs the oracle regardless of batch order. Same
+    frame as corr_dollars_hour (one more regression output from the same
+    pass)."""
+    from ray.data.aggregate import Sum
+
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["user_id", "ts", "value"]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xh = (
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // 3_600_000_000
+        )
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        uk, inv = np.unique(uid, return_inverse=True)
+        def seg(v):
+            s = np.zeros(len(uk), np.int64)
+            np.add.at(s, inv, v)
+            return s
+        return pa.table(
+            {"user_id": pa.array(uk),
+             "n": pa.array(seg(np.ones(len(uid), np.int64))),
+             "sx": pa.array(seg(xh)), "sy": pa.array(seg(cents)),
+             "sxy": pa.array(seg(xh * cents)), "sxx": pa.array(seg(xh * xh))}
+        )
+
+    agg = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy", "sxx")])
+    )
+
+    def slope(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        den = n * sxx - sx * sx
+        keep = den != 0
+        s = np.floor(
+            1_000_000.0 * (n[keep] * sxy[keep] - sx[keep] * sy[keep]) / den[keep]
+        ).astype(np.int64)
+        return pa.table(
+            {"user_id": pc.filter(t["user_id"], pa.array(keep)),
+             "n": pa.array(n[keep]), "slope_micro": pa.array(s)}
+        )
+
+    return agg.map_batches(slope, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# convex hull per track (monotone chain, rows-only)
+# ---------------------------------------------------------------------------
+
+
+def _hull_indices(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain over (x, y); returns hull vertex indices in
+    counter-clockwise order (strict turns — collinear points dropped)."""
+    n = len(x)
+    order = np.lexsort((y, x))
+    if n <= 2:
+        return order
+
+    def build(idx):
+        out = []
+        for i in idx:
+            while len(out) >= 2:
+                ax, ay = x[out[-2]], y[out[-2]]
+                bx, by = x[out[-1]], y[out[-1]]
+                if (bx - ax) * (y[i] - ay) - (by - ay) * (x[i] - ax) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = build(order)
+    upper = build(order[::-1])
+    return np.array(lower[:-1] + upper[:-1], np.int64)
+
+
+@query("convex_hull_track")  # recursive/stack geometry — no SQL analogue;
+# rows-only driver check, hull invariants + reference equality pytest-pinned
+def q_convex_hull_track(sf_dir: str):
+    """Convex hull of each customer's track points (monotone chain per group):
+    output one row per hull VERTEX (o_custkey, seq, o_orderkey) in ccw order
+    plus the doubled hull area — the footprint primitive (coverage regions,
+    geofences) completing the computational-geometry family (length / area /
+    simplify / stay / hull). One hash shuffle on the track key; the per-group
+    chain is O(n log n)."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "orders"), columns=["o_custkey", "o_orderkey"]
+    )
+
+    def hull(grp: pd.DataFrame) -> pd.DataFrame:
+        ok = np.unique(grp["o_orderkey"].to_numpy(np.int64))
+        x = (ok * _TRK_XMUL % _TRK_XMOD) / 100.0 - 180.0
+        y = (ok * _TRK_YMUL % _TRK_YMOD) / 100.0 - 90.0
+        hi = _hull_indices(x, y)
+        hx, hy = x[hi], y[hi]
+        area2 = int(
+            np.floor(
+                (hx * np.roll(hy, -1) - np.roll(hx, -1) * hy).sum() * 1e6 + 0.5
+            )
+        ) if len(hi) >= 3 else 0
+        return pd.DataFrame(
+            {"o_custkey": np.full(len(hi), int(grp["o_custkey"].iloc[0]), np.int64),
+             "seq": np.arange(len(hi), dtype=np.int64),
+             "o_orderkey": ok[hi],
+             "hull_area2_micro": np.full(len(hi), area2, np.int64)}
+        )
+
+    return ds.groupby("o_custkey").map_groups(hull, batch_format="pandas")

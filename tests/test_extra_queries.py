@@ -1279,3 +1279,58 @@ def test_str_pack_layout_properties(ray_session):
             assert max(coords[i][1] for i in grp.id) <= min(
                 coords[i][1] for i in nxt.id
             )
+
+
+def test_trend_per_user_matches_brute(ray_session, events):
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_trend_per_user
+
+    out = _df(q_trend_per_user(SF)).set_index("user_id")
+    for uid, grp in events.groupby("user_id"):
+        xh = grp.ts.values.astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+        cents = np.floor(grp.value.values * 100).astype(np.int64)
+        n = len(grp)
+        sx, sy = xh.sum(), cents.sum()
+        sxy, sxx = (xh * cents).sum(), (xh * xh).sum()
+        den = n * sxx - sx * sx
+        if den == 0:
+            assert uid not in out.index
+            continue
+        want = int(np.floor(1_000_000.0 * (n * sxy - sx * sy) / den))
+        assert out.loc[uid, "slope_micro"] == want
+        assert out.loc[uid, "n"] == n
+
+
+def test_convex_hull_track_invariants(ray_session):
+    from augdiff_pipeline_ray.pipelines.extra_queries import (
+        _TRK_XMOD,
+        _TRK_XMUL,
+        _TRK_YMOD,
+        _TRK_YMUL,
+        q_convex_hull_track,
+    )
+
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    out = _df(q_convex_hull_track(SF))
+    for ck, grp in list(orders.groupby("o_custkey"))[:40]:
+        ok = np.unique(grp.o_orderkey.values.astype(np.int64))
+        x = (ok * _TRK_XMUL % _TRK_XMOD) / 100.0 - 180.0
+        y = (ok * _TRK_YMUL % _TRK_YMOD) / 100.0 - 90.0
+        h = out[out.o_custkey == ck].sort_values("seq")
+        hset = {(round(a, 9), round(b, 9)) for a, b in zip(
+            (h.o_orderkey.values * _TRK_XMUL % _TRK_XMOD) / 100.0 - 180.0,
+            (h.o_orderkey.values * _TRK_YMUL % _TRK_YMOD) / 100.0 - 90.0,
+        )}
+        # every input point lies inside or on the hull: cross products vs each
+        # ccw hull edge are >= 0 (within float tolerance)
+        hx = (h.o_orderkey.values * _TRK_XMUL % _TRK_XMOD) / 100.0 - 180.0
+        hy = (h.o_orderkey.values * _TRK_YMUL % _TRK_YMOD) / 100.0 - 90.0
+        if len(hx) >= 3:
+            for i in range(len(hx)):
+                ax, ay = hx[i], hy[i]
+                bx, by = hx[(i + 1) % len(hx)], hy[(i + 1) % len(hx)]
+                cross = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+                assert (cross >= -1e-9).all()
+        # hull vertices are input points and extremes are on the hull
+        assert hset <= {(round(a, 9), round(b, 9)) for a, b in zip(x, y)}
+        for ex in (np.argmin(x), np.argmax(x), np.argmin(y), np.argmax(y)):
+            assert (round(x[ex], 9), round(y[ex], 9)) in hset

@@ -93,6 +93,8 @@ EXPECTED = {
     "tile_augment": 0,           # pure actor-pool map; pixels never shuffle
     "str_pack": 0,               # both sorts + rank stamps are zip_with_index
     #                              side passes; final plan is a pure map
+    "trend_per_user": 1,         # five integral sums per key, one groupby
+    "convex_hull_track": 1,      # one hash sort per track key
 }
 
 
