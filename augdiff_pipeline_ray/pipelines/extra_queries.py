@@ -1247,28 +1247,92 @@ def q_k_core(sf_dir: str):
         .aggregate(Count(alias_name="m"))
         .select_columns(["x", "y"])
     )
-    et = edges.to_pandas()  # co-order pair graph: edge-count sized; the loop below
-    # mirrors the distributed rounds 1:1 on it (vertex removal = boolean mask ==
-    # broadcast-filter semantics; swap to live-Dataset rounds above ~1e8 edges)
-    x = et["x"].to_numpy(np.int64)
-    y = et["y"].to_numpy(np.int64)
-    k = _KCORE_K
-    live = np.ones(len(x), bool)
-    while True:
-        v, deg = np.unique(np.concatenate([x[live], y[live]]), return_counts=True)
-        bad = v[deg < k]
-        if len(bad) == 0 or not live.any():
-            break
-        drop = np.isin(x, bad) | np.isin(y, bad)
-        nxt = live & ~drop
-        if (nxt == live).all():
-            break
-        live = nxt
-    if not live.any():
+    return kcore_peel_auto(edges, _KCORE_K)
+
+
+def kcore_peel_auto(
+    edges: rd.Dataset, k: int, local_threshold: int = 2_000_000,
+    force_distributed: bool = False,
+) -> pa.Table | rd.Dataset:
+    """Iterative k-core peel with the size-adaptive switch (closure_auto's
+    pattern): under the threshold the edge table folds locally in numpy; above
+    it (or when forced) every round runs as Dataset ops — per-edge degree
+    partials → vertex groupby → bad-vertex set → vertex-keyed anti-join on
+    EACH endpoint (two hash joins; nothing vertex-count-sized ever sits on the
+    driver). Rounds are O(peel depth), Montresor et al. 2013."""
+    from ray.data.aggregate import Count, Sum
+    from ..stages.closure import default_join_partitions
+
+    n_edges = edges.count()
+    if n_edges == 0:
         return pa.table({"partkey": pa.array([], pa.int64()),
                          "core_degree": pa.array([], pa.int64())})
-    v, deg = np.unique(np.concatenate([x[live], y[live]]), return_counts=True)
-    return pa.table({"partkey": pa.array(v), "core_degree": pa.array(deg.astype(np.int64))})
+    if n_edges <= local_threshold and not force_distributed:
+        et = edges.to_pandas()
+        x = et["x"].to_numpy(np.int64)
+        y = et["y"].to_numpy(np.int64)
+        live = np.ones(len(x), bool)
+        while True:
+            v, deg = np.unique(np.concatenate([x[live], y[live]]), return_counts=True)
+            bad = v[deg < k]
+            if len(bad) == 0 or not live.any():
+                break
+            drop = np.isin(x, bad) | np.isin(y, bad)
+            nxt = live & ~drop
+            if (nxt == live).all():
+                break
+            live = nxt
+        if not live.any():
+            return pa.table({"partkey": pa.array([], pa.int64()),
+                             "core_degree": pa.array([], pa.int64())})
+        v, deg = np.unique(np.concatenate([x[live], y[live]]), return_counts=True)
+        return pa.table({"partkey": pa.array(v),
+                         "core_degree": pa.array(deg.astype(np.int64))})
+
+    # distributed rounds: nothing vertex- or edge-sized on the driver
+    np_j = default_join_partitions()
+
+    def degree_partials(t: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [t["x"].to_numpy(zero_copy_only=False),
+             t["y"].to_numpy(zero_copy_only=False)]
+        )
+        uk, n = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uk), "d": pa.array(n.astype(np.int64))})
+
+    live = edges.materialize()
+    while True:
+        deg = (
+            live.map_batches(degree_partials, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Sum("d", alias_name="d"))
+        ).materialize()
+        bad = deg.map_batches(
+            lambda t: t.filter(pc.less(t["d"], k)).select(["v"]),
+            batch_format="pyarrow",
+        ).materialize()
+        if bad.count() == 0:
+            final = deg
+            break
+        nxt = (
+            live.join(bad.rename_columns({"v": "x"}), join_type="left_anti",
+                      num_partitions=np_j, on=("x",))
+            .join(bad.rename_columns({"v": "y"}), join_type="left_anti",
+                  num_partitions=np_j, on=("y",))
+        ).materialize()
+        if nxt.count() == live.count():
+            final = deg
+            break
+        live = nxt
+        if live.count() == 0:
+            return pa.table({"partkey": pa.array([], pa.int64()),
+                             "core_degree": pa.array([], pa.int64())})
+    return final.map_batches(
+        lambda t: (lambda f: pa.table({"partkey": f["v"], "core_degree": f["d"]}))(
+            t.filter(pc.greater_equal(t["d"], k))
+        ),
+        batch_format="pyarrow",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1334,3 +1334,38 @@ def test_convex_hull_track_invariants(ray_session):
         assert hset <= {(round(a, 9), round(b, 9)) for a, b in zip(x, y)}
         for ex in (np.argmin(x), np.argmax(x), np.argmin(y), np.argmax(y)):
             assert (round(x[ex], 9), round(y[ex], 9)) in hset
+
+
+def test_k_core_distributed_equals_local(ray_session):
+    """Force the distributed peel (anti-join rounds) and require exact equality
+    with the local numpy fixpoint on the same edge set."""
+    import ray.data as rd
+
+    from augdiff_pipeline_ray.pipelines.extra_queries import (
+        _KCORE_K,
+        kcore_peel_auto,
+        q_k_core,
+    )
+
+    local = _df(q_k_core(SF))
+    # rebuild the same edge set and run the distributed branch
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        pks = sorted(set(grp.l_partkey))
+        for i in range(len(pks)):
+            for j in range(i + 1, len(pks)):
+                edges.add((pks[i], pks[j]))
+    et = pa.table(
+        {"x": pa.array([a for a, _ in sorted(edges)], pa.int64()),
+         "y": pa.array([b for _, b in sorted(edges)], pa.int64())}
+    )
+    dist = _df(
+        kcore_peel_auto(
+            rd.from_arrow(et).repartition(7), _KCORE_K, force_distributed=True
+        )
+    )
+    a = local.sort_values("partkey").reset_index(drop=True)
+    b = dist.sort_values("partkey").reset_index(drop=True)
+    assert (a.partkey.values == b.partkey.values).all()
+    assert (a.core_degree.values == b.core_degree.values).all()
