@@ -3085,36 +3085,76 @@ def q_bfs_depths(sf_dir: str):
     ].to_numpy(zero_copy_only=False).astype(np.int64)
     seeds = np.sort(pk[pk % 97 == 1])
 
-    out = [pa.table({"partkey": pa.array(seeds),
-                     "depth": pa.array(np.zeros(len(seeds), np.int64))})]
-    visited = seeds
+    return bfs_rounds(edges, seeds, _BFS_DEPTH, np_j)
+
+
+def bfs_rounds(
+    edges: rd.Dataset, seeds: np.ndarray, max_depth: int, np_j: int,
+    frontier_threshold: int = 1_000_000,
+) -> rd.Dataset:
+    """Frontier BFS rounds with a size-adaptive visited set: while the frontier
+    stays under the threshold it rides as a sorted broadcast array (one
+    searchsorted per batch — the fast path); once it outgrows the driver, the
+    SAME round runs fully as Dataset ops — (frontier ⨝ edges) → distinct →
+    left-anti join against the visited dataset — so nothing vertex-sized ever
+    has to fit anywhere. Both paths produce identical frontiers (pytested)."""
+    from ray.data.aggregate import Count
+
+    out = rd.from_arrow(
+        pa.table({"partkey": pa.array(seeds),
+                  "depth": pa.array(np.zeros(len(seeds), np.int64))})
+    )
+    visited_np: np.ndarray | None = np.sort(seeds)  # small-path state
+    visited_ds = rd.from_arrow(pa.table({"x": pa.array(seeds)})).materialize()
     frontier = rd.from_arrow(pa.table({"x": pa.array(seeds)}))
-    for d in range(1, _BFS_DEPTH + 1):
-        vis_ref = ray.put(visited)
-
-        def expand(t: pa.Table, _vr=vis_ref) -> pa.Table:
-            vis = ray.get(_vr)
-            y = t["y"].to_numpy(zero_copy_only=False)
-            uy = np.unique(y)
-            idx = np.minimum(np.searchsorted(vis, uy), len(vis) - 1)
-            return pa.table({"x": pa.array(uy[vis[idx] != uy])})
-
-        nxt = (
+    for d in range(1, max_depth + 1):
+        cand = (
             frontier.join(edges, join_type="inner", num_partitions=np_j, on=("x",))
             .select_columns(["y"])
-            .map_batches(expand, batch_format="pyarrow")
+            .map_batches(
+                lambda t: pa.table(
+                    {"x": pa.array(np.unique(t["y"].to_numpy(zero_copy_only=False)))}
+                ),
+                batch_format="pyarrow",
+            )
             .groupby("x")
             .aggregate(Count(alias_name="c"))
             .select_columns(["x"])
         )
-        nxt_keys = np.sort(nxt.to_pandas()["x"].to_numpy(np.int64))
-        if len(nxt_keys) == 0:
+        if visited_np is not None and len(visited_np) <= frontier_threshold:
+            vis_ref = ray.put(visited_np)
+
+            def not_visited(t: pa.Table, _vr=vis_ref) -> pa.Table:
+                vis = ray.get(_vr)
+                x = t["x"].to_numpy(zero_copy_only=False)
+                idx = np.minimum(np.searchsorted(vis, x), len(vis) - 1)
+                return t.filter(pa.array(vis[idx] != x))
+
+            nxt = cand.map_batches(not_visited, batch_format="pyarrow").materialize()
+        else:
+            visited_np = None  # graduated: visited stays distributed from here on
+            nxt = cand.join(
+                visited_ds, join_type="left_anti", num_partitions=np_j, on=("x",)
+            ).materialize()
+        n_new = nxt.count()
+        if n_new == 0:
             break
-        out.append(pa.table({"partkey": pa.array(nxt_keys),
-                             "depth": pa.array(np.full(len(nxt_keys), d, np.int64))}))
-        visited = np.union1d(visited, nxt_keys)
-        frontier = rd.from_arrow(pa.table({"x": pa.array(nxt_keys)}))
-    return pa.concat_tables(out)
+        out = out.union(
+            nxt.map_batches(
+                lambda t, _d=d: pa.table(
+                    {"partkey": t["x"],
+                     "depth": pa.array(np.full(t.num_rows, _d, np.int64))}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        visited_ds = visited_ds.union(nxt).materialize()
+        if visited_np is not None:
+            visited_np = np.union1d(
+                visited_np, nxt.to_pandas()["x"].to_numpy(np.int64)
+            )
+        frontier = nxt
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1369,3 +1369,26 @@ def test_k_core_distributed_equals_local(ray_session):
     b = dist.sort_values("partkey").reset_index(drop=True)
     assert (a.partkey.values == b.partkey.values).all()
     assert (a.core_degree.values == b.core_degree.values).all()
+
+
+def test_bfs_rounds_distributed_visited_equals_broadcast(ray_session):
+    """Force the graduated (anti-join visited) path with threshold 0 and require
+    identical depth labels to the broadcast path."""
+    import ray.data as rd
+
+    from augdiff_pipeline_ray.pipelines.extra_queries import bfs_rounds
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 400, 3000).astype(np.int64)
+    y = rng.integers(0, 400, 3000).astype(np.int64)
+    m = x != y
+    et = pa.table({"x": pa.array(np.concatenate([x[m], y[m]])),
+                   "y": pa.array(np.concatenate([y[m], x[m]]))})
+    edges = rd.from_arrow(et).repartition(5).materialize()
+    seeds = np.array([1, 7, 13], np.int64)
+    a = _df(bfs_rounds(edges, seeds, 3, 8)).sort_values(
+        ["depth", "partkey"]).reset_index(drop=True)
+    b = _df(bfs_rounds(edges, seeds, 3, 8, frontier_threshold=0)).sort_values(
+        ["depth", "partkey"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert a.depth.max() >= 1
