@@ -1310,7 +1310,7 @@ def kcore_peel_auto(
         bad = deg.map_batches(
             lambda t: t.filter(pc.less(t["d"], k)).select(["v"]),
             batch_format="pyarrow",
-        ).materialize()
+        ).repartition(np_j).materialize()  # join input: normalize empty blocks
         if bad.count() == 0:
             final = deg
             break
@@ -2135,31 +2135,131 @@ def q_cells_compact(sf_dir: str):
         ds.map_batches(cell_partials, batch_format="pyarrow")
         .groupby(["r", "c"])
         .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # occupied-cell sized
+        .select_columns(["r", "c"])
     )
-    r = occ["r"].to_numpy(np.int64)
-    c = occ["c"].to_numpy(np.int64)
-    out_lvl, out_r, out_c = [], [], []
+    return compact_rounds(occ, _COMPACT_LEVELS)
+
+
+def compact_rounds(
+    occ: rd.Dataset, levels: int, local_threshold: int = 5_000_000,
+    force_distributed: bool = False,
+) -> pa.Table | rd.Dataset:
+    """Per-level all-4-children-present rewrite with the size-adaptive switch:
+    local numpy fold when the occupied-cell set fits; otherwise each level runs
+    as Dataset ops — parent-key stamp → parent groupby-count → full set (== 4)
+    → left-anti join keeps the non-absorbed cells, inner join derives the next
+    level's parents. Nothing cell-set-sized sits on the driver in the
+    distributed branch; both branches are equality-pytested."""
+    from ray.data.aggregate import Count
+    from ..stages.closure import default_join_partitions
+
+    n_occ = occ.count()
+    if n_occ <= local_threshold and not force_distributed:
+        pdf = occ.to_pandas()
+        r = pdf["r"].to_numpy(np.int64)
+        c = pdf["c"].to_numpy(np.int64)
+        out_lvl, out_r, out_c = [], [], []
+        level = 0
+        while level < levels and len(r):
+            pr, pcc = r >> 1, c >> 1
+            pkey = pr * _NCOLS + pcc
+            uk, inv, cnt = np.unique(pkey, return_inverse=True, return_counts=True)
+            full = cnt[inv] == 4  # all four children present -> absorbed
+            out_lvl.append(np.full((~full).sum(), level, np.int64))
+            out_r.append(r[~full])
+            out_c.append(c[~full])
+            parents = uk[cnt == 4]
+            r, c = parents // _NCOLS, parents % _NCOLS
+            level += 1
+        out_lvl.append(np.full(len(r), level, np.int64))
+        out_r.append(r)
+        out_c.append(c)
+        return pa.table(
+            {"res_level": pa.array(np.concatenate(out_lvl)),
+             "cell_row": pa.array(np.concatenate(out_r)),
+             "cell_col": pa.array(np.concatenate(out_c))}
+        )
+
+    np_j = default_join_partitions()
+
+    def with_parent(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"r": t["r"], "c": t["c"],
+             "pkey": pa.array((r >> 1) * _NCOLS + (c >> 1))}
+        )
+
+    outs: list[rd.Dataset] = []
+    cur = occ.materialize()
     level = 0
-    while level < _COMPACT_LEVELS and len(r):
-        pr, pc = r >> 1, c >> 1
-        pkey = pr * _NCOLS + pc
-        uk, inv, cnt = np.unique(pkey, return_inverse=True, return_counts=True)
-        full = cnt[inv] == 4  # all four children present -> absorbed by parent
-        out_lvl.append(np.full((~full).sum(), level, np.int64))
-        out_r.append(r[~full])
-        out_c.append(c[~full])
-        parents = uk[cnt == 4]
-        r, c = parents // _NCOLS, parents % _NCOLS
+    while level < levels and cur.count():
+        stamped = (
+            cur.map_batches(with_parent, batch_format="pyarrow")
+            .repartition(np_j)  # join input: normalize zero-column empties
+            .materialize()
+        )
+        full = (
+            stamped.groupby("pkey").aggregate(Count(alias_name="nch"))
+            .map_batches(
+                lambda t: t.filter(pc.equal(t["nch"], 4)).select(["pkey"]),
+                batch_format="pyarrow",
+            )
+            # load-bearing (components.py note): hash aggregates emit zero-column
+            # empty blocks and Dataset.join crashes on them; repartition normalizes
+            .repartition(np_j)
+            .materialize()
+        )
+        if full.count() == 0:  # nothing absorbs at this level: fixpoint
+            outs.append(
+                stamped.map_batches(
+                    lambda t, _l=level: pa.table(
+                        {"res_level": pa.array(np.full(t.num_rows, _l, np.int64)),
+                         "cell_row": t["r"], "cell_col": t["c"]}
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            cur = rd.from_arrow(
+                pa.table({"r": pa.array([], pa.int64()), "c": pa.array([], pa.int64())})
+            )
+            level += 1
+            break
+        survivors = stamped.join(
+            full, join_type="left_anti", num_partitions=np_j, on=("pkey",)
+        )
+        outs.append(
+            survivors.map_batches(
+                lambda t, _l=level: pa.table(
+                    {"res_level": pa.array(np.full(t.num_rows, _l, np.int64)),
+                     "cell_row": t["r"], "cell_col": t["c"]}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        cur = full.map_batches(
+            lambda t: pa.table(
+                {"r": pc.divide(t["pkey"], _NCOLS),
+                 "c": pa.array(
+                     t["pkey"].to_numpy(zero_copy_only=False) % _NCOLS
+                 )}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
         level += 1
-    out_lvl.append(np.full(len(r), level, np.int64))
-    out_r.append(r)
-    out_c.append(c)
-    return pa.table(
-        {"res_level": pa.array(np.concatenate(out_lvl)),
-         "cell_row": pa.array(np.concatenate(out_r)),
-         "cell_col": pa.array(np.concatenate(out_c))}
+    outs.append(
+        cur.map_batches(
+            lambda t, _l=level: pa.table(
+                {"res_level": pa.array(np.full(t.num_rows, _l, np.int64)),
+                 "cell_row": t["r"], "cell_col": t["c"]}
+            ),
+            batch_format="pyarrow",
+        )
     )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -3133,6 +3233,9 @@ def bfs_rounds(
             nxt = cand.map_batches(not_visited, batch_format="pyarrow").materialize()
         else:
             visited_np = None  # graduated: visited stays distributed from here on
+            cand = cand.materialize()
+            if cand.count() == 0:
+                break
             nxt = cand.join(
                 visited_ds, join_type="left_anti", num_partitions=np_j, on=("x",)
             ).materialize()

@@ -1392,3 +1392,22 @@ def test_bfs_rounds_distributed_visited_equals_broadcast(ray_session):
         ["depth", "partkey"]).reset_index(drop=True)
     assert a.equals(b)
     assert a.depth.max() >= 1
+
+
+def test_compact_rounds_distributed_equals_local(ray_session):
+    import ray.data as rd
+
+    from augdiff_pipeline_ray.pipelines.extra_queries import compact_rounds
+
+    rng = np.random.default_rng(5)
+    rr = rng.integers(0, 24, 1200).astype(np.int64)  # dense: quads DO fill
+    cc = rng.integers(0, 24, 1200).astype(np.int64)
+    key = np.unique(rr * 1000 + cc)
+    t = pa.table({"r": pa.array(key // 1000), "c": pa.array(key % 1000)})
+    occ = rd.from_arrow(t).repartition(7)
+    a = _df(compact_rounds(occ, 5)).sort_values(
+        ["res_level", "cell_row", "cell_col"]).reset_index(drop=True)
+    b = _df(compact_rounds(occ, 5, force_distributed=True)).sort_values(
+        ["res_level", "cell_row", "cell_col"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert (a.res_level > 0).any()  # compaction actually absorbed children
