@@ -1217,12 +1217,10 @@ def q_k_core(sf_dir: str):
     """{k}-core membership of the part co-order graph (k = 3): repeatedly peel
     vertices with degree < k until a fixpoint; output the surviving vertices with
     their in-core degree. Completes the graph family (closure / 2-hop / connected
-    components / PageRank / triangles). Each round is a degree groupby-count over
-    live edges + a broadcast removal filter — the removed-vertex set is
-    round-sized (small after round 1), so it ships via ray.put instead of an
-    anti-join; rounds are O(peel depth), the standard distributed k-core
-    (Montresor et al. 2013 converges in the same round bound). Small edge sets
-    take one numpy fixpoint locally — same auto switch as stages/closure."""
+    components / PageRank / triangles / BFS). Delegates to ``kcore_peel_auto``:
+    local numpy fixpoint under the size switch, per-round degree-groupby +
+    left-anti endpoint joins above it (nothing vertex- or edge-sized on the
+    driver); rounds are O(peel depth), Montresor et al. 2013."""
     from ray.data.aggregate import Count
 
     li = SRC.read_parquet_clean(
