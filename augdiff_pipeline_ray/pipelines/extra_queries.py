@@ -3777,3 +3777,100 @@ def q_convex_hull_track(sf_dir: str):
         )
 
     return ds.groupby("o_custkey").map_groups(hull, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# peak concurrency (interval sweep maximum, distributed prefix scan)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "peak_concurrency",
+    """
+    WITH b AS (SELECT ts AS t, 1 AS d FROM events
+               UNION ALL SELECT ts + INTERVAL 1 HOUR, -1 FROM events),
+    r AS (SELECT SUM(d) OVER (ORDER BY t, d) AS cur FROM b)
+    SELECT CAST(MAX(cur) AS BIGINT) AS peak FROM r
+    """,
+)
+def q_peak_concurrency(sf_dir: str):
+    """Peak concurrent sessions (each event opens a 1-hour session): the classic
+    +1/−1 boundary sweep, MAX of the running sum — capacity planning's core
+    query. Distributed as the block-prefix scan (watermark_window's frame): the
+    boundary stream sorts once on (t, d) (−1 before +1 at ties = half-open
+    semantics, matching the oracle's ORDER BY t, d), each block reports (its
+    total, its internal running-max); the driver folds the block-count-sized
+    list: peak = max over blocks of (carry + block max), carry += block total.
+    Rows never leave the object store; the driver sees two ints per block."""
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["ts"])
+    hour = 3_600_000_000
+
+    def boundaries(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {"t": pa.array(np.concatenate([ts, ts + hour])),
+             "d": pa.array(np.concatenate(
+                 [np.ones(len(ts), np.int64), -np.ones(len(ts), np.int64)]
+             ))}
+        )
+
+    b = ds.map_batches(boundaries, batch_format="pyarrow").sort(["t", "d"])
+    refs = b.to_arrow_refs()
+
+    @ray.remote
+    def block_scan(t: pa.Table):
+        d = t["d"].to_numpy(zero_copy_only=False)
+        if len(d) == 0:
+            return 0, -(2**62)
+        run = np.cumsum(d)
+        return int(run[-1]), int(run.max())
+
+    parts = ray.get([block_scan.remote(r) for r in refs])
+    peak, carry = -(2**62), 0
+    for total, bmax in parts:
+        if bmax != -(2**62):
+            peak = max(peak, carry + bmax)
+        carry += total
+    return pa.table({"peak": pa.array([peak], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# streaming idempotency window (drop near-duplicate events per key)
+# ---------------------------------------------------------------------------
+
+_IDEM_WINDOW_US = 21_600_000_000  # 6 h (non-degenerate at every sf cadence)
+
+
+@query(
+    "dedup_recent",
+    f"""
+    WITH s AS (SELECT event_id, user_id, event_type, ts,
+                 lag(ts) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS pts
+               FROM events)
+    SELECT event_id FROM s
+    WHERE pts IS NULL OR epoch_us(ts) - epoch_us(pts) > {_IDEM_WINDOW_US}
+    """,
+)
+def q_dedup_recent(sf_dir: str):
+    """Streaming idempotency window: an event is a retry-duplicate when the
+    SAME (user, type) fired within the preceding 6 h — the at-least-once
+    delivery cleanup every event pipeline runs before aggregation. One hash
+    shuffle on the composite key, vectorized per-key sort + diff; note the
+    chained semantics (each kept event restarts the window from ITSELF only if
+    the previous was kept? No — lag semantics: compare to the immediately
+    preceding event regardless of its fate, matching the SQL oracle exactly)."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def keep(grp: pd.DataFrame) -> pd.DataFrame:
+        ts = grp["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = grp["event_id"].to_numpy(np.int64)
+        o = np.lexsort((eid, ts))
+        ts, eid = ts[o], eid[o]
+        gap = np.diff(ts)
+        mask = np.concatenate([[True], gap > _IDEM_WINDOW_US])
+        return pd.DataFrame({"event_id": eid[mask]})
+
+    return ds.groupby(["user_id", "event_type"]).map_groups(keep, batch_format="pandas")

@@ -1411,3 +1411,38 @@ def test_compact_rounds_distributed_equals_local(ray_session):
         ["res_level", "cell_row", "cell_col"]).reset_index(drop=True)
     assert a.equals(b)
     assert (a.res_level > 0).any()  # compaction actually absorbed children
+
+
+def test_peak_concurrency_matches_brute(ray_session, events):
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_peak_concurrency
+
+    ts = events.ts.values.astype("datetime64[us]").astype(np.int64)
+    hour = 3_600_000_000
+    t = np.concatenate([ts, ts + hour])
+    d = np.concatenate([np.ones(len(ts), np.int64), -np.ones(len(ts), np.int64)])
+    o = np.lexsort((d, t))  # -1 before +1 at ties: half-open intervals
+    want = int(np.cumsum(d[o]).max())
+    out = _df(q_peak_concurrency(SF))
+    assert out.peak.iloc[0] == want
+    assert want > 1
+
+
+def test_dedup_recent_matches_brute(ray_session, events):
+    from augdiff_pipeline_ray.pipelines.extra_queries import (
+        _IDEM_WINDOW_US,
+        q_dedup_recent,
+    )
+
+    want = set()
+    for _, grp in events.groupby(["user_id", "event_type"]):
+        g = grp.sort_values(["ts", "event_id"])
+        ts = g.ts.values.astype("datetime64[us]").astype(np.int64)
+        eid = g.event_id.values
+        prev = None
+        for t, e in zip(ts, eid):
+            if prev is None or t - prev > _IDEM_WINDOW_US:
+                want.add(e)
+            prev = t
+    out = _df(q_dedup_recent(SF))
+    assert set(out.event_id) == want
+    assert len(want) < len(events)  # the window genuinely drops retries

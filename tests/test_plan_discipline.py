@@ -95,6 +95,7 @@ EXPECTED = {
     #                              side passes; final plan is a pure map
     "trend_per_user": 1,         # five integral sums per key, one groupby
     "convex_hull_track": 1,      # one hash sort per track key
+    "dedup_recent": 1,           # one composite-key hash sort
 }
 
 
