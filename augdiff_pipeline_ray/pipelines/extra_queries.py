@@ -3874,3 +3874,132 @@ def q_dedup_recent(sf_dir: str):
         return pd.DataFrame({"event_id": eid[mask]})
 
     return ds.groupby(["user_id", "event_type"]).map_groups(keep, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SCARF-style deterministic feature corruption (self-supervised tabular)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ssl_corrupt",
+    """
+    WITH c AS (SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents,
+                      (SELECT COUNT(*) FROM events) AS n FROM events),
+    d AS (SELECT event_id, cents,
+                 (event_id * 2654435761) % 4294967296 % n AS donor_id FROM c)
+    SELECT d.event_id, d.cents AS orig_cents, c2.cents AS corrupt_cents,
+           d.event_id != c2.event_id AS corrupted
+    FROM d JOIN c c2 ON c2.event_id = d.donor_id
+    """,
+)
+def q_ssl_corrupt(sf_dir: str):
+    """Self-supervised tabular corruption (SCARF / VIME): each row's feature is
+    replaced by the same feature from a DONOR row chosen by a reproducible hash
+    — the positive-pair generator for contrastive tabular pretraining, with no
+    RNG so every epoch regenerates identically on any cluster. The donor lookup
+    is ONE hash self-join on the dense row id (at 10^12 rows the donor pool
+    would be a bounded broadcast sample instead — documented knob); emitting
+    (orig, corrupt, changed-flag) keeps the check integral-exact."""
+    from ..stages.closure import default_join_partitions
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["event_id", "value"])
+    n = int(ds.count())
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {"event_id": pa.array(eid), "cents": pa.array(cents),
+             "donor_id": pa.array((eid * 2654435761) % 4294967296 % n)}
+        )
+
+    left = ds.map_batches(prep, batch_format="pyarrow")
+    donors = left.map_batches(
+        lambda t: pa.table({"donor_id": t["event_id"], "donor_cents": t["cents"]}),
+        batch_format="pyarrow",
+    )
+    j = left.join(
+        donors, join_type="inner",
+        num_partitions=default_join_partitions(), on=("donor_id",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        did = t["donor_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"event_id": t["event_id"], "orig_cents": t["cents"],
+             "corrupt_cents": t["donor_cents"],
+             "corrupted": pa.array(eid != did)}
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# leave-one-out target encoding (integral-exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "target_encode_loo",
+    """
+    WITH c AS (SELECT event_id, event_type,
+                      CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+    g AS (SELECT event_type, CAST(SUM(cents) AS BIGINT) AS s, COUNT(*) AS n
+          FROM c GROUP BY event_type)
+    SELECT c.event_id,
+           CAST(g.s - c.cents AS BIGINT) AS loo_sum_cents,
+           CAST(g.n - 1 AS BIGINT) AS loo_n
+    FROM c JOIN g ON g.event_type = c.event_type
+    WHERE g.n > 1
+    """,
+)
+def q_target_encode_loo(sf_dir: str):
+    """Leave-one-out target encoding (the leakage-safe categorical encoder):
+    each row's category statistic EXCLUDES the row itself — numerator and
+    denominator emitted as exact integers (the model divides; keeping ints
+    makes the oracle order-independent). Category sums fold in one combiner
+    groupby; the per-category (sum, n) table broadcasts (category-cardinality)
+    and the encode pass is a stateless scan — no join, no row shuffle."""
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False).astype(str)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        uk, inv = np.unique(et, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, cents)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({"event_type": pa.array(uk), "s": pa.array(s), "n": pa.array(n)})
+
+    from ray.data.aggregate import Sum
+
+    g = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()  # category-cardinality
+    )
+    keys = g["event_type"].to_numpy(object)
+    order = np.argsort(keys)
+    keys = keys[order].astype(str)
+    sums = g["s"].to_numpy(np.int64)[order]
+    ns = g["n"].to_numpy(np.int64)[order]
+    model_ref = ray.put((keys, sums, ns))
+
+    def encode(t: pa.Table) -> pa.Table:
+        k, s, nn = ray.get(model_ref)
+        et = t["event_type"].to_numpy(zero_copy_only=False).astype(str)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        idx = np.searchsorted(k, et)
+        keep = nn[idx] > 1
+        return pa.table(
+            {"event_id": t["event_id"].filter(pa.array(keep)),
+             "loo_sum_cents": pa.array(s[idx][keep] - cents[keep]),
+             "loo_n": pa.array(nn[idx][keep] - 1)}
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")

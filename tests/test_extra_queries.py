@@ -1446,3 +1446,42 @@ def test_dedup_recent_matches_brute(ray_session, events):
     out = _df(q_dedup_recent(SF))
     assert set(out.event_id) == want
     assert len(want) < len(events)  # the window genuinely drops retries
+
+
+def test_ssl_corrupt_matches_brute(ray_session, events):
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_ssl_corrupt
+
+    n = len(events)
+    cents = dict(zip(events.event_id, np.floor(events.value.values * 100).astype(np.int64)))
+    out = _df(q_ssl_corrupt(SF)).set_index("event_id")
+    assert len(out) == n
+    changed = 0
+    for eid in events.event_id:
+        donor = (eid * 2654435761) % 4294967296 % n
+        row = out.loc[eid]
+        assert row.orig_cents == cents[eid]
+        assert row.corrupt_cents == cents[donor]
+        assert row.corrupted == (eid != donor)
+        changed += int(eid != donor)
+    assert changed > n // 2  # corruption genuinely fires
+    # determinism: a second run is identical
+    out2 = _df(q_ssl_corrupt(SF)).set_index("event_id")
+    assert out.sort_index().equals(out2.sort_index())
+
+
+def test_target_encode_loo_matches_brute(ray_session, events):
+    from augdiff_pipeline_ray.pipelines.extra_queries import q_target_encode_loo
+
+    cents = np.floor(events.value.values * 100).astype(np.int64)
+    g = pd.DataFrame({"et": events.event_type, "c": cents, "eid": events.event_id})
+    agg = g.groupby("et").c.agg(["sum", "size"])
+    out = _df(q_target_encode_loo(SF)).set_index("event_id")
+    for _, row in g.iterrows():
+        s, n = agg.loc[row.et]
+        if n <= 1:
+            assert row.eid not in out.index
+            continue
+        assert out.loc[row.eid, "loo_sum_cents"] == s - row.c
+        assert out.loc[row.eid, "loo_n"] == n - 1
+    # leakage check: the row's own value never contributes to its encoding
+    assert (out.loo_n.values >= 1).all()

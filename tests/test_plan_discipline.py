@@ -96,6 +96,8 @@ EXPECTED = {
     "trend_per_user": 1,         # five integral sums per key, one groupby
     "convex_hull_track": 1,      # one hash sort per track key
     "dedup_recent": 1,           # one composite-key hash sort
+    "ssl_corrupt": 1,            # ONE donor-lookup hash self-join
+    "target_encode_loo": 0,      # category table broadcast; encode is a scan
 }
 
 
