@@ -4003,3 +4003,64 @@ def q_target_encode_loo(sf_dir: str):
         )
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# training shard layout (webdataset-style byte-budgeted packing)
+# ---------------------------------------------------------------------------
+
+_SHARD_BYTES = 256 * 1024  # per-shard budget
+
+
+@query("training_shards")  # blob sizes come from the codec — not SQL-expressible;
+# rows-only driver check, exact prefix-layout pytest-pinned
+def q_training_shards(sf_dir: str):
+    """Training-shard layout (the webdataset/tar-shard packing step): every
+    (image, caption) record is assigned a shard id and byte offset by a
+    sequential byte-budget scan in image_id order — the data-loader then reads
+    shard files with zero seeks. Distributed as the block-prefix pattern (one
+    sort on the pack key, per-block byte totals to the driver — two ints per
+    block — then per-block offset stamping with carries); records never leave
+    the object store. Output (image_id, shard_id, offset_bytes, n_bytes);
+    a record whose START crosses a budget boundary opens the next shard."""
+    t = TP.images_from_documents(sf_dir)
+    src = rd.from_arrow(
+        pa.table({"image_id": t["image_id"], "bytes": t["bytes"]})
+    ).sort("image_id")
+    refs = src.to_arrow_refs()
+
+    @ray.remote
+    def block_sizes(tb: pa.Table) -> int:
+        if tb.num_rows == 0:
+            return 0
+        off = tb["bytes"].combine_chunks().buffers()[1]
+        a = np.frombuffer(off, np.int32)[: tb.num_rows + 1].astype(np.int64)
+        return int(a[-1] - a[0])
+
+    totals = ray.get([block_sizes.remote(r) for r in refs])
+    carries = np.concatenate([[0], np.cumsum(totals)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def stamp(tb: pa.Table, carry: int) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table({"image_id": pa.array([], pa.string()),
+                            "shard_id": pa.array([], pa.int64()),
+                            "offset_bytes": pa.array([], pa.int64()),
+                            "n_bytes": pa.array([], pa.int64())})
+        col = tb["bytes"].combine_chunks()
+        off = np.frombuffer(col.buffers()[1], np.int32)[
+            col.offset : col.offset + tb.num_rows + 1
+        ].astype(np.int64)
+        sizes = np.diff(off)
+        starts = carry + np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        shard = starts // _SHARD_BYTES
+        return pa.table(
+            {"image_id": tb["image_id"],
+             "shard_id": pa.array(shard),
+             "offset_bytes": pa.array(starts - shard * _SHARD_BYTES),
+             "n_bytes": pa.array(sizes)}
+        )
+
+    return rd.from_arrow_refs(
+        [stamp.remote(r, int(c)) for r, c in zip(refs, carries)]
+    )

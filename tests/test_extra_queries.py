@@ -1485,3 +1485,27 @@ def test_target_encode_loo_matches_brute(ray_session, events):
         assert out.loc[row.eid, "loo_n"] == n - 1
     # leakage check: the row's own value never contributes to its encoding
     assert (out.loo_n.values >= 1).all()
+
+
+def test_training_shards_matches_sequential_pack(ray_session):
+    from augdiff_pipeline_ray.pipelines import tpch as TP
+    from augdiff_pipeline_ray.pipelines.extra_queries import (
+        _SHARD_BYTES,
+        q_training_shards,
+    )
+
+    t = TP.images_from_documents(SF)
+    recs = sorted(
+        zip(t["image_id"].to_pylist(), [len(b.as_py()) for b in t["bytes"]])
+    )
+    out = _df(q_training_shards(SF)).set_index("image_id")
+    cum = 0
+    for image_id, sz in recs:
+        row = out.loc[image_id]
+        assert row.n_bytes == sz
+        assert row.shard_id == cum // _SHARD_BYTES
+        assert row.offset_bytes == cum - row.shard_id * _SHARD_BYTES
+        cum += sz
+    # shards are actually multiple and byte-bounded at the start boundary
+    assert out.shard_id.max() >= 2
+    assert (out.offset_bytes < _SHARD_BYTES).all()

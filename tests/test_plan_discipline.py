@@ -98,6 +98,9 @@ EXPECTED = {
     "dedup_recent": 1,           # one composite-key hash sort
     "ssl_corrupt": 1,            # ONE donor-lookup hash self-join
     "target_encode_loo": 0,      # category table broadcast; encode is a scan
+    "training_shards": 0,        # sort + byte-prefix stamps run as side passes;
+    #                              final plan is stamped blocks (two ints/block
+    #                              to the driver)
 }
 
 
