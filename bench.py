@@ -646,7 +646,9 @@ REGISTRY_BENCH = [
     "cell_ring_agg", "zorder_layout", "track_profile", "scd2_history",
     "watermark_window", "cdf_rank", "frequent_itemsets", "bfs_depths",
     "pixel_histogram", "raster_pyramid", "bm25_topk", "quantile_bins",
-    "negative_samples", "covisitation_topk",
+    "negative_samples", "covisitation_topk", "dedup_recent", "peak_concurrency",
+    "str_pack", "trend_per_user", "ssl_corrupt", "target_encode_loo",
+    "training_shards", "k_anonymity", "ks_drift", "embedding_stats",
 ]
 
 
