@@ -4064,3 +4064,70 @@ def q_training_shards(sf_dir: str):
     return rd.from_arrow_refs(
         [stamp.remote(r, int(c)) for r, c in zip(refs, carries)]
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified k-fold assignment
+# ---------------------------------------------------------------------------
+
+_KFOLD = 5
+
+
+@query(
+    "kfold_assign",
+    f"""
+    SELECT event_id, event_type,
+           CAST((ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY (event_id * 2654435761) % 4294967296, event_id) - 1)
+                % {_KFOLD} AS BIGINT) AS fold
+    FROM events
+    """,
+)
+def q_kfold_assign(sf_dir: str):
+    """Deterministic stratified k-fold assignment (cross-validation carving):
+    rows rank within their stratum by a Knuth hash and folds deal round-robin —
+    every fold holds each class in proportion (±1), reproducibly on any
+    cluster. Distributed as str_pack's frame: one sort on (stratum, hash), the
+    no-collect zip_with_index rank, and per-stratum offsets from a tiny count
+    side pass make the within-stratum rank pure arithmetic — no per-stratum
+    dispatch."""
+    from ray.data.aggregate import Count
+
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["event_id", "event_type"]
+    )
+
+    def hkey(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"event_id": t["event_id"], "event_type": t["event_type"],
+             "h": pa.array((eid * 2654435761) % 4294967296)}
+        )
+
+    ranked = SHF.zip_with_index(
+        ds.map_batches(hkey, batch_format="pyarrow").sort(
+            ["event_type", "h", "event_id"]
+        ),
+        index_col="gr",
+    )
+    counts = (
+        ds.groupby("event_type").aggregate(Count(alias_name="n"))
+        .to_pandas().sort_values("event_type")  # stratum-cardinality
+    )
+    keys = counts["event_type"].to_numpy(object).astype(str)
+    offs = np.concatenate(
+        [[0], np.cumsum(counts["n"].to_numpy(np.int64))[:-1]]
+    ).astype(np.int64)
+    off_ref = ray.put((keys, offs))
+
+    def fold_of(t: pa.Table) -> pa.Table:
+        k, o = ray.get(off_ref)
+        et = t["event_type"].to_numpy(zero_copy_only=False).astype(str)
+        gr = t["gr"].to_numpy(zero_copy_only=False)
+        base = o[np.searchsorted(k, et)]
+        return pa.table(
+            {"event_id": t["event_id"], "event_type": t["event_type"],
+             "fold": pa.array((gr - base) % _KFOLD)}
+        )
+
+    return ranked.map_batches(fold_of, batch_format="pyarrow")

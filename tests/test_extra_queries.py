@@ -1509,3 +1509,27 @@ def test_training_shards_matches_sequential_pack(ray_session):
     # shards are actually multiple and byte-bounded at the start boundary
     assert out.shard_id.max() >= 2
     assert (out.offset_bytes < _SHARD_BYTES).all()
+
+
+def test_kfold_assign_balanced_and_deterministic(ray_session, events):
+    from augdiff_pipeline_ray.pipelines.extra_queries import _KFOLD, q_kfold_assign
+
+    out = _df(q_kfold_assign(SF))
+    assert len(out) == len(events)
+    # stratified balance: within each class, fold sizes differ by at most 1
+    for et, grp in out.groupby("event_type"):
+        sizes = grp.fold.value_counts()
+        assert set(sizes.index) <= set(range(_KFOLD))
+        assert sizes.max() - sizes.min() <= 1
+    # determinism across runs
+    out2 = _df(q_kfold_assign(SF))
+    a = out.sort_values("event_id").reset_index(drop=True)
+    b = out2.sort_values("event_id").reset_index(drop=True)
+    assert a.equals(b)
+    # matches the direct rank-based derivation
+    ev = events.assign(h=(events.event_id * 2654435761) % 4294967296)
+    for et, grp in ev.groupby("event_type"):
+        order = grp.sort_values(["h", "event_id"]).event_id.values
+        want = {e: i % _KFOLD for i, e in enumerate(order)}
+        got = dict(zip(a[a.event_type == et].event_id, a[a.event_type == et].fold))
+        assert got == want

@@ -101,6 +101,8 @@ EXPECTED = {
     "training_shards": 0,        # sort + byte-prefix stamps run as side passes;
     #                              final plan is stamped blocks (two ints/block
     #                              to the driver)
+    "kfold_assign": 0,           # sort + rank are zip_with_index side passes;
+    #                              the fold stamp is pure arithmetic
 }
 
 
