@@ -4033,8 +4033,12 @@ def q_training_shards(sf_dir: str):
     def block_sizes(tb: pa.Table) -> int:
         if tb.num_rows == 0:
             return 0
-        off = tb["bytes"].combine_chunks().buffers()[1]
-        a = np.frombuffer(off, np.int32)[: tb.num_rows + 1].astype(np.int64)
+        col = tb["bytes"].combine_chunks()
+        # honor the array's slice offset, exactly as ``stamp`` below does —
+        # a sliced block's offsets buffer starts at col.offset, not 0
+        a = np.frombuffer(col.buffers()[1], np.int32)[
+            col.offset : col.offset + tb.num_rows + 1
+        ].astype(np.int64)
         return int(a[-1] - a[0])
 
     totals = ray.get([block_sizes.remote(r) for r in refs])

@@ -20,6 +20,8 @@ this engine's opaque encoded-tile blobs (functions/image.py codec):
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -144,7 +146,7 @@ class TileAugment:
         out_bytes, masks, ws, hs, sums = [], [], [], [], []
         for image_id, blob in zip(ids, t["bytes"]):
             px, _ = IMG.decode(blob.as_py())
-            mask = sum(ord(ch) for ch in image_id) & 7
+            mask = zlib.crc32(image_id.encode()) & 7
             if mask & 1:
                 px = px[:, ::-1]
             if mask & 2:

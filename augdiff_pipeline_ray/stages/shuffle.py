@@ -188,9 +188,14 @@ def grouped_pairs_sorted(
     WITHOUT an extra all-to-all: ONE sort on the group key (the same exchange
     class a hash groupby costs), then each sorted block runs the vectorized
     offset-sweep kernel over its interior groups; a block's FIRST and LAST
-    groups may straddle block boundaries, so their rows route to a tiny driver
-    residual (≤ 2 groups × blocks — group-size bound, not data bound) that runs
-    the identical kernel once. Output columns (x, y), per-group-distinct.
+    groups may straddle block boundaries, so their rows route to a tiny
+    residual (≤ 2 groups × blocks — group-size bound, not data bound) that
+    runs the identical kernel once in a REMOTE task, so a hot group (skewed
+    basket) lands in one worker's heap, never the driver's. The residual is
+    still single-task — callers with a pathological single group holding a
+    material fraction of all rows should pre-split that key (salt) before
+    calling; for the basket families here group size is order-size bounded.
+    Output columns (x, y), per-group-distinct.
 
     Replaces ``groupby(key).map_groups(pairs)`` for the basket-pair family —
     measured 12-14 s → seconds at sf0.1 where ~150k per-group Python calls
@@ -215,12 +220,24 @@ def grouped_pairs_sorted(
             t.filter(pa.array(edge)),
         )
 
+    empty_pairs = pa.table(
+        {"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())}
+    )
+    if not refs:  # empty input dataset → empty (x, y) dataset
+        return rd.from_arrow([empty_pairs])
+
+    @ray.remote
+    def residual_pairs(*edges: pa.Table) -> pa.Table:
+        residual = pa.concat_tables(edges)
+        if residual.num_rows == 0:
+            return empty_pairs
+        k = residual[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = residual[val].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((v, k))
+        rx, ry = _pairs_kernel(k[o], v[o], both_orientations)
+        return pa.table({"x": pa.array(rx), "y": pa.array(ry)})
+
     out = [split.remote(r) for r in refs]
     pair_refs = [pr for pr, _ in out]
-    residual = pa.concat_tables(ray.get([er for _, er in out]))
-    k = residual[key].to_numpy(zero_copy_only=False).astype(np.int64)
-    v = residual[val].to_numpy(zero_copy_only=False).astype(np.int64)
-    o = np.lexsort((v, k))
-    rx, ry = _pairs_kernel(k[o], v[o], both_orientations)
-    res_tbl = pa.table({"x": pa.array(rx), "y": pa.array(ry)})
-    return rd.from_arrow_refs(pair_refs).union(rd.from_arrow([res_tbl]))
+    res_ref = residual_pairs.remote(*[er for _, er in out])
+    return rd.from_arrow_refs(pair_refs + [res_ref])

@@ -6,6 +6,8 @@ so a refactor that breaks a combiner or a carry fails fast in pytest."""
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1231,7 +1233,7 @@ def test_tile_augment_matches_local_transform(ray_session):
     out = _df(q_tile_augment(SF)).set_index("image_id")
     for image_id, blob in list(zip(t["image_id"].to_pylist(), t["bytes"]))[:60]:
         px, _ = IMG.decode(blob.as_py())
-        mask = sum(ord(ch) for ch in image_id) & 7
+        mask = zlib.crc32(image_id.encode()) & 7
         if mask & 1:
             px = px[:, ::-1]
         if mask & 2:

@@ -105,3 +105,19 @@ def test_grouped_pairs_sorted_matches_brute(ray_session):
         if a < b:
             fwd[(a, b)] = fwd.get((a, b), 0) + 1
     assert fwd == want_multi
+
+
+def test_grouped_pairs_sorted_empty_input(ray_session):
+    """An empty dataset (e.g. a filter that matched nothing) must yield an empty
+    (x, y) dataset, not a concat_tables ValueError (ADVICE r2)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from augdiff_pipeline_ray.stages import shuffle as SH
+
+    empty = rd.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    )
+    out = SH.grouped_pairs_sorted(empty, key="k", val="v")
+    assert out.schema().names == ["x", "y"]
+    assert len(out.to_pandas()) == 0  # (ray's to_pandas drops schema when empty)
