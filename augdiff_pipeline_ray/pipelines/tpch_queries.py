@@ -664,23 +664,28 @@ def q_minhash_dup_pairs(sf_dir: str, local_threshold: int = 2_000_000):
     docs = _docs_doubled(sf_dir)
     ds = rd.from_arrow(docs)
 
+    n_bands = 16
+
     def bands(t: pa.Table) -> pa.Table:
-        ids, bid, bh, c1, c2 = [], [], [], [], []
-        for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = DD.minhash_signature(txt)
+        # vectorized corpus scan (VERDICT r2 #3): signatures + band hashes come
+        # from the batch kernels (no per-row Python); only the 128-bit content
+        # hash for the in-join verify stays a per-doc C call (hashlib).
+        sig = DD.minhash_signatures_batch(t["text"])
+        bh = DD.lsh_band_matrix(sig, n_bands)  # (n, bands)
+        n = len(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = np.empty(n, np.int64)
+        c2 = np.empty(n, np.int64)
+        for i, txt in enumerate(t["text"].to_pylist()):
             d = hashlib.blake2b(txt.encode(), digest_size=16).digest()
-            h1 = int.from_bytes(d[:8], "little", signed=True)
-            h2 = int.from_bytes(d[8:], "little", signed=True)
-            for b, h in DD.lsh_band_rows(sig):
-                ids.append(i)
-                bid.append(b)
-                bh.append(h)
-                c1.append(h1)
-                c2.append(h2)
+            c1[i] = int.from_bytes(d[:8], "little", signed=True)
+            c2[i] = int.from_bytes(d[8:], "little", signed=True)
         return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()), "band": pa.array(bid, pa.int64()),
-             "bhash": pa.array(bh, pa.int64()),
-             "ch1": pa.array(c1, pa.int64()), "ch2": pa.array(c2, pa.int64())}
+            {"doc_id": pa.array(np.repeat(ids, n_bands)),
+             "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int64), n)),
+             "bhash": pa.array(bh.reshape(-1)),
+             "ch1": pa.array(np.repeat(c1, n_bands)),
+             "ch2": pa.array(np.repeat(c2, n_bands))}
         )
 
     band_rows = ds.map_batches(bands, batch_format="pyarrow").materialize()
@@ -785,9 +790,10 @@ def q_simhash_dup_pairs(sf_dir: str):
     ds = rd.from_arrow(docs)
 
     def fp(t: pa.Table) -> pa.Table:
-        vals = [DD.simhash64(x) for x in t["text"].to_pylist()]
+        # vectorized scan (VERDICT r2 #3): batch SimHash off the Arrow buffers
         return pa.table(
-            {"doc_id": t["doc_id"], "text": t["text"], "sh": pa.array(vals, pa.int64())}
+            {"doc_id": t["doc_id"], "text": t["text"],
+             "sh": pa.array(DD.simhash64_batch(t["text"]))}
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:

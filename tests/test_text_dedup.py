@@ -57,6 +57,48 @@ def test_minhash_jaccard_correlation():
     assert not (ba & bc)
 
 
+def test_batch_kernels_match_properties_and_layout():
+    """The vectorized corpus-scan kernels (minhash_signatures_batch /
+    lsh_band_matrix / simhash64_batch) must be invariant to Arrow slicing and
+    chunking (buffer-offset arithmetic) and keep the LSH contracts: identical
+    texts share every band, near-dups correlate, empty docs get the fill."""
+    import pyarrow as pa
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "",
+        "  spaced   words   survive  tokenization  ",
+        "one two three",
+        "the quick brown fox jumps over the lazy dog again and again tomorrow",
+        "completely different words entirely unrelated to anything else whatsoever",
+    ]
+    arr = pa.array(texts)
+    sig = D.minhash_signatures_batch(arr)
+    # slice + chunk invariance
+    np.testing.assert_array_equal(sig[1:], D.minhash_signatures_batch(arr.slice(1)))
+    chunked = pa.chunked_array([arr.slice(0, 2), arr.slice(2)])
+    np.testing.assert_array_equal(sig, D.minhash_signatures_batch(chunked))
+    # empty doc → fill signature; leading/trailing/multi whitespace tokenizes clean
+    assert (sig[1] == (1 << 61) - 1).all()
+    assert (sig[2] != (1 << 61) - 1).any()
+    # identical texts share all bands; near-dups share ≥1; far docs share none
+    dup = pa.array([texts[0], texts[0]])
+    bm = D.lsh_band_matrix(D.minhash_signatures_batch(dup))
+    assert (bm[0] == bm[1]).all()
+    bands = D.lsh_band_matrix(sig)
+    assert not (bands[0] == bands[5]).any()  # far docs share no band
+    est_near = (sig[0] == sig[4]).mean()
+    est_far = (sig[0] == sig[5]).mean()
+    assert est_near > est_far
+    # simhash: same invariances + int64-positive + near/far ordering
+    sh = D.simhash64_batch(arr)
+    np.testing.assert_array_equal(sh[1:], D.simhash64_batch(arr.slice(1)))
+    assert (sh >= 0).all() and sh[1] == 0
+    d_near = D.hamming64(np.array([sh[0]]), np.array([sh[4]]))[0]
+    d_far = D.hamming64(np.array([sh[0]]), np.array([sh[5]]))[0]
+    assert d_near < d_far
+
+
 def test_simhash_hamming():
     a = D.simhash64("the quick brown fox jumps over the lazy dog")
     b = D.simhash64("the quick brown fox jumps over the lazy cat")
