@@ -272,6 +272,23 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
     return hit.sum(axis=1) % 2 == 1
 
 
+def points_in_own_ring(px: np.ndarray, py: np.ndarray, rings: np.ndarray) -> np.ndarray:
+    """``points_in_ring`` batched over a PER-POINT ring: ``rings`` is (n, m, 2)
+    closed, row k tested against point k. Same expressions in the same order as
+    ``points_in_ring`` (bit-identical results), one vectorized pass — replaces a
+    per-unique-cell Python loop that degenerated to one kernel call per point
+    when a batch's features spread across many cells (the stream's case)."""
+    x0, y0 = rings[:, :-1, 0], rings[:, :-1, 1]
+    x1, y1 = rings[:, 1:, 0], rings[:, 1:, 1]
+    pxx = px[:, None]
+    pyy = py[:, None]
+    crosses = (y0 > pyy) != (y1 > pyy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (pyy - y0) * (x1 - x0) / (y1 - y0)
+    hit = crosses & (pxx < xint)
+    return hit.sum(axis=1) % 2 == 1
+
+
 def points_in_polygon(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
     """Inside exterior ring and not inside any hole."""
     inside = points_in_ring(px, py, rings[0])

@@ -69,14 +69,22 @@ class CellAssigner:
         idx = np.nonzero(ok)[0]
         la, lo = lat[idx], lon[idx]
         cand = C.cell_of(la, lo, self.res)
-        confirmed = np.zeros(len(idx), bool)
-        order = np.argsort(cand, kind="stable")
-        sc = cand[order]
-        starts = np.concatenate([[0], np.nonzero(np.diff(sc))[0] + 1, [len(sc)]])
-        for s, e in zip(starts[:-1], starts[1:]):
-            grp = order[s:e]
-            ring = C.cell_polygon(int(sc[s]))
-            confirmed[grp] = G.points_in_ring(lo[grp], la[grp], ring)
+        # one batched ring-PIP for ALL points at once, each against its own
+        # candidate cell's ring (same vertex order as cell_polygon, bit-identical
+        # kernel arithmetic) — the per-unique-cell loop ran one kernel call per
+        # point when features spread across many cells
+        lat0, lat1, lon0, lon1 = C.cell_bounds(cand)
+        rings = np.empty((len(cand), 5, 2), np.float64)
+        rings[:, 0, 0] = lon0
+        rings[:, 0, 1] = lat0
+        rings[:, 1, 0] = lon1
+        rings[:, 1, 1] = lat0
+        rings[:, 2, 0] = lon1
+        rings[:, 2, 1] = lat1
+        rings[:, 3, 0] = lon0
+        rings[:, 3, 1] = lat1
+        rings[:, 4] = rings[:, 0]
+        confirmed = G.points_in_own_ring(lo, la, rings)
         out[idx[confirmed]] = cand[confirmed]
 
         # boundary fallback: the original per-point STRtree + PIP walk
@@ -333,15 +341,41 @@ def topk_per_query(
     width = ids.dtype if ids.dtype.kind == "U" else np.dtype("U32")
     out_ids = np.full((n_queries, k), "", dtype=width)
     out_dist = np.full((n_queries, k), np.inf)
+    # padding rows (inf dist) can never be selected — drop them BEFORE sorting
+    # (shard merges arrive inf-padded to k per shard; the padding dominated the
+    # sort input and tied with itself)
+    fin = np.isfinite(dist)
+    if not fin.all():
+        qidx, dist, ids = qidx[fin], dist[fin], ids[fin]
     if len(qidx) == 0:
         return out_ids, out_dist
-    o = np.lexsort((ids, dist, qidx))
+    # numeric-first sort; the id STRING key participates only where an exact
+    # (query, dist) tie needs breaking — a full string lexsort over the merge
+    # (≈ Q·k·shards U32 rows per stream batch) was the kNN tail's hidden cost
+    o = np.lexsort((dist, qidx))
+    qs0, ds0 = qidx[o], dist[o]
+    tie_pair = (qs0[1:] == qs0[:-1]) & (ds0[1:] == ds0[:-1])
+    if tie_pair.any():
+        memb = np.zeros(len(o), bool)
+        ti = np.flatnonzero(tie_pair)
+        memb[ti] = True
+        memb[ti + 1] = True
+        mi = np.flatnonzero(memb)
+        new_run = np.r_[
+            True,
+            (mi[1:] != mi[:-1] + 1)
+            | (qs0[mi][1:] != qs0[mi][:-1])
+            | (ds0[mi][1:] != ds0[mi][:-1]),
+        ]
+        lbl = np.cumsum(new_run)
+        sub = np.lexsort((ids[o[mi]], lbl))
+        o[mi] = o[mi][sub]
     qs = qidx[o]
     first = np.r_[True, qs[1:] != qs[:-1]]
     starts = np.flatnonzero(first)
     lens = np.diff(np.r_[starts, len(qs)])
     pos = np.arange(len(qs)) - np.repeat(starts, lens)
-    m = (pos < k) & np.isfinite(dist[o])
+    m = pos < k
     out_ids[qs[m], pos[m]] = ids[o][m]
     out_dist[qs[m], pos[m]] = dist[o][m]
     return out_ids, out_dist
@@ -545,6 +579,27 @@ def knn_arrays(
             dlon = (tile_lon[cand] - query_lon[aq]) * 111_320.0 * cos_lat[aq]
             d2 = dlat * dlat + dlon * dlon  # squared (monotone) — sqrt only the k
             if len(cand):
+                # EXACT partition-prefilter before the (n log n, 3-key) lexsort:
+                # keep only candidates with d2 ≤ the query's kk-th smallest d2
+                # (ties INCLUDED, so the id_rank tie-break below still sees every
+                # contender — dropped rows are strictly farther and could never
+                # be selected; output bit-identical). At ~20 tiles/cell density a
+                # k=3 ring-1 query carries ~190 candidates, and this full-sort
+                # over the flood was the serving pool's dominant kernel cost.
+                # Dense (A, maxc) padding is linear; guarded against skew (a
+                # metro cell blowing maxc) by falling back to the full sort.
+                maxc = int(cnts.max())
+                A_sub = len(sub)
+                if maxc > kk and A_sub * maxc <= (1 << 23):
+                    starts_g = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+                    pos_in = np.arange(len(cand)) - np.repeat(starts_g, cnts)
+                    dd = np.full((A_sub, maxc), np.inf)
+                    dd[qpos, pos_in] = d2
+                    thr = np.partition(dd, kk - 1, axis=1)[:, kk - 1]
+                    keep_m = d2 <= thr[qpos]
+                    cand = cand[keep_m]
+                    d2 = d2[keep_m]
+                    qpos = qpos[keep_m]
                 o = np.lexsort((id_rank[cand], d2, qpos))  # qpos presorted → cheap
                 qs = qpos[o]
                 first = np.r_[True, qs[1:] != qs[:-1]]

@@ -38,6 +38,37 @@ class Lineage:
                  "bytes": 0, "wall_ms": 0.0, "status": "committed"}
             ]
         t = pa.Table.from_pylist(cell_rows, schema=LINEAGE_SCHEMA)
+        self._write(batch_seq, t)
+
+    def commit_arrays(
+        self, batch_seq: int, cells, rows_in, rows_out, nbytes: int, wall_ms: float
+    ) -> None:
+        """Array-based commit: identical file as ``commit`` built straight from the
+        per-cell count arrays — a stream batch touches O(10^4) cells and the
+        dict-per-cell + from_pylist path cost ~0.3 s of ORDERED driver serial per
+        batch (the r3 stream's hidden rate limiter)."""
+        import numpy as np
+
+        n = len(cells)
+        if n == 0:
+            return self.commit(batch_seq, [])
+        t = pa.table(
+            {
+                "batch_seq": pa.array(np.full(n, batch_seq, np.int64)),
+                "cell": pa.array(np.asarray(cells, np.int64)),
+                "rows_in": pa.array(np.asarray(rows_in, np.int64)),
+                "rows_out": pa.array(np.asarray(rows_out, np.int64)),
+                "bytes": pa.array(np.full(n, nbytes, np.int64)),
+                "wall_ms": pa.array(np.full(n, wall_ms, np.float64)),
+                "status": pa.DictionaryArray.from_arrays(
+                    pa.array(np.zeros(n, np.int32)), pa.array(["committed"])
+                ).cast(pa.string()),
+            },
+            schema=LINEAGE_SCHEMA,
+        )
+        self._write(batch_seq, t)
+
+    def _write(self, batch_seq: int, t: pa.Table) -> None:
         tmp = self._path(batch_seq).with_suffix(".tmp")
         pq.write_table(t, tmp)
         os.replace(tmp, self._path(batch_seq))

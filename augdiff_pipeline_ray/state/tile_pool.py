@@ -611,7 +611,9 @@ class TilePool:
             geoms[gi] = G.wkb_to_geom(w)
         # cost-balanced round-robin over up to pool-width chunks (heaviest first)
         cost = np.array([len(h) + 1 for h in hits], np.float64)
-        n_chunks = max(1, min(len(recs), self.num_shards))
+        # cap the task fan-out: per-call overhead (~20 ms submit+deserialize+
+        # store on this host) dominated 32 small rasterize calls per batch
+        n_chunks = max(1, min(len(recs), self.num_shards, 8))
         by_cost = np.argsort(-cost, kind="stable")
         chunk_of = np.empty(len(recs), np.int64)
         loads = np.zeros(n_chunks, np.float64)

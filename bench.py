@@ -537,6 +537,10 @@ def _reset_stream_state(out: str) -> None:
 def run_stream_scaling_child(world: str, out: str, num_cpus: int) -> dict:
     import logging
 
+    # a deep stream pipeline keeps >num_cpus zero-cpu task workers alive between
+    # batches; the idle-worker reaper otherwise culls + cold-respawns them mid-run
+    os.environ.setdefault("RAY_kill_idle_workers_interval_ms", "0")
+
     import ray
     import ray.data as rdata
 
