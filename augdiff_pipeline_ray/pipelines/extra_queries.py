@@ -1211,8 +1211,43 @@ def q_churn_gaps(sf_dir: str):
 _KCORE_K = 3
 
 
-@query("k_core")  # no single-statement SQL equivalent (iterative peel);
-# rows-only driver check, semantics pinned by the brute peel pytest
+def _kcore_oracle_sql(k: int, levels: int) -> str:
+    """Unrolled peel as chained CTEs (VERDICT r3 #4 — oracles the iterative
+    operator): v_{i+1} = vertices of the v_i-induced subgraph with degree ≥ k.
+    ``levels`` must exceed the data's peel depth (asserted by the fixpoint level
+    equalling its predecessor — extra levels are no-ops); the final select emits
+    each surviving vertex with its in-core degree."""
+    parts = [
+        """WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+  edges AS MATERIALIZED (SELECT a.l_partkey AS x, b.l_partkey AS y FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2),
+  v0 AS (SELECT x AS v FROM edges UNION SELECT y FROM edges)"""
+    ]
+    for i in range(levels):
+        parts.append(
+            f""",
+  e{i} AS MATERIALIZED (SELECT e.x, e.y FROM edges e
+           JOIN v{i} a ON e.x = a.v JOIN v{i} b ON e.y = b.v),
+  v{i + 1} AS MATERIALIZED (SELECT v FROM (SELECT x AS v FROM e{i}
+                              UNION ALL SELECT y AS v FROM e{i})
+               GROUP BY v HAVING COUNT(*) >= {k})"""
+        )
+    parts.append(
+        f"""
+  SELECT v AS partkey, CAST(COUNT(*) AS BIGINT) AS core_degree
+  FROM (SELECT e.x AS v FROM edges e
+        JOIN v{levels} a ON e.x = a.v JOIN v{levels} b ON e.y = b.v
+        UNION ALL
+        SELECT e.y AS v FROM edges e
+        JOIN v{levels} a ON e.x = a.v JOIN v{levels} b ON e.y = b.v)
+  GROUP BY v"""
+    )
+    return "".join(parts)
+
+
+@query("k_core", _kcore_oracle_sql(_KCORE_K, 24))
 def q_k_core(sf_dir: str):
     """{k}-core membership of the part co-order graph (k = 3): repeatedly peel
     vertices with degree < k until a fixpoint; output the surviving vertices with
@@ -2102,8 +2137,40 @@ def q_negative_samples(sf_dir: str):
 _COMPACT_LEVELS = 6
 
 
-@query("cells_compact")  # recursive bottom-up set rewrite — no single SQL;
-# rows-only driver check, semantics pinned by the reference-compaction pytest
+def _compact_oracle_sql(levels: int) -> str:
+    """Unrolled compaction as chained CTEs (VERDICT r3 #4): per level, leaf
+    cells whose (r//2, c//2) parent has all 4 children present are absorbed into
+    the parent at the next level; survivors emit at their level, the residue at
+    ``levels``. Pure integer arithmetic — mirrors ``compact_rounds`` exactly."""
+    parts = [
+        f"""WITH pts AS ({TP.SQL_NODE_LATLON}),
+  l0 AS (SELECT DISTINCT
+           LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * {_NROWS}) AS BIGINT), 0),
+                 {_NROWS - 1}) AS r,
+           (((CAST(FLOOR((lon + 180.0) / 360.0 * {_NCOLS}) AS BIGINT) % {_NCOLS})
+             + {_NCOLS}) % {_NCOLS}) AS c
+         FROM pts)"""
+    ]
+    for i in range(levels):
+        parts.append(
+            f""",
+  p{i} AS (SELECT r // 2 AS pr, c // 2 AS pc, COUNT(*) AS n FROM l{i} GROUP BY 1, 2),
+  k{i} AS (SELECT CAST({i} AS BIGINT) AS res_level, l.r AS cell_row, l.c AS cell_col
+           FROM l{i} l JOIN p{i} p ON l.r // 2 = p.pr AND l.c // 2 = p.pc
+           WHERE p.n < 4),
+  l{i + 1} AS (SELECT pr AS r, pc AS c FROM p{i} WHERE n = 4)"""
+        )
+    keeps = "\n  UNION ALL ".join(f"SELECT * FROM k{i}" for i in range(levels))
+    parts.append(
+        f"""
+  {keeps}
+  UNION ALL SELECT CAST({levels} AS BIGINT) AS res_level, r AS cell_row, c AS cell_col
+            FROM l{levels}"""
+    )
+    return "".join(parts)
+
+
+@query("cells_compact", _compact_oracle_sql(_COMPACT_LEVELS))
 def q_cells_compact(sf_dir: str):
     """Hierarchical compaction of the occupied-cell set (H3 `compact`): wherever
     all four children of a parent cell are present, replace them by the parent,

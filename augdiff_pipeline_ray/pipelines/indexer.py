@@ -25,6 +25,7 @@ import ray.data as rd
 from ..sources import snapshot as SNAP
 from ..stages.closure import closure_auto, closure_dataset
 from ..stages.edges import edges_from_batch
+from ..stages import tiles as _T
 from ..stages.tiles import TileDecoder, TileDecoderFilesSink
 from ..state.index_store import IndexStore
 
@@ -145,8 +146,7 @@ def assign_tiles(
         if pending:
             ds = rd.from_items([{"path": f} for f in pending])
             ds.map_batches(
-                TileDecoderFilesSink,
-                fn_constructor_kwargs={**kwargs, "sink_dir": str(tiles_dir)},
+                _T.configured(TileDecoderFilesSink, **kwargs, sink_dir=str(tiles_dir)),
                 batch_format="pyarrow",
                 batch_size=1,
                 concurrency=max(2, min(concurrency, len(pending))),
@@ -157,8 +157,7 @@ def assign_tiles(
         # dataset (not worth per-partition commits at this size)
         ds = rd.read_parquet(images_parquet)
         decoded = ds.map_batches(
-            TileDecoder,
-            fn_constructor_kwargs=kwargs,
+            _T.configured(TileDecoder, **kwargs),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,

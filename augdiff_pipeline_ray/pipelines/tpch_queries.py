@@ -1697,14 +1697,30 @@ def q_range_join(sf_dir: str):
     )
 
 
-@query("hll_users_per_type")
+@query(
+    "hll_users_per_type",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
 def q_hll_users_per_type(sf_dir: str):
     """Approximate distinct users per event type via mergeable HyperLogLog sketches
     (functions/sketch.py): each batch folds its keys into a 4 KB register vector per
     group (vectorized), a tiny groupby merges registers with elementwise max, and the
     estimator runs on 4 KB of state — distinct-count over 10^12 rows with NO raw-key
-    shuffle. Rows-only by construction (approximate); pytest pins the error bound and
-    merge associativity (tests/test_sketch_joins.py)."""
+    shuffle.
+
+    Oracle upgrade (VERDICT r3 #4): the output is an error-bound CERTIFICATE —
+    (event_type, exact_users, within_tol) where ``within_tol`` is computed from the
+    real HLL estimate against the exact distinct count (|est − exact| / exact ≤ 0.05,
+    the 3-sigma bound at p=12 the pytest also pins). The SQL side emits TRUE, so the
+    driver's hash-match PROVES the sketch held its bound on this input. The exact
+    side runs as the usual distinct-pair combiner (value-domain shuffle only)."""
+    from ray.data.aggregate import Count
+
     from ..functions import sketch as SK
 
     ds = SRC.read_parquet_clean(TP._p(sf_dir, "events"), columns=["user_id", "event_type"])
@@ -1727,11 +1743,37 @@ def q_hll_users_per_type(sf_dir: str):
              "approx_users": [int(round(SK.estimate(reg)))]}
         )
 
-    return (
+    est = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("event_type")
         .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+        .set_index("event_type")["approx_users"]
     )
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((uid, et))
+        keep = np.r_[True, (et[o][1:] != et[o][:-1]) | (uid[o][1:] != uid[o][:-1])]
+        return pa.table({"event_type": pa.array(et[o][keep]),
+                         "user_id": pa.array(uid[o][keep])})
+
+    exact = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="m"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="exact_users"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    exact["exact_users"] = exact["exact_users"].astype(np.int64)
+    e = est.reindex(exact["event_type"]).to_numpy(np.float64)
+    x = exact["exact_users"].to_numpy(np.float64)
+    exact["within_tol"] = np.abs(e - x) / np.maximum(x, 1.0) <= 0.05
+    return exact
 
 
 @query(
@@ -1765,13 +1807,28 @@ def q_quantiles_exact(sf_dir: str):
     return ds.groupby("event_type").map_groups(quant, batch_format="pandas")
 
 
-@query("quantile_sketch")
+@query(
+    "quantile_sketch",
+    """
+    SELECT event_type,
+           CAST(LEAST(1024, COUNT(DISTINCT event_id)) AS BIGINT) AS sample_n,
+           TRUE AS p50_ok, TRUE AS p95_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def q_quantile_sketch(sf_dir: str):
     """Approximate per-group quantiles via the deterministic bottom-k sample sketch
     (functions/sketch.py): each batch keeps the k rows with the smallest hash of the
     unique row key per group, combiners merge by concat+keep-k — fixed-size state,
-    no full-group shuffle, rank error ~ sqrt(q(1-q)/k). Rows-only (approximate);
-    pytest pins the rank-error bound (tests/test_sketch_joins.py)."""
+    no full-group shuffle, rank error ~ sqrt(q(1-q)/k).
+
+    Oracle upgrade (VERDICT r3 #4): the output is a rank-error CERTIFICATE —
+    (event_type, sample_n, p50_ok, p95_ok) where sample_n is the deterministic
+    sample size (min(k, group keys) — SQL reproduces it exactly) and the ok flags
+    compare the estimate's TRUE rank (count of strictly-smaller values over the
+    group, a second streaming pass) against |rank − q| ≤ 0.05 (> 3σ at k=1024;
+    the pytest pins the sharper 0.01). SQL emits TRUE, so a hash-match proves the
+    sketch's bound on this input."""
     from ..functions import sketch as SK
 
     ds = SRC.read_parquet_clean(
@@ -1808,10 +1865,54 @@ def q_quantile_sketch(sf_dir: str):
             }
         )
 
-    return (
+    est = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("event_type")
         .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    # certificate pass: TRUE rank of each estimate = count(value < est) / count,
+    # folded per batch against the broadcast (tiny) estimate table
+    p50 = dict(zip(est["event_type"], est["p50_est"]))
+    p95 = dict(zip(est["event_type"], est["p95_est"]))
+    est_ref = ray.put((p50, p95))
+
+    def rank_partial(t: pa.Table) -> pa.Table:
+        m50, m95 = ray.get(est_ref)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        types, inv = np.unique(et, return_inverse=True)
+        rows = {"event_type": [], "n": [], "lt50": [], "lt95": []}
+        for i, ty in enumerate(types):
+            v = val[inv == i]
+            rows["event_type"].append(ty)
+            rows["n"].append(len(v))
+            rows["lt50"].append(int((v < m50[ty]).sum()))
+            rows["lt95"].append(int((v < m95[ty]).sum()))
+        return pa.table({k: pa.array(vv) for k, vv in rows.items()})
+
+    from ray.data.aggregate import Sum
+
+    ranks = (
+        ds.map_batches(rank_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("lt50", alias_name="lt50"),
+                   Sum("lt95", alias_name="lt95"))
+        .to_pandas()
+        .set_index("event_type")
+    )
+    r = ranks.reindex(est["event_type"])
+    r50 = r["lt50"].to_numpy(np.float64) / np.maximum(r["n"].to_numpy(np.float64), 1.0)
+    r95 = r["lt95"].to_numpy(np.float64) / np.maximum(r["n"].to_numpy(np.float64), 1.0)
+    return pd.DataFrame(
+        {
+            "event_type": est["event_type"],
+            "sample_n": est["sample_n"].astype(np.int64),
+            "p50_ok": np.abs(r50 - 0.5) <= 0.05,
+            "p95_ok": np.abs(r95 - 0.95) <= 0.05,
+        }
     )
 
 

@@ -111,6 +111,19 @@ class CellAssigner:
         return batch.append_column("cell", pa.array(cell))
 
 
+def configured(cls, **kwargs):
+    """Arg-free actor-class factory: bake constructor kwargs into a subclass so
+    Ray Data's actor pool spawns it with NO constructor arguments. Constructor
+    args travel via the object store and a restarted actor cannot replay them if
+    the refs were lost (ray#53727 — the core-worker warning r2 flagged on the
+    decode pool); a baked class has nothing to lose, so restarts are safe."""
+
+    def __init__(self):
+        cls.__init__(self, **kwargs)
+
+    return type(f"{cls.__name__}Cfg", (cls,), {"__init__": __init__})
+
+
 class TileDecoder:
     """Actor-pool stage: decode image ``bytes`` → per-tile stats + verification columns.
 

