@@ -270,3 +270,57 @@ def test_resize_and_frame_sample_stages(ray_session):
     assert len(sampled) == 18  # 3 frames × 6 videos
     assert sorted({r["frame_idx"] for r in sampled}) == [1, 3, 5]
     assert all(r["n_frames"] == 6 and r["psnr_db"] >= 40.0 for r in sampled)
+
+
+def test_configured_decoder_class_restart_contract(ray_session):
+    """stages.tiles.configured(): the baked subclass constructs with NO arguments
+    (nothing constructor-shaped in the object store → an actor restart can always
+    replay __init__, ray#53727) and behaves identically to kwargs construction —
+    both as a plain instance and spawned as an arg-free Ray actor."""
+    import ray
+
+    from augdiff_pipeline_ray.functions import image as IMG
+    from augdiff_pipeline_ray.stages import tiles as T
+
+    cls = T.configured(T.TileDecoder, verify_rate=2, feature_passes=8)
+    inst = cls()  # no args by construction
+    assert inst.verify_rate == 2 and inst.feature_passes == 8
+
+    ids = [f"cfg{i}" for i in range(6)]
+    batch = pa.table(
+        {
+            "image_id": pa.array(ids),
+            "bytes": pa.array(
+                [IMG.encode(IMG.synth_pixels(i, 16, 16), "qz") for i in ids],
+                pa.binary(),
+            ),
+            "cell": pa.array(np.arange(6, dtype=np.int64)),
+            "phash": pa.array(np.arange(6, dtype=np.int64)),
+            "w": pa.array(np.full(6, 16, np.int32)),
+            "h": pa.array(np.full(6, 16, np.int32)),
+            "fmt": pa.array(["qz"] * 6),
+            "caption": pa.array([f"cap {i}" for i in ids]),
+        }
+    )
+    def _eq(x: pa.Table, y: pa.Table) -> bool:
+        if x.column_names != y.column_names:
+            return False
+        for c in x.column_names:
+            a, b = x[c].to_pandas(), y[c].to_pandas()
+            if a.dtype.kind == "f":
+                if not np.array_equal(a.to_numpy(), b.to_numpy(), equal_nan=True):
+                    return False
+            elif not a.equals(b):
+                return False
+        return True
+
+    want = T.TileDecoder(verify_rate=2, feature_passes=8)(batch)
+    assert _eq(inst(batch), want)
+
+    # spawned as an actor with no constructor args: kill + restart replays cleanly
+    A = ray.remote(max_restarts=1, max_task_retries=1)(cls)
+    a = A.remote()
+    first = ray.get(a.__call__.remote(batch))
+    ray.kill(a, no_restart=False)
+    replay = ray.get(a.__call__.remote(batch))
+    assert _eq(first, replay) and _eq(first, want)
