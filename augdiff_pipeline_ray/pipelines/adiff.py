@@ -871,6 +871,9 @@ class AdiffJob:
         # node width Ray keeps as its idle-worker soft limit.
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
         depth = int(os.environ.get("AUGDIFF_STREAM_DEPTH", 0)) or max(5, n_cpus // 3)
+        # a short stream never reaches full depth — cap the census by the known
+        # batch count so a 3-batch flagship run doesn't pay a 48-worker warm-up
+        depth = min(depth, max(1, getattr(self, "_stream_hint", depth)))
         # census: one collector + 3 tails per in-flight batch + parse prefetches.
         # NB Ray's idle-worker reaper culls processes beyond ~num_cpus between
         # batches (cold respawn = worker spawn + by-value package import inside a
@@ -1503,8 +1506,9 @@ class AdiffJob:
             osc_files = sorted((self.world / "changes").rglob("*.osc"))
             end = len(osc_files)
         done = self.lineage.completed()
-        todo_head = [s for s in range(start, end + 1) if s not in done][:3]
-        for s in todo_head:  # overlap the first parses with bootstrap/warm below
+        todo_all = [s for s in range(start, end + 1) if s not in done]
+        self._stream_hint = len(todo_all)
+        for s in todo_all[:3]:  # overlap the first parses with bootstrap/warm below
             self._prefetch_parse(s)
         self.bootstrap()
         self.warm()
@@ -1534,6 +1538,7 @@ class AdiffJob:
             "AUGDIFF_STREAM_DEPTH",
             max(5, int(ray.cluster_resources().get("CPU", 8)) // 3),
         ))
+        depth = min(depth, max(1, end - start + 1))
         tails: deque = deque()  # pending collector finishes
         todo = [s for s in range(start, end + 1) if s not in done]
         for s in todo[: depth + 1]:
