@@ -167,10 +167,18 @@ def simhash64_batch(texts) -> np.ndarray:
     out = np.zeros(n, np.uint64)
     if hv.size:
         shifts = np.arange(64, dtype=np.uint64)
-        contrib = (((hv[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32) * 2 - 1)
         nz = lens > 0
         starts = np.concatenate([[0], np.cumsum(lens)[:-1]])[nz]
-        acc = np.add.reduceat(contrib, starts, axis=0)
+        acc = np.empty((int(nz.sum()), 64), np.int64)
+        # chunk the BIT axis: the full (words, 64) ±1 matrix is ~256 B per word
+        # occurrence — GBs of transient arena on long-document batches (review
+        # r3 finding); 16 bits at a time bounds the transient to words×64 B
+        for b0 in range(0, 64, 16):
+            sh = shifts[b0 : b0 + 16]
+            contrib = (
+                ((hv[:, None] >> sh[None, :]) & np.uint64(1)).astype(np.int32) * 2 - 1
+            )
+            acc[:, b0 : b0 + 16] = np.add.reduceat(contrib, starts, axis=0)
         out[nz] = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
             axis=1, dtype=np.uint64
         )

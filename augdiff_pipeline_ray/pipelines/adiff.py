@@ -525,6 +525,34 @@ def _knn_task(pool, qlat, qlon, k, keys_np, keep, seq, knn_dir):
     return 0 if knn_t is None else len(knn_t)
 
 
+
+def _cell_counts(cells_in, cells_out):
+    """Per-cell (in, out) row counts over the union of touched cells — the lineage
+    record's math, shared by the collector task and the run_batch finish path."""
+    cells_in = np.asarray(cells_in, np.int64)
+    cells_out = np.asarray(cells_out, np.int64)
+    all_cells = np.union1d(cells_in, cells_out)
+    in_counts = np.zeros(len(all_cells), np.int64)
+    uc, cnt = np.unique(cells_in, return_counts=True)
+    in_counts[np.searchsorted(all_cells, uc)] = cnt
+    out_counts = np.zeros(len(all_cells), np.int64)
+    uc, cnt = np.unique(cells_out, return_counts=True)
+    out_counts[np.searchsorted(all_cells, uc)] = cnt
+    return all_cells, in_counts, out_counts
+
+
+def _stream_depth(hint: int | None = None) -> int:
+    """In-flight window: AUGDIFF_STREAM_DEPTH (>0) overrides, else width-scaled
+    (cpus//3, min 5); always capped by the number of batches actually left."""
+    env = os.environ.get("AUGDIFF_STREAM_DEPTH", "")
+    d = int(env) if env else 0
+    if d <= 0:
+        d = max(5, int(ray.cluster_resources().get("CPU", 8)) // 3)
+    if hint:
+        d = min(d, max(1, int(hint)))
+    return d
+
+
 @ray.remote(num_cpus=0)
 def _collect_tail_task(aug, seq, cells_in, pool, knn_k,
                        json_path, assign_dir, knn_dir, overlay_dir, max_overlay):
@@ -569,14 +597,7 @@ def _collect_tail_task(aug, seq, cells_in, pool, knn_k,
     t_tails = time.perf_counter() - t1
     # per-cell lineage counts (same math as AdiffJob._lineage_rows; the driver only
     # stamps wall_ms and builds the row dicts at commit time)
-    cells_out = np.asarray(cells_np, np.int64)
-    all_cells = np.union1d(np.asarray(cells_in, np.int64), cells_out)
-    in_counts = np.zeros(len(all_cells), np.int64)
-    uc, cnt = np.unique(np.asarray(cells_in, np.int64), return_counts=True)
-    in_counts[np.searchsorted(all_cells, uc)] = cnt
-    out_counts = np.zeros(len(all_cells), np.int64)
-    uc, cnt = np.unique(cells_out, return_counts=True)
-    out_counts[np.searchsorted(all_cells, uc)] = cnt
+    all_cells, in_counts, out_counts = _cell_counts(cells_in, cells_np)
     return {
         "n_features": len(meta), "nbytes": nbytes, "knn": knn_rows,
         "overlay": n_overlay, "all_cells": all_cells, "in_counts": in_counts,
@@ -869,11 +890,7 @@ class AdiffJob:
         # tail_wait. Sized to the in-flight task census at full pipeline depth
         # (3 tail tasks × depth 2 + parse prefetches + durability), capped by the
         # node width Ray keeps as its idle-worker soft limit.
-        n_cpus = int(ray.cluster_resources().get("CPU", 8))
-        depth = int(os.environ.get("AUGDIFF_STREAM_DEPTH", 0)) or max(5, n_cpus // 3)
-        # a short stream never reaches full depth — cap the census by the known
-        # batch count so a 3-batch flagship run doesn't pay a 48-worker warm-up
-        depth = min(depth, max(1, getattr(self, "_stream_hint", depth)))
+        depth = _stream_depth(getattr(self, "_stream_hint", None))
         # census: one collector + 3 tails per in-flight batch + parse prefetches.
         # NB Ray's idle-worker reaper culls processes beyond ~num_cpus between
         # batches (cold respawn = worker spawn + by-value package import inside a
@@ -1178,14 +1195,7 @@ class AdiffJob:
         update_el = head["update_el"]
         cells_in = (update_el["cell"].to_numpy(zero_copy_only=False)
                     if len(update_el) else np.empty(0, np.int64))
-        cells_out = np.asarray(head["cells_np"], np.int64)
-        all_cells = np.union1d(cells_in, cells_out)
-        in_counts = np.zeros(len(all_cells), np.int64)
-        uc, cnt = np.unique(cells_in, return_counts=True)
-        in_counts[np.searchsorted(all_cells, uc)] = cnt
-        out_counts = np.zeros(len(all_cells), np.int64)
-        uc, cnt = np.unique(cells_out, return_counts=True)
-        out_counts[np.searchsorted(all_cells, uc)] = cnt
+        all_cells, in_counts, out_counts = _cell_counts(cells_in, head["cells_np"])
         self.lineage.commit_arrays(
             seq, all_cells, in_counts, out_counts, int(nbytes), float(wall_ms)
         )
@@ -1476,22 +1486,6 @@ class AdiffJob:
     def _write_overlay(self, seq: int, rows: list[dict]) -> None:
         _write_overlay_file(str(self.out / "overlay"), seq, rows)
 
-    def _lineage_rows(self, seq, update_el, cells_np, nbytes, wall_ms) -> list[dict]:
-        cells_in = update_el["cell"].to_numpy(zero_copy_only=False) if len(update_el) else np.empty(0, np.int64)
-        cells_out = np.asarray(cells_np, np.int64)
-        all_cells = np.union1d(cells_in, cells_out)  # sorted unique
-        in_counts = np.zeros(len(all_cells), np.int64)
-        uc, cnt = np.unique(cells_in, return_counts=True)
-        in_counts[np.searchsorted(all_cells, uc)] = cnt
-        out_counts = np.zeros(len(all_cells), np.int64)
-        uc, cnt = np.unique(cells_out, return_counts=True)
-        out_counts[np.searchsorted(all_cells, uc)] = cnt
-        return [
-            {"batch_seq": seq, "cell": int(c), "rows_in": int(i), "rows_out": int(o),
-             "bytes": int(nbytes), "wall_ms": float(wall_ms), "status": "committed"}
-            for c, i, o in zip(all_cells, in_counts, out_counts)
-        ]
-
     # -- stream --------------------------------------------------------------
 
     def run_stream(self, start: int = 1, end: int | None = None) -> dict:
@@ -1534,13 +1528,9 @@ class AdiffJob:
         # (augment queue → render gather → kNN/overlay tails → commit) does not,
         # so a fixed depth caps throughput at depth/latency — the 32-CPU stream
         # sat latency-bound at ~depth·batch rate while its pools idled
-        depth = int(os.environ.get(
-            "AUGDIFF_STREAM_DEPTH",
-            max(5, int(ray.cluster_resources().get("CPU", 8)) // 3),
-        ))
-        depth = min(depth, max(1, end - start + 1))
         tails: deque = deque()  # pending collector finishes
         todo = [s for s in range(start, end + 1) if s not in done]
+        depth = _stream_depth(len(todo))
         for s in todo[: depth + 1]:
             self._prefetch_parse(s)
 
@@ -1578,6 +1568,8 @@ class AdiffJob:
         if self._tiles is not None:
             self._tiles.close()
             self._tiles = None
+        # a reused job must not hand tail tasks a cached ref to the killed pool
+        self._tiles_ref = None
 
 
 def run_stream(world_root: str, out_root: str, **kwargs) -> dict:

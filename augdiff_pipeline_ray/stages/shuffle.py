@@ -204,11 +204,17 @@ def grouped_pairs_sorted(
     s = items.sort([key, val])
     refs = s.to_arrow_refs()
 
+    kv_empty = pa.table(
+        {key: pa.array([], pa.int64()), val: pa.array([], pa.int64())}
+    )
+
     @ray.remote(num_returns=2)
     def split(t: pa.Table):
         if t.num_rows == 0:
+            # fixed-schema empties: a sorted empty block can arrive with ZERO
+            # columns and a mixed-schema residual concat raises ArrowInvalid
             empty = pa.table({"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())})
-            return empty, t.slice(0, 0)
+            return empty, kv_empty
         k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
         first, last = k[0], k[-1]
         edge = (k == first) | (k == last)
@@ -217,7 +223,7 @@ def grouped_pairs_sorted(
         x, y = _pairs_kernel(k[inner], v[inner], both_orientations)
         return (
             pa.table({"x": pa.array(x), "y": pa.array(y)}),
-            t.filter(pa.array(edge)),
+            t.select([key, val]).filter(pa.array(edge)),
         )
 
     empty_pairs = pa.table(

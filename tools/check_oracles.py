@@ -36,6 +36,12 @@ def vhash(df):
 
 res = {}
 names = only or list(Q.keys())
+if "adiff_stream" in names:
+    # the flagship resumes lineage-committed batches — a stale work dir would make
+    # the golden check hash OLD bytes and miss a regression; force a fresh run
+    import os as _os, shutil as _shutil
+    _h = hashlib.md5(_os.path.abspath(sf).encode()).hexdigest()[:10]
+    _shutil.rmtree(f"/tmp/augdiff_flagship_{_h}", ignore_errors=True)
 for name in names:
     try:
         mine = norm(Q[name](sf))
