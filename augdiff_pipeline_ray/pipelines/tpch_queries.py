@@ -1134,6 +1134,84 @@ def q_cosine_neardup_pairs(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _semdedup_oracle_sql(levels: int = 8) -> str:
+    """Unrolled min-label propagation over the exact cosine≥0.999 pair graph —
+    CC in SQL (the k_core generated-CTE pattern): l_{i+1}(v) = min(l_i(v),
+    min over neighbors' l_i). ``levels`` must exceed the dup-graph diameter
+    (near-identical clusters are cliques — diameter 1 — plus rare short chains;
+    extra rounds are fixpoint no-ops). Final select keeps each cluster's min-id
+    representative with its member count."""
+    parts = [
+        """WITH u AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+  e AS MATERIALIZED (
+      SELECT a.vec_id AS x, b.vec_id AS y FROM u a JOIN u b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.999),
+  l0 AS (SELECT vec_id AS v, vec_id AS lbl FROM u)"""
+    ]
+    for i in range(levels):
+        parts.append(
+            f""",
+  l{i + 1} AS MATERIALIZED (
+      SELECT v, MIN(lbl) AS lbl FROM (
+        SELECT v, lbl FROM l{i}
+        UNION ALL SELECT e.x AS v, l.lbl FROM e JOIN l{i} l ON l.v = e.y
+        UNION ALL SELECT e.y AS v, l.lbl FROM e JOIN l{i} l ON l.v = e.x
+      ) GROUP BY v)"""
+        )
+    parts.append(
+        f"""
+  SELECT lbl AS vec_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM l{levels} GROUP BY lbl"""
+    )
+    return "".join(parts)
+
+
+@query("semantic_dedup_corpus", _semdedup_oracle_sql())
+def q_semantic_dedup_corpus(sf_dir: str):
+    """SemDeDup-style semantic dedup APPLIED (the Abbas et al. 2023 treatment
+    end-to-end): the embedding near-dup pair graph (banded sign-LSH candidates +
+    exact cosine≥0.999 verify — ``cosine_neardup_pairs``' distributed plan) →
+    connected components (``stages/components``: min-label + pointer jumping
+    above one worker, vectorized numpy fixpoint below — pair tables are
+    output-sized) → each cluster keeps its min-id REPRESENTATIVE. Output
+    (vec_id, cluster_size) of the surviving corpus: the downstream training set
+    reads exactly these rows, and cluster_size is the dedup ratio's receipt.
+    Scale shape: pairs are bucketed-LSH (no all-pairs), CC is O(log n) rounds of
+    hash-join + groupby-min, the kept set is corpus-sized but emitted as a
+    Dataset-shaped frame — nothing quadratic, nothing driver-bound beyond the
+    output itself."""
+    from ..stages import components as CC
+
+    pairs = q_cosine_neardup_pairs(sf_dir)
+    edges = pa.table(
+        {
+            "a": pa.array(pairs["id_a"].to_numpy(np.int64)),
+            "b": pa.array(pairs["id_b"].to_numpy(np.int64)),
+        }
+    )
+    lab = CC.components_auto(edges)
+    if isinstance(lab, rd.Dataset):  # pragma: no cover - corpus-scale plan
+        lab = pa.concat_tables(
+            list(lab.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+    t = pq.read_table(TP._p(sf_dir, "embeddings"), columns=["vec_id"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    all_ids = np.concatenate([ids, ids + 1_000_000])
+    cluster = all_ids.copy()
+    nodes = lab["node"].to_numpy(zero_copy_only=False)
+    clus = lab["cluster"].to_numpy(zero_copy_only=False)
+    if len(nodes):
+        pos = np.clip(np.searchsorted(nodes, all_ids), 0, len(nodes) - 1)
+        hit = nodes[pos] == all_ids
+        cluster[hit] = clus[pos[hit]]
+    reps, sizes = np.unique(cluster, return_counts=True)
+    return pd.DataFrame(
+        {"vec_id": reps, "cluster_size": sizes.astype(np.int64)}
+    ).sort_values("vec_id").reset_index(drop=True)
+
+
 # -- aggregation with partial pre-aggregation ----------------------------------------
 
 

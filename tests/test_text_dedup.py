@@ -305,3 +305,20 @@ def test_minhash_local_and_distributed_plans_agree(ray_session, tmp_path):
     # sanity: the forced dup groups appear
     got = set(map(tuple, loc.to_numpy()))
     assert (0, 10) in got and (0, 11) in got and (20, 30) in got
+
+
+def test_semantic_dedup_corpus_invariants(ray_session):
+    """SemDeDup apply: every corpus row lands in exactly one cluster (sizes sum to
+    the doubled corpus), representatives are cluster minima (self-labeled), and
+    each original vec_id's identical +1M copy is absorbed (no singleton pairs)."""
+    import pyarrow.parquet as pq
+
+    from augdiff_pipeline_ray.pipelines import tpch_queries as TQ
+
+    sf = "/root/testdata/sf0.001"
+    out = TQ.q_semantic_dedup_corpus(sf)
+    n = len(pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id"]))
+    assert out["cluster_size"].sum() == 2 * n
+    assert (out["cluster_size"] >= 2).all()  # every vector has its exact copy
+    # representative ids are original-corpus ids (min of the pair {id, id+1M})
+    assert (out["vec_id"] < 1_000_000).all()
