@@ -401,9 +401,14 @@ class TilePool:
             TileShard.remote(tiles_path, s, num_shards, self._bounds)
             for s in range(num_shards)
         ]
-        # separate overlay-bank pool: select/render never queue behind kNN rounds
+        # separate overlay-bank pool: select/render never queue behind kNN rounds.
+        # Sized SMALLER than the kNN pool: an overlay touches ~max_overlay tiles
+        # per batch, and every BankShard gets one select call per batch — at a
+        # ~20 ms fixed cost per remote call on this host, a width-sized bank pool
+        # spent more on call overhead than on the selects themselves
+        n_bank = max(2, min(num_shards, 8))
         self._bank_actors = [
-            BankShard.remote(bank_path, s, num_shards) for s in range(num_shards)
+            BankShard.remote(bank_path, s, n_bank) for s in range(n_bank)
         ] if bank_path else []
 
     def warm(self) -> int:
