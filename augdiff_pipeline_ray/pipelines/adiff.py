@@ -916,14 +916,27 @@ class AdiffJob:
             from .indexer import pool_size
 
             # kNN is the tails' heaviest parallel stage and each shard serves one
-            # call at a time — size the pool to HALF the node, not to the render
-            # pool's quarter: the ring routing still touches only the 1-3 shards a
-            # query's cell interval intersects, so more shards divide per-actor
-            # queue time (the pipeline-fill convoy) without broadcasting work
+            # call at a time — size the pool to the FULL node width: the ring
+            # routing still touches only the 1-2 shards a query's cell interval
+            # intersects, so more shards divide per-actor queue time (the
+            # pipeline-fill convoy, the r3 stream's latency term) without
+            # broadcasting work. Capped by the tile count (parquet metadata, no
+            # scan): a small world gets a few shards, not a width's worth of
+            # actor spawns + warm-ups amortized over nothing.
+            tiles_path = self.out / "tiles_decoded.parquet"
+            try:  # footer-only row count; the store may be a file or a directory
+                files = ([tiles_path] if tiles_path.is_file()
+                         else sorted(tiles_path.rglob("*.parquet")))
+                n_tiles = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+                if not files:
+                    n_tiles = 1 << 30
+            except Exception:
+                n_tiles = 1 << 30
             self._tiles = TilePool(
-                str(self.out / "tiles_decoded.parquet"),
+                str(tiles_path),
                 str(self.out / "overlay_bank.parquet"),
-                num_shards=max(2, pool_size(frac=1.0, cap=48)),
+                num_shards=max(2, min(pool_size(frac=1.0, cap=48),
+                                      n_tiles // 8_000 + 1)),
             )
         return self._tiles
 
