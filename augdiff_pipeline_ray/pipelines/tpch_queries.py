@@ -1134,6 +1134,81 @@ def q_cosine_neardup_pairs(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _jaccard_dedup_oracle_sql(levels: int = 8) -> str:
+    """CC-in-SQL over the exact n-gram Jaccard≥0.5 pair graph (the semdedup
+    min-label pattern over ngram_jaccard_pairs' pair CTEs)."""
+    parts = [
+        """WITH grams AS MATERIALIZED (
+      SELECT DISTINCT doc_id, substr(text, i, 3) AS g
+      FROM documents, UNNEST(range(1, length(text) - 1)) AS t(i)),
+  sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+  inter AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+  e AS MATERIALIZED (
+      SELECT id_a AS x, id_b AS y
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5),
+  l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents)"""
+    ]
+    for i in range(levels):
+        parts.append(
+            f""",
+  l{i + 1} AS MATERIALIZED (
+      SELECT v, MIN(lbl) AS lbl FROM (
+        SELECT v, lbl FROM l{i}
+        UNION ALL SELECT e.x AS v, l.lbl FROM e JOIN l{i} l ON l.v = e.y
+        UNION ALL SELECT e.y AS v, l.lbl FROM e JOIN l{i} l ON l.v = e.x
+      ) GROUP BY v)"""
+        )
+    parts.append(
+        f"""
+  SELECT lbl AS doc_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM l{levels} GROUP BY lbl"""
+    )
+    return "".join(parts)
+
+
+@query("jaccard_dedup_corpus", _jaccard_dedup_oracle_sql())
+def q_jaccard_dedup_corpus(sf_dir: str):
+    """Fuzzy n-gram-Jaccard dedup APPLIED: the exact Jaccard≥0.5 pair graph
+    (``ngram_jaccard_pairs``' distributed prefix-filter plan) → connected
+    components → keep each cluster's min-id representative with its member
+    count — the kept set IS the deduplicated training corpus, with the dedup
+    ratio receipted per cluster. Same scale shape as ``semantic_dedup_corpus``
+    (bucketed candidates, join-verify, O(log n) CC rounds; output-sized)."""
+    from ..stages import components as CC
+
+    pairs = q_ngram_jaccard_pairs(sf_dir)
+    edges = pa.table(
+        {
+            "a": pa.array(pairs["id_a"].to_numpy(np.int64)),
+            "b": pa.array(pairs["id_b"].to_numpy(np.int64)),
+        }
+    )
+    lab = CC.components_auto(edges)
+    if isinstance(lab, rd.Dataset):  # pragma: no cover - corpus-scale plan
+        lab = pa.concat_tables(
+            list(lab.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+    ids = (
+        pq.read_table(TP._p(sf_dir, "documents"), columns=["doc_id"])["doc_id"]
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    cluster = ids.copy()
+    nodes = lab["node"].to_numpy(zero_copy_only=False)
+    clus = lab["cluster"].to_numpy(zero_copy_only=False)
+    if len(nodes):
+        pos = np.clip(np.searchsorted(nodes, ids), 0, len(nodes) - 1)
+        hit = nodes[pos] == ids
+        cluster[hit] = clus[pos[hit]]
+    reps, sizes = np.unique(cluster, return_counts=True)
+    return pd.DataFrame(
+        {"doc_id": reps, "cluster_size": sizes.astype(np.int64)}
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
 def _semdedup_oracle_sql(levels: int = 8) -> str:
     """Unrolled min-label propagation over the exact cosine≥0.999 pair graph —
     CC in SQL (the k_core generated-CTE pattern): l_{i+1}(v) = min(l_i(v),

@@ -322,3 +322,19 @@ def test_semantic_dedup_corpus_invariants(ray_session):
     assert (out["cluster_size"] >= 2).all()  # every vector has its exact copy
     # representative ids are original-corpus ids (min of the pair {id, id+1M})
     assert (out["vec_id"] < 1_000_000).all()
+
+
+def test_jaccard_dedup_corpus_invariants(ray_session):
+    """Fuzzy-dedup apply: clusters partition the corpus (sizes sum to n_docs),
+    representatives are cluster minima, and heavy duplication is detected (the
+    synthetic corpus's dup clusters shrink it substantially)."""
+    import pyarrow.parquet as pq
+
+    from augdiff_pipeline_ray.pipelines import tpch_queries as TQ
+
+    sf = "/root/testdata/sf0.001"
+    out = TQ.q_jaccard_dedup_corpus(sf)
+    n = len(pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"]))
+    assert out["cluster_size"].sum() == n
+    assert len(out) < n  # real dedup happened on this corpus
+    assert out["doc_id"].is_monotonic_increasing
