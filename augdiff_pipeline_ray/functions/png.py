@@ -15,9 +15,9 @@ Scope (everything the pipeline's tile path produces, plus common foreign files):
   fall back to a per-pixel loop — correct for foreign files, never produced by our
   encoder); non-interlaced. CRCs verified.
 
-JPEG remains out of scope: baseline JPEG needs a bit-serial Huffman decoder that is
-not expressible as numpy kernels; the lossy stand-in stays ``fmt="qz"`` (PSNR ≥ 42 dB,
-functions/image.py) behind the same codec-dispatch interface.
+Baseline JPEG (ITU T.81) is implemented separately in ``functions/jpeg.py`` (bit-serial
+Huffman via numpy bit-unpacking) behind the same codec-dispatch interface; ``fmt="qz"``
+(PSNR ≥ 42 dB, functions/image.py) remains as the cheap lossy stand-in.
 """
 
 from __future__ import annotations

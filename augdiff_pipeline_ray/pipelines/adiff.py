@@ -253,7 +253,6 @@ def _parse_osc_task(path: str, seq: int) -> pa.Table:
     return OSC.read_osc_file(path, batch_seq=seq).drop_columns(["batch_seq", "action"])
 
 
-@ray.remote(num_cpus=0, max_restarts=2, max_task_retries=2)
 class AugmentShard:
     """Off-driver augment stage (J5): semi-join fetch + dedup + render scatter for one
     batch per call, pipelined across batches by ``run_stream``.
@@ -1295,14 +1294,22 @@ class AdiffJob:
         snapshot hot-cache + tier-segment cache (bounded by the flush window)."""
         if getattr(self, "_aug_actors", None) is None:
             render = self._render_pool() if self.distributed_render else []
-            self._aug_actors = [
-                AugmentShard.remote(
-                    self.snapshot_store, self.drop_tags_on_load,
-                    self.parallel_fetch, self.node_latest_only,
-                    self.distributed_render, render,
-                )
-                for _ in range(3)
-            ]
+            # bake ctor args into an arg-free subclass (stages.tiles.configured):
+            # restartable actors with object-store ctor args can't replay a restart
+            # once the arg refs are lost (ray#53727) — a baked class carries its
+            # config in the exported class definition, so max_restarts is honest
+            baked = T.configured(
+                AugmentShard,
+                snapshot_root=self.snapshot_store,
+                drop_tags_on_load=self.drop_tags_on_load,
+                parallel_fetch=self.parallel_fetch,
+                node_latest_only=self.node_latest_only,
+                distributed_render=self.distributed_render,
+                render_actors=render,
+            )
+            actor_cls = ray.remote(
+                num_cpus=0, max_restarts=2, max_task_retries=2)(baked)
+            self._aug_actors = [actor_cls.remote() for _ in range(3)]
         return self._aug_actors
 
     def _render_partition_scatter(

@@ -151,6 +151,12 @@ def assign_tiles(
                 batch_size=1,
                 concurrency=max(2, min(concurrency, len(pending))),
                 num_cpus=1,
+                # no actor restarts: resume is per-input-file (the part-file manifest
+                # above) so a died actor's work is simply re-listed as pending on the
+                # next run; max_restarts=0 also silences the structural ray#53727
+                # ctor-args warning Ray Data's MapWorker otherwise emits
+                max_restarts=0,
+                max_task_retries=0,
             ).materialize()  # summaries only — O(files) rows
     else:
         # small-world object-store path: one streaming write of the whole decoded
@@ -162,6 +168,9 @@ def assign_tiles(
             batch_size=batch_size,
             concurrency=concurrency,
             num_cpus=1,
+            # small-world path re-runs wholesale on failure — no restarts needed
+            max_restarts=0,
+            max_task_retries=0,
         )
         if tiles_dir.exists():
             shutil.rmtree(tiles_dir)

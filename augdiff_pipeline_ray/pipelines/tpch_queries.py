@@ -408,7 +408,11 @@ def q_cell_assign(sf_dir: str):
             lon = t["lon"].to_numpy(zero_copy_only=False)
             return pa.table({"id": t["id"], "cell": pa.array(self.assigner.assign_points(lat, lon))})
 
-    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=2, num_cpus=1)
+    # max_restarts=0: the pool is stateless-restartable at the query level (a failed
+    # query re-runs whole); restartable MapWorkers with object-store ctor specs can't
+    # replay anyway (ray#53727), so advertise the honest policy
+    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=2, num_cpus=1,
+                          max_restarts=0, max_task_retries=0)
 
 
 @query(
