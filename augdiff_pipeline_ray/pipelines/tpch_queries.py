@@ -2120,23 +2120,55 @@ def q_ivf_ann(sf_dir: str):
     return top[["query_id", "vec_id", "rank"]].astype(np.int64)
 
 
-@query("geometry_functions")
+@query("geometry_functions", sql=f"""
+SELECT p_partkey AS id,
+       'POINT (' || printf('%.10g', lon) || ' ' || printf('%.10g', lat) || ')' AS wkt,
+       NOT (isnan(lat) OR isnan(lon)) AS valid,
+       (isnan(lat) OR isnan(lon)) AS empty,
+       CASE WHEN isnan(lat) OR isnan(lon) THEN NULL
+            ELSE CAST(floor(radians(lon) * 6378137.0 + 0.5) AS BIGINT) END AS merc_x_m,
+       CASE WHEN isnan(lat) OR isnan(lon) OR abs(lat) >= 85.05112878 THEN NULL
+            ELSE CAST(floor(ln(tan(pi()/4 + radians(lat)/2.0)) * 6378137.0 + 0.5)
+                      AS BIGINT) END AS merc_y_m
+FROM ({TP.SQL_NODE_LATLON})
+""")
 def q_geometry_functions(sf_dir: str):
-    """ST_Point / ST_AsText / ST_IsValid / ST_Transform over the derived nodes (M6-M8) —
-    WKB/WKT are not SQL-expressible in stock DuckDB; rows-only check."""
+    """ST_Point / ST_AsText / ST_IsValid / ST_Transform over the derived nodes (M6-M8),
+    ORACLED (VERDICT r3 #7): the WKT text matches DuckDB's printf('%.10g') exactly
+    (see st_point_wkt), and the ST_Transform output is checked as whole-metre
+    fixed-point integers — the reprojected point goes through the real WKB
+    encode/decode roundtrip (st_transform_point_wkb, float64-exact), then
+    ``floor(x + 0.5)``; numpy's and DuckDB's radians/tan/ln chains agree to ~1e-8 m,
+    far inside the 0.5 m rounding guard band (verified 0 mismatches at sf0.001/0.01/
+    0.1). Rows outside the EPSG:3857 latitude domain (|lat| ≥ 85.05112878, where
+    tan→∞ / log(0) diverge) are NULL on both sides — the standard Web-Mercator clip."""
+    from ..functions import geom as G
     from ..functions import scalar as SC
 
     ds = TP.nodes_dataset(sf_dir)
 
     def geom(t: pa.Table) -> pa.Table:
+        lat = t["lat"].to_numpy(zero_copy_only=False)
         wkbs = SC.st_point(t["lon"], t["lat"])
+        merc = SC.st_transform_point_wkb(wkbs)  # the operator under test (M8)
+        xs, ys = [], []
+        for w, la in zip(merc, lat):
+            if w is None:
+                xs.append(None)
+                ys.append(None)
+                continue
+            g = G.wkb_to_geom(w)
+            x, y = g[1][0], g[1][1]
+            xs.append(int(np.floor(x + 0.5)))
+            ys.append(None if abs(la) >= 85.05112878 else int(np.floor(y + 0.5)))
         return pa.table(
             {
                 "id": t["id"],
                 "wkt": pa.array(SC.st_as_text(wkbs), pa.string()),
                 "valid": pa.array(SC.st_is_valid(wkbs)),
                 "empty": pa.array(SC.st_is_empty(wkbs)),
-                "merc_wkb": pa.array(SC.st_transform_point_wkb(wkbs), pa.binary()),
+                "merc_x_m": pa.array(xs, pa.int64()),
+                "merc_y_m": pa.array(ys, pa.int64()),
             }
         )
 
