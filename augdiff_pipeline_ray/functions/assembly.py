@@ -19,17 +19,18 @@ Pure-Python/numpy re-expression of the reference's assembly kernels
 numpy (N,2) arrays + slice/[::-1] views replace the reference's Reversed/Partial/Virtual
 CoordinateSequence rope (:210-398) — same zero-copy chaining, none of the machinery.
 
-Documented deviation (SURVEY.md §7.3.2): the reference dissolves overlapping outer rings
-via JTS ``union`` (:461-468). Valid OSM multipolygons have disjoint outer rings, where the
-union is the identity; this port treats *overlapping* same-class rings as an assembly
-failure (→ None → GeometryCollection fallback) instead of unioning them, since no polygon
-clipper exists in this container. All fixtures, and valid OSM data, take the identity path.
+Ring dissolve (:461-468): overlapping/touching same-class rings are unioned through the
+from-scratch planar-arrangement clipper in ``functions/clip.py`` (the reference delegates
+to JTS unary union) — union exteriors become dissolved outers, union holes resurface as
+inners and vice versa, matching ``dissolveRings``'s (exterior, holes) split. Disjoint
+rings (every valid OSM multipolygon) take a byte-identical identity fast path.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from . import clip as CLIP
 from . import geom as G
 from .osm import MEMBER_WAY_CODE
 
@@ -94,16 +95,6 @@ def form_rings(segments: list[np.ndarray]) -> list[np.ndarray]:
     return rings
 
 
-def _rings_overlap(r1: np.ndarray, r2: np.ndarray) -> bool:
-    """Conservative boundary-cross test: any vertex of one strictly inside the other while
-    another vertex is outside ⇒ partial overlap (the case the reference would union)."""
-    in1 = G.points_in_ring(r2[:-1, 0], r2[:-1, 1], r1)
-    if in1.any() and not in1.all():
-        return True
-    in2 = G.points_in_ring(r1[:-1, 0], r1[:-1, 1], r2)
-    return bool(in2.any() and not in2.all())
-
-
 def build_multipolygon(
     types: list[int],
     roles: list[str],
@@ -147,7 +138,17 @@ def build_multipolygon(
         if not rings:
             return None
 
-        # classify by containment parity, visiting rings by area desc; largest = outer
+        # classify by containment parity, visiting rings by area desc; largest = outer.
+        # Containment here must be FULL containment (JTS prepared.contains, :512-517):
+        # a partially-overlapping ring is NOT contained — it stays an outer and the
+        # dissolve below unions it. The cheap first-vertex test would misclassify it.
+        def _contains_full(outer_ring: np.ndarray, inner_ring: np.ndarray) -> bool:
+            return bool(
+                G.points_in_ring(
+                    inner_ring[:-1, 0], inner_ring[:-1, 1], outer_ring
+                ).all()
+            )
+
         order = sorted(range(len(rings)), key=lambda i: -G.ring_area(rings[i]))
         outers: list[np.ndarray] = [rings[order[0]]]
         inners: list[np.ndarray] = []
@@ -156,22 +157,28 @@ def build_multipolygon(
             containing = sum(
                 1
                 for j in range(len(rings))
-                if j != idx and G.ring_contains_ring(rings[j], ring)
+                if j != idx and _contains_full(rings[j], ring)
             )
             (outers if containing % 2 == 0 else inners).append(ring)
 
-        # dissolve: identity for disjoint rings; overlap → assembly failure (see module doc)
-        for group in (outers, inners):
-            for i in range(len(group)):
-                for j in range(i + 1, len(group)):
-                    if _rings_overlap(group[i], group[j]):
-                        raise AssemblyError("overlapping rings (union unsupported)")
+        # dissolve (package.scala:461-468,529-531): union the outer rings — the
+        # union's exteriors are the dissolved outers, its holes become additional
+        # inners; then union the inner rings (+ those holes) — exteriors are the
+        # dissolved inners, holes resurface as additional outers. Identity (the
+        # same ndarray objects) for pairwise-disjoint rings, the valid-OSM path.
+        outers_d, addl_inners = CLIP.union_rings(outers)
+        if inners or addl_inners:
+            inners_d, addl_outers = CLIP.union_rings(inners + addl_inners)
+        else:
+            inners_d, addl_outers = [], []
+        if not outers_d and not addl_outers:
+            return None
 
         # attach inners to largest containing outer, each inner used once
-        outers.sort(key=G.ring_area, reverse=True)
+        all_outers = sorted(outers_d + addl_outers, key=G.ring_area, reverse=True)
         polys: list[list[np.ndarray]] = []
-        remaining = list(inners)
-        for outer in outers:
+        remaining = list(inners_d)
+        for outer in all_outers:
             mine = [r for r in remaining if G.ring_contains_ring(outer, r)]
             remaining = [r for r in remaining if not G.ring_contains_ring(outer, r)]
             polys.append([outer] + mine)

@@ -6,6 +6,7 @@ from hypothesis import given, settings, strategies as st
 
 from augdiff_pipeline_ray.functions import assembly as A
 from augdiff_pipeline_ray.functions import geom as G
+from augdiff_pipeline_ray.functions import clip as CLIP
 from augdiff_pipeline_ray.functions import osm as OSM
 
 
@@ -153,6 +154,84 @@ def test_build_multipolygon_from_partial_segments():
     out = A.build_multipolygon([2, 2], ["outer", "outer"], wkbs)
     g = G.wkb_to_geom(out)
     assert g[0] == "Polygon"
+
+
+def test_build_multipolygon_overlapping_outers_dissolve():
+    # two overlapping outer rings → ONE dissolved Polygon (reference dissolveRings,
+    # osm/package.scala:461-468), not a GeometryCollection fallback
+    a = ring([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]])
+    b = ring([[2, 2], [6, 2], [6, 6], [2, 6], [2, 2]])
+    out = A.build_multipolygon([2, 2], ["outer", "outer"], [G.linestring_wkb(a), G.linestring_wkb(b)])
+    g = G.wkb_to_geom(out)
+    assert g[0] == "Polygon" and len(g[1]) == 1
+    # union area = 16 + 16 - 4
+    assert abs(G.ring_area(g[1][0]) - 28.0) < 1e-9
+
+
+def test_build_multipolygon_touching_outers_dissolve():
+    # edge-adjacent outer rings merge into one rectangle (union along the shared edge)
+    a = ring([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]])
+    b = ring([[2, 0], [4, 0], [4, 2], [2, 2], [2, 0]])
+    out = A.build_multipolygon([2, 2], ["outer", "outer"], [G.linestring_wkb(a), G.linestring_wkb(b)])
+    g = G.wkb_to_geom(out)
+    assert g[0] == "Polygon" and len(g[1]) == 1
+    assert abs(G.ring_area(g[1][0]) - 8.0) < 1e-9
+
+
+def test_build_multipolygon_dissolve_hole_from_outer_union():
+    # four overlapping rectangles forming a frame: the union's hole becomes an
+    # inner ring of the dissolved polygon (addlInners in the reference)
+    frame = [
+        ring([[0, 0], [3, 0], [3, 1], [0, 1], [0, 0]]),
+        ring([[2, 0], [3, 0], [3, 3], [2, 3], [2, 0]]),
+        ring([[0, 2], [3, 2], [3, 3], [0, 3], [0, 2]]),
+        ring([[0, 0], [1, 0], [1, 3], [0, 3], [0, 0]]),
+    ]
+    out = A.build_multipolygon(
+        [2] * 4, ["outer"] * 4, [G.linestring_wkb(r) for r in frame]
+    )
+    g = G.wkb_to_geom(out)
+    assert g[0] == "Polygon" and len(g[1]) == 2  # exterior + dissolved hole
+    assert abs(G.ring_area(g[1][0]) - 9.0) < 1e-9
+    assert abs(G.ring_area(g[1][1]) - 1.0) < 1e-9
+
+
+def test_build_multipolygon_overlapping_inners_dissolve():
+    # overlapping inner rings dissolve into one hole before attachment
+    outer = ring([[0, 0], [8, 0], [8, 8], [0, 8], [0, 0]])
+    i1 = ring([[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]])
+    i2 = ring([[2, 2], [4, 2], [4, 4], [2, 4], [2, 2]])
+    out = A.build_multipolygon(
+        [2, 2, 2], ["outer", "inner", "inner"],
+        [G.linestring_wkb(outer), G.linestring_wkb(i1), G.linestring_wkb(i2)],
+    )
+    g = G.wkb_to_geom(out)
+    assert g[0] == "Polygon" and len(g[1]) == 2
+    assert abs(G.ring_area(g[1][1]) - 7.0) < 1e-9  # 4 + 4 - 1
+
+
+def test_union_rings_identity_is_same_objects():
+    # the valid-OSM fast path must return the input arrays untouched (byte-golden
+    # stability of the assembled WKB)
+    a = ring([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]])
+    b = ring([[5, 5], [6, 5], [6, 6], [5, 6], [5, 5]])
+    ex, holes = CLIP.union_rings([a, b])
+    assert holes == [] and ex[0] is a and ex[1] is b
+
+
+def test_union_rings_nested_swallows_inner():
+    a = ring([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]])
+    b = ring([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]])
+    ex, holes = CLIP.union_rings([a, b])
+    assert len(ex) == 1 and holes == []
+    assert abs(G.ring_area(ex[0]) - 16.0) < 1e-9
+
+
+def test_union_rings_corner_touch_stays_multi():
+    a = ring([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]])
+    b = ring([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]])
+    ex, holes = CLIP.union_rings([a, b])
+    assert len(ex) == 2 and holes == []
 
 
 def test_build_multipolygon_incomplete_way_member():
