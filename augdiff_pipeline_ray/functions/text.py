@@ -13,6 +13,8 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 WORD_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
 # BPE-ish subword splitter: words, numbers, punctuation runs (GPT-2-style coarse classes)
@@ -134,6 +136,130 @@ def fingerprint64(texts: pd.Series) -> np.ndarray:
         live = lens > j
         h = np.where(live, (h ^ arr[:, j].astype(np.uint64)) * prime, h)
     return h.view(np.int64) if n else np.empty(0, np.int64)
+
+
+# -- Arrow-native corpus-scan kernels (VERDICT r3 #3) ---------------------------------
+# The four documents-table scans (token_counts / quality_scores / lang_id /
+# fingerprint) run these under ``batch_format="pyarrow"``: tokenization and
+# counting are pyarrow.compute C++ kernels (utf8_split_whitespace, list_value_length,
+# count_substring_regex, is_in) + numpy bincount segment sums — no object-dtype
+# pandas .str loops, no per-row hashing. The pandas kernels above remain for the
+# curation pipeline's small filtered slices.
+
+
+def _flat_tokens(col) -> tuple[pa.Array, np.ndarray, np.ndarray, int]:
+    """String column → (flat non-empty tokens, parent doc index per token,
+    tokens-per-doc counts, n_docs). One split pass feeds token counting, stopword
+    scoring and language ID. Nulls count as empty docs (the pandas fillna('')
+    behavior)."""
+    arr = pc.fill_null(col, "")
+    toks = pc.utf8_split_whitespace(arr)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n = len(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)  # slice-safe logical flatten
+    keep = pc.invert(pc.equal(flat, "")).to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(n, dtype=np.int64), lens)[keep]
+    flat = flat.filter(pa.array(keep))
+    counts = np.bincount(parent, minlength=n).astype(np.int64)
+    return flat, parent, counts, n
+
+
+def token_count_ws_arrow(col) -> np.ndarray:
+    """Whitespace token count over an Arrow string column."""
+    _, _, counts, _ = _flat_tokens(col)
+    return counts
+
+
+def stopword_hit_matrix_arrow(col, langs: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(hit matrix (n_docs, n_langs), whitespace token counts). One tokenize pass,
+    one ``is_in`` C++ kernel per language, one bincount segment-sum per language;
+    zh counts per-character substring occurrences (the SQL-oracle definition)."""
+    flat, parent, counts, n = _flat_tokens(pc.utf8_lower(pc.fill_null(col, "")))
+    scores = np.zeros((n, len(langs)), np.int64)
+    for j, lang in enumerate(langs):
+        if lang == "zh":
+            zh = np.zeros(n, np.int64)
+            for ch in STOPWORDS["zh"]:
+                zh += pc.count_substring(pc.fill_null(col, ""), ch).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+            scores[:, j] = zh
+            continue
+        hit = pc.is_in(
+            flat, value_set=pa.array(sorted(STOPWORDS[lang]))
+        ).to_numpy(zero_copy_only=False)
+        scores[:, j] = np.bincount(parent[hit], minlength=n)
+    return scores, counts
+
+
+def quality_scores_arrow(col) -> dict[str, np.ndarray]:
+    """length / word-count / punct-ratio / en-stopword-ratio, all Arrow kernels."""
+    arr = pc.fill_null(col, "")
+    n_chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_punct = pc.count_substring_regex(arr, r"[^\w\s]").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    hits, n_words = stopword_hit_matrix_arrow(col, ["en"])
+    safe_words = np.maximum(n_words, 1)
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "punct_ratio": n_punct / np.maximum(n_chars, 1),
+        "stopword_ratio": hits[:, 0] / safe_words,
+    }
+
+
+def lang_id_arrow(col) -> np.ndarray:
+    """Stopword-hit language ID over an Arrow column; ties/no-hits → 'und'
+    (first-max = dict-order tie-break, same as the scalar kernel)."""
+    langs = list(STOPWORDS)
+    scores, _ = stopword_hit_matrix_arrow(col, langs)
+    best = np.argmax(scores, axis=1)
+    return np.where(
+        scores[np.arange(len(scores)), best] > 0,
+        np.asarray(langs, object)[best],
+        "und",
+    )
+
+
+def fingerprint64_arrow(col) -> np.ndarray:
+    """FNV-1a 64-bit rolling fingerprint straight off the Arrow utf8 values buffer.
+
+    Fully vectorized: the padded (n_docs, max_len) byte matrix is built with one
+    repeat/arange scatter from the contiguous utf8 buffer (no per-row encode), then
+    the sequential recurrence h = (h ^ byte) * prime advances one byte *position*
+    per step across the whole batch — max_len vector ops, zero per-row Python."""
+    arr = pc.fill_null(col, "")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.int64)
+    if pa.types.is_large_string(arr.type):
+        off_np = np.frombuffer(arr.buffers()[1], np.int64)[arr.offset : arr.offset + n + 1]
+    else:
+        off_np = np.frombuffer(arr.buffers()[1], np.int32)[arr.offset : arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    starts = off_np[:-1].astype(np.int64)
+    lens = (off_np[1:] - off_np[:-1]).astype(np.int64)
+    max_len = int(lens.max()) if n else 0
+    mat = np.zeros((n, max_len), np.uint8)
+    flat_rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    flat_cols = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+    )
+    mat[flat_rows, flat_cols] = data[
+        np.repeat(starts, lens)
+        + flat_cols
+    ]
+    h = np.full(n, 0xCBF29CE484222325, np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(max_len):
+        live = lens > j
+        h = np.where(live, (h ^ mat[:, j].astype(np.uint64)) * prime, h)
+    return h.view(np.int64)
 
 
 def shingles(text: str, k: int = 5) -> set[int]:
