@@ -108,8 +108,324 @@ def read_osc_file(
             max_retries -= 1
 
 
+def _find_pat(arr: np.ndarray, pat: bytes, cand0: np.ndarray | None = None) -> np.ndarray:
+    """Positions of ``pat`` in a uint8 array — vectorized sliding compare: one
+    candidate filter on the first byte (or a precomputed candidate set shared
+    across patterns with the same first byte), then one mask per remaining byte."""
+    if len(arr) < len(pat):
+        return np.empty(0, np.int64)
+    if cand0 is not None:
+        cand = cand0[cand0 <= len(arr) - len(pat)]
+    else:
+        cand = np.flatnonzero(arr[: len(arr) - len(pat) + 1] == pat[0])
+    for j in range(1, len(pat)):
+        if not len(cand):
+            break
+        cand = cand[arr[cand + j] == pat[j]]
+    return cand.astype(np.int64)
+
+
+def _gather_utf8(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> pa.Array:
+    """Non-contiguous byte slices → one Arrow utf8 array (vectorized gather)."""
+    lens = (ends - starts).astype(np.int64)
+    total = int(lens.sum())
+    if total:
+        flat = data[
+            np.repeat(starts, lens)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+        ]
+        vals = flat.tobytes()
+    else:
+        vals = b""
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.utf8(), len(starts), [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(vals)]
+    )
+
+
+def _attr(attrs: pa.Array, name: str) -> pa.Array:
+    """Vectorized attribute extraction (RE2): leading whitespace anchors the attr
+    name so ``id=`` never matches inside ``uid=``."""
+    import pyarrow.compute as pc
+
+    ex = pc.extract_regex(attrs, f'[ \\t\\r\\n]{name}\\s*=\\s*"(?P<v>[^"]*)"')
+    return pc.struct_field(ex, "v")
+
+
+# fall back to the ElementTree path when the document uses constructs the byte
+# scanner doesn't model exactly (single-quoted attributes, comments/CDATA —
+# both start with "<!" — non-action blocks, numeric character entities)
+_FALLBACK_PATTERNS = (b"='", b"<!", b"<bound", b"&#")
+
+# the canonical OSM attribute layout, matched in ONE anchored RE2 pass per
+# element; optional blocks cover tombstones (id/version/timestamp only) and
+# non-node elements (no lat/lon). Rows in any other attribute order fall back
+# to the per-attribute extraction path below.
+_WS = "[ \\t\\r\\n]+"
+_COMBINED_ATTR_RE = (
+    f'^{_WS}id="(?P<id>[^"]*)"'
+    f'{_WS}version="(?P<ver>[^"]*)"'
+    f'{_WS}timestamp="(?P<ts>[^"]*)"'
+    f'(?:{_WS}changeset="(?P<cs>[^"]*)"'
+    f'{_WS}uid="(?P<uid>[^"]*)"'
+    f'{_WS}user="(?P<user>[^"]*)")?'
+    f'(?:{_WS}lat="(?P<lat>[^"]*)"'
+    f'{_WS}lon="(?P<lon>[^"]*)")?'
+    "[ \\t\\r\\n]*$"
+)
+
+
 def parse_osc(xml_bytes: bytes, batch_seq: int) -> pa.Table:
-    """OsmChange XML → Arrow table in CHANGE_SCHEMA (vector-built, one pass)."""
+    """OsmChange XML → Arrow table in CHANGE_SCHEMA.
+
+    Vectorized byte-scan parser (VERDICT r3 #5): element/child/action tag
+    positions come from numpy sliding-compare scans over the raw bytes, attribute
+    strings are gathered into ONE Arrow utf8 array and pulled apart with RE2
+    ``extract_regex`` kernels, children (tag/nd/member) are globally scanned and
+    assigned to parents with ``searchsorted`` — no per-element Python, no DOM.
+    Documents using constructs outside that fast path (single-quoted attributes,
+    comments, CDATA, ``<bound>``, numeric entities) take the ElementTree path,
+    which stays the semantic reference (equivalence-pinned in tests)."""
+    import pyarrow.compute as pc
+
+    if any(p in xml_bytes for p in _FALLBACK_PATTERNS):
+        return _parse_osc_et(xml_bytes, batch_seq)
+
+    data = np.frombuffer(xml_bytes, np.uint8)
+    n_total = len(data)
+    lt_pos = np.flatnonzero(data == 60)  # '<' — shared candidate set for all tags
+
+    def bounded(pos: np.ndarray, width: int) -> np.ndarray:
+        """Keep matches whose next char ends the tag name (space, '/', '>')."""
+        nxt = np.minimum(pos + width, n_total - 1)
+        c = data[nxt]
+        return pos[(c == 32) | (c == 9) | (c == 10) | (c == 13) | (c == 47) | (c == 62)]
+
+    el_parts = []
+    for tag, code in ((b"<node", 0), (b"<way", 1), (b"<relation", 2)):
+        p = bounded(_find_pat(data, tag, lt_pos), len(tag))
+        el_parts.append((p, np.full(len(p), code, np.int8)))
+    el_pos = np.concatenate([p for p, _ in el_parts])
+    el_code = np.concatenate([c for _, c in el_parts])
+    order = np.argsort(el_pos, kind="stable")  # document order
+    el_pos, el_code = el_pos[order], el_code[order]
+    n = len(el_pos)
+    if n == 0:
+        return _parse_osc_et(xml_bytes, batch_seq)
+
+    # action of each element: most recent action-open before it
+    act_parts = []
+    for tag, code in ((b"<create", 0), (b"<modify", 1), (b"<delete", 2)):
+        p = bounded(_find_pat(data, tag, lt_pos), len(tag))
+        act_parts.append((p, np.full(len(p), code, np.int8)))
+    act_pos = np.concatenate([p for p, _ in act_parts])
+    act_code = np.concatenate([c for _, c in act_parts])
+    aorder = np.argsort(act_pos, kind="stable")
+    act_pos, act_code = act_pos[aorder], act_code[aorder]
+    if len(act_pos) == 0 or el_pos[0] < act_pos[0]:
+        return _parse_osc_et(xml_bytes, batch_seq)
+    el_action = act_code[np.searchsorted(act_pos, el_pos, side="right") - 1]
+    is_del = el_action == 2
+
+    # attribute span of each element: from after the tag name to the next '>'
+    # (minus a trailing '/' for self-closing tags)
+    gt_pos = np.flatnonzero(data == 62)
+    # a '>' with an odd number of '"' before it sits INSIDE an attribute value
+    # (legal XML the tag scanner can't cut at) — take the exact path instead
+    q_pos = np.flatnonzero(data == 34)
+    if len(gt_pos) and (np.searchsorted(q_pos, gt_pos) % 2 == 1).any():
+        return _parse_osc_et(xml_bytes, batch_seq)
+    name_len = np.array([5, 4, 9], np.int64)[el_code]  # <node <way <relation
+    a_start = el_pos + name_len
+    a_end = gt_pos[np.searchsorted(gt_pos, el_pos)]
+    a_end = np.where(data[np.maximum(a_end - 1, 0)] == 47, a_end - 1, a_end)
+    attrs = _gather_utf8(data, a_start, a_end)
+
+    null_s = pa.scalar(None, pa.string())
+
+    def _blank_null(a: pa.Array) -> pa.Array:
+        # combined-pattern non-participating groups come back "" — map to null
+        # (no numeric OSM attribute is legitimately empty)
+        return pc.if_else(pc.equal(pc.fill_null(a, ""), ""), null_s, a)
+
+    ex = pc.extract_regex(attrs, _COMBINED_ATTR_RE)
+    if not pc.any(pc.is_null(ex)).as_py():
+        # canonical attribute order: ONE anchored RE2 pass covered every element
+        ids_s = pc.struct_field(ex, "id")
+        ver_s = pc.struct_field(ex, "ver")
+        ts_s = pc.struct_field(ex, "ts")
+        cs_s = _blank_null(pc.struct_field(ex, "cs"))
+        uid_s = _blank_null(pc.struct_field(ex, "uid"))
+        user_s = pc.struct_field(ex, "user")
+        lat_s = _blank_null(pc.struct_field(ex, "lat"))
+        lon_s = _blank_null(pc.struct_field(ex, "lon"))
+    else:
+        # uncommon attribute order somewhere: per-attribute extraction
+        ids_s = _attr(attrs, "id")
+        ver_s = pc.fill_null(_attr(attrs, "version"), "1")
+        ts_s = _attr(attrs, "timestamp")
+        cs_s = _attr(attrs, "changeset")
+        uid_s = _attr(attrs, "uid")
+        user_s = _attr(attrs, "user")
+        lat_s = _attr(attrs, "lat")
+        lon_s = _attr(attrs, "lon")
+        if pc.any(pc.is_null(ids_s)).as_py() or pc.any(pc.is_null(ts_s)).as_py():
+            return _parse_osc_et(xml_bytes, batch_seq)
+
+    id_arr = pc.cast(ids_s, pa.int64()).to_numpy(zero_copy_only=False)
+    versions = pc.cast(ver_s, pa.int64()).to_numpy(zero_copy_only=False)
+    ts_ms = pc.cast(
+        pc.cast(pc.replace_substring(ts_s, "Z", ""), pa.timestamp("ms")), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+
+    del_mask_arr = pa.array(is_del)
+    changesets = pc.if_else(
+        del_mask_arr, pa.scalar(None, pa.int64()),
+        pc.cast(pc.fill_null(cs_s, "0"), pa.int64()),
+    )
+    uids = pc.if_else(
+        del_mask_arr, pa.scalar(None, pa.int64()),
+        pc.cast(pc.fill_null(uid_s, "0"), pa.int64()),
+    )
+    users = pc.if_else(del_mask_arr, null_s, pc.fill_null(user_s, ""))
+    null_f64 = pa.scalar(None, pa.float64())
+    lats = pc.if_else(del_mask_arr, null_f64, pc.cast(lat_s, pa.float64()))
+    lons = pc.if_else(del_mask_arr, null_f64, pc.cast(lon_s, pa.float64()))
+
+    # children: global scans, parent = element whose open precedes the child
+    def _children(pat: bytes, want_code: int | None):
+        p = bounded(_find_pat(data, pat), len(pat))
+        if not len(p):
+            return p, np.zeros(n, np.int64), None
+        parent = np.searchsorted(el_pos, p, side="right") - 1
+        keep = ~is_del[parent]
+        if want_code is not None:
+            keep &= el_code[parent] == want_code
+        p, parent = p[keep], parent[keep]
+        c_end = gt_pos[np.searchsorted(gt_pos, p)]
+        c_end = np.where(data[np.maximum(c_end - 1, 0)] == 47, c_end - 1, c_end)
+        cattrs = _gather_utf8(data, p + len(pat), c_end)
+        counts = np.bincount(parent, minlength=n).astype(np.int64)
+        return p, counts, cattrs
+
+    _, tag_counts, tag_attrs = _children(b"<tag", None)
+    _, nd_counts, nd_attrs = _children(b"<nd", 1)
+    _, mem_counts, mem_attrs = _children(b"<member", 2)
+
+    def _offsets(counts: np.ndarray) -> pa.Array:
+        return pa.array(
+            np.concatenate([[0], np.cumsum(counts)]).astype(np.int32), pa.int32()
+        )
+
+    if tag_attrs is not None:
+        keys = _attr(tag_attrs, "k")
+        vals = _attr(tag_attrs, "v")
+        if pc.any(pc.is_null(keys)).as_py() or pc.any(pc.is_null(vals)).as_py():
+            return _parse_osc_et(xml_bytes, batch_seq)
+        tags_col = pa.MapArray.from_arrays(_offsets(tag_counts), keys, vals)
+    else:
+        tags_col = pa.MapArray.from_arrays(
+            _offsets(tag_counts), pa.array([], pa.string()), pa.array([], pa.string())
+        )
+    if nd_attrs is not None:
+        refs = pc.cast(_attr(nd_attrs, "ref"), pa.int64())
+        if pc.any(pc.is_null(refs)).as_py():
+            return _parse_osc_et(xml_bytes, batch_seq)
+        nds_col = pa.ListArray.from_arrays(
+            _offsets(nd_counts),
+            pa.StructArray.from_arrays([refs], ["ref"]),
+            CHANGE_SCHEMA.field("nds").type,
+        )
+    else:
+        nds_col = pa.ListArray.from_arrays(
+            _offsets(nd_counts),
+            pa.array([], CHANGE_SCHEMA.field("nds").type.value_type),
+            CHANGE_SCHEMA.field("nds").type,
+        )
+    if mem_attrs is not None:
+        mtypes = _attr(mem_attrs, "type")
+        mrefs = pc.cast(_attr(mem_attrs, "ref"), pa.int64())
+        mroles = pc.fill_null(_attr(mem_attrs, "role"), "")
+        if pc.any(pc.is_null(mtypes)).as_py() or pc.any(pc.is_null(mrefs)).as_py():
+            return _parse_osc_et(xml_bytes, batch_seq)
+        members_col = pa.ListArray.from_arrays(
+            _offsets(mem_counts),
+            pa.StructArray.from_arrays([mtypes, mrefs, mroles], ["type", "ref", "role"]),
+            CHANGE_SCHEMA.field("members").type,
+        )
+    else:
+        members_col = pa.ListArray.from_arrays(
+            _offsets(mem_counts),
+            pa.array([], CHANGE_SCHEMA.field("members").type.value_type),
+            CHANGE_SCHEMA.field("members").type,
+        )
+
+    # standard XML entities in string values: vectorized unescape (amp LAST);
+    # numeric entities already routed to the ET path above
+    def _unescape(a):
+        if not pc.any(pc.match_substring(pc.fill_null(a, ""), "&")).as_py():
+            return a
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&apos;", "'"), ("&amp;", "&")):
+            a = pc.replace_substring(a, ent, ch)
+        return a
+
+    users = _unescape(users)
+    if tag_attrs is not None:
+        tags_col = pa.MapArray.from_arrays(
+            _offsets(tag_counts), _unescape(tags_col.keys), _unescape(tags_col.items)
+        )
+    if mem_attrs is not None and pc.any(
+        pc.match_substring(members_col.values.field("role"), "&")
+    ).as_py():
+        members_col = pa.ListArray.from_arrays(
+            _offsets(mem_counts),
+            pa.StructArray.from_arrays(
+                [members_col.values.field("type"), members_col.values.field("ref"),
+                 _unescape(members_col.values.field("role"))],
+                ["type", "ref", "role"],
+            ),
+            CHANGE_SCHEMA.field("members").type,
+        )
+
+    types = pa.DictionaryArray.from_arrays(
+        pa.array(el_code.astype(np.int8)), pa.array(["node", "way", "relation"])
+    ).cast(pa.string())
+    actions = pa.DictionaryArray.from_arrays(
+        pa.array(el_action.astype(np.int8)), pa.array(["create", "modify", "delete"])
+    ).cast(pa.string())
+    p_col = K.partition_number(id_arr, el_code.astype(np.int64))
+    lat_np = lats.to_numpy(zero_copy_only=False)
+    lon_np = lons.to_numpy(zero_copy_only=False)
+    cell = C.cell_of(lat_np, lon_np)
+
+    return pa.table(
+        {
+            "p": pa.array(p_col),
+            "cell": pa.array(cell),
+            "id": pa.array(id_arr),
+            "type": types,
+            "tags": tags_col,
+            "lat": lats,
+            "lon": lons,
+            "nds": nds_col,
+            "members": members_col,
+            "changeset": changesets,
+            "timestamp": pa.array(ts_ms).cast(pa.timestamp("ms")),
+            "uid": uids,
+            "user": users,
+            "version": pa.array(versions),
+            "visible": pa.array(~is_del),
+            "batch_seq": pa.array(np.full(n, batch_seq, np.int64)),
+            "action": actions,
+        }
+    )
+
+
+def _parse_osc_et(xml_bytes: bytes, batch_seq: int) -> pa.Table:
+    """OsmChange XML → Arrow table in CHANGE_SCHEMA (ElementTree reference path;
+    the vectorized ``parse_osc`` is equivalence-pinned against this)."""
     root = ET.fromstring(xml_bytes)
     ids: list[int] = []
     types: list[str] = []
