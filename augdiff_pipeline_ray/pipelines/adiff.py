@@ -479,49 +479,114 @@ def _gather_payload(payload_refs) -> tuple[pa.Table | None, np.ndarray]:
     return t, order
 
 
-@ray.remote(num_cpus=0)
-def _emit_task(payload_refs, keys_np, cells_np, seq, json_path, assign_dir):
+def _run_tail(pool, seq, keys_np, cells_np, rlat, rlon, payload_refs, knn_k,
+              json_path, assign_dir, knn_dir, overlay_dir, max_overlay
+              ) -> tuple[int, int, int]:
+    """The whole batch tail, FUSED into one task body (VERDICT r3 #1): fire the
+    kNN ring scatter and the fused overlay bank select+fetch first (their remote
+    calls go in flight), do the feature-emit work locally while they fly (ONE
+    payload gather now serves BOTH the feature write and the overlay geometry —
+    the r3 emit/overlay task pair each gathered it), then finish kNN and overlay
+    off the already-in-flight futures. Replaces the r3 emit/kNN/overlay task
+    triple: 3 task submissions + their argument ships + a duplicate payload
+    gather + one bank RPC round disappear from every batch; outputs are
+    byte-identical (same math, same deterministic selection cut)."""
     t0 = time.perf_counter()
+    pool = _pool_from(pool)
+    skip = os.environ.get("AUGDIFF_DIAG_SKIP_TAILS", "")  # diagnostic only
+
+    # -- fire: kNN scatter (query-point dedup — a modify emits after+before
+    # features at the same representative point; the pool serves each DISTINCT
+    # point once, results fan back via the inverse) ------------------------------
+    keep = np.nonzero(~(np.isnan(rlat) | np.isnan(rlon)))[0]
+    if "k" in skip:
+        keep = keep[:0]
+    knn_state = inv = None
+    if len(keep):
+        pts = np.stack([rlat[keep], rlon[keep]], axis=1)
+        upts, inv = np.unique(pts, axis=0, return_inverse=True)
+        if os.environ.get("AUGDIFF_KNN_DEBUG"):
+            print(f"[knn {seq}] q={len(keep)} uniq={len(upts)}", flush=True)
+        knn_state = pool.knn_scatter(upts[:, 0], upts[:, 1], knn_k)
+
+    # -- fire: overlay bank select+fetch (one fused call per bank shard) ---------
+    touched = np.unique(np.asarray(cells_np, np.int64))
+    touched = touched[touched >= 0]
+    if "o" in skip:
+        touched = touched[:0]
+    sel_futs = (pool.overlay_select_fetch_scatter(touched, max_overlay)
+                if len(touched) else [])
+
+    # -- local while the scatters fly: gather payload once, emit features -------
     t, order = _gather_payload(payload_refs)
     if t is not None:
         nbytes = GJ.write_features_arrow(json_path, t["feature"], order)
     else:
         nbytes = GJ.write_features(json_path, [])
     _write_assignments_file(assign_dir, seq, keys_np, cells_np)
-    if os.environ.get("AUGDIFF_TAIL_DEBUG"):
-        print(f"[emit {seq}] {time.perf_counter()-t0:.2f}", flush=True)
-    return nbytes
+    wkbs_ref = bbs_ref = None
+    if t is not None and sel_futs:
+        import pyarrow.compute as pc
 
+        bbs = (t["bbox"].combine_chunks().flatten()
+               .to_numpy(zero_copy_only=False).reshape(-1, 4)[order])
+        # ship the ordered WKB column AS ARROW — shards index it lazily (only
+        # bbox-hit features decode), so the 10^4-1 Python bytes objects and the
+        # list pickle never materialize
+        wkbs_ref = ray.put(pc.take(t["wkb"], order).combine_chunks())
+        bbs_ref = ray.put(np.ascontiguousarray(bbs, np.float64))
+    t_emit = time.perf_counter() - t0
 
-@ray.remote(num_cpus=0)
-def _knn_task(pool, qlat, qlon, k, keys_np, keep, seq, knn_dir):
-    t0 = time.perf_counter()
-    pool = _pool_from(pool)
+    # -- finish: kNN (gathers the in-flight ring futures) ------------------------
     knn_t = None
-    if len(keep):
-        # query-point dedup: a modify emits after+before features at (often) the
-        # same representative point, and way features share node positions — the
-        # pool serves each DISTINCT point once, results fan back via the inverse
-        pts = np.stack([qlat, qlon], axis=1)
-        upts, inv = np.unique(pts, axis=0, return_inverse=True)
-        if os.environ.get("AUGDIFF_KNN_DEBUG"):
-            print(f"[knn {seq}] q={len(qlat)} uniq={len(upts)}", flush=True)
-        uids, udist = pool.knn_finish(pool.knn_scatter(upts[:, 0], upts[:, 1], k))
+    if knn_state is not None:
+        uids, udist = pool.knn_finish(knn_state)
         ids, dist = uids[inv], udist[inv]
         qrow, rank = np.nonzero(np.isfinite(dist))  # top-k packs left → col == rank
+        sel_ids = ids[qrow, rank]
+        if sel_ids.dtype.kind in "iu":
+            # numeric-id pool mode: rebuild the identical ``img-%08d`` strings
+            # in Arrow C++ (cast → lpad → join) — no numpy U32 materialization
+            import pyarrow.compute as pc
+
+            id_col = pc.binary_join_element_wise(
+                pa.scalar("img-"),
+                pc.utf8_lpad(pc.cast(pa.array(sel_ids), pa.string()), 8, "0"),
+                "",
+            )
+        else:
+            id_col = pa.array(sel_ids)
         knn_t = pa.table(
             {
                 "batch_seq": pa.array(np.full(len(qrow), seq, np.int64)),
                 "key": pa.array(keys_np[keep[qrow]], pa.int64()),
                 "rank": pa.array(rank.astype(np.int64)),
-                "image_id": pa.array(ids[qrow, rank]),
+                "image_id": id_col,
                 "dist_m": pa.array(dist[qrow, rank]),
             }
         )
     _write_knn_file(knn_dir, seq, knn_t)
-    if os.environ.get("AUGDIFF_TAIL_DEBUG"):
-        print(f"[knn {seq}] {time.perf_counter()-t0:.2f}", flush=True)
-    return 0 if knn_t is None else len(knn_t)
+    t_knn = time.perf_counter() - t0
+
+    # -- finish: overlay (prefetched blobs + the payload gathered above) ---------
+    rows = []
+    if sel_futs and wkbs_ref is not None:
+        rows = pool.overlay_finish_fetched(
+            seq, ray.get(sel_futs), wkbs_ref, bbs_ref, max_overlay
+        )
+    _write_overlay_file(overlay_dir, seq, rows)
+    timings = {"tl_emit": round(t_emit, 3), "tl_knn": round(t_knn - t_emit, 3),
+               "tl_ovl": round(time.perf_counter() - t0 - t_knn, 3)}
+    return nbytes, 0 if knn_t is None else len(knn_t), len(rows), timings
+
+
+@ray.remote(num_cpus=0)
+def _tail_task(pool, seq, keys_np, cells_np, rlat, rlon, payload_refs, knn_k,
+               json_path, assign_dir, knn_dir, overlay_dir, max_overlay):
+    """One-submission tail for the non-collector (run_batch) path."""
+    return _run_tail(pool, seq, keys_np, cells_np, rlat, rlon, payload_refs,
+                     knn_k, json_path, assign_dir, knn_dir, overlay_dir,
+                     max_overlay)
 
 
 
@@ -556,14 +621,14 @@ def _stream_depth(hint: int | None = None) -> int:
 def _collect_tail_task(aug, seq, cells_in, pool, knn_k,
                        json_path, assign_dir, knn_dir, overlay_dir, max_overlay):
     """Whole batch tail as ONE off-driver task: gather the per-shard render META,
-    derive the feature order / kNN queries / touched cells, fan the three tail tasks
-    out (they run in parallel; this worker's CPU slot is released while blocked in
-    ray.get), and pre-aggregate the per-cell lineage counts. ``aug`` is the resolved
-    AugmentShard result (Ray awaits the augment future before scheduling this task):
-    either per-render-shard meta futures + payload refs (pool render) or a complete
-    meta table + one payload ref (local render inside the augment actor). The
-    driver's per-batch cost for everything after the closure is two task
-    submissions plus one small ray.get."""
+    derive the feature order / kNN queries / touched cells, run the FUSED tail
+    body inline (``_run_tail`` — the kNN/overlay scatters go in flight first and
+    the emit work overlaps them in this worker), and pre-aggregate the per-cell
+    lineage counts. ``aug`` is the resolved AugmentShard result (Ray awaits the
+    augment future before scheduling this task): either per-render-shard meta
+    futures + payload refs (pool render) or a complete meta table + one payload
+    ref (local render inside the augment actor). The driver's per-batch cost for
+    everything after the closure is one task submission plus one small ray.get."""
     t0 = time.perf_counter()
     payload_refs = aug["payload_refs"]
     if aug["meta_futs"] is not None:
@@ -577,22 +642,12 @@ def _collect_tail_task(aug, seq, cells_in, pool, knn_k,
     cells_np = meta["cell"].to_numpy(zero_copy_only=False)[order]
     rlat = meta["rep_lat"].to_numpy(zero_copy_only=False)[order]
     rlon = meta["rep_lon"].to_numpy(zero_copy_only=False)[order]
-    keep = np.nonzero(~(np.isnan(rlat) | np.isnan(rlon)))[0]
-    touched = np.unique(np.asarray(cells_np, np.int64))
-    touched = touched[touched >= 0]
     t_prep = time.perf_counter() - t0
-    skip = os.environ.get("AUGDIFF_DIAG_SKIP_TAILS", "")  # diagnostic only
-    futs = (
-        _emit_task.remote(payload_refs, keys_np, cells_np, seq, json_path, assign_dir),
-        _knn_task.remote(pool, rlat[keep][:0] if "k" in skip else rlat[keep],
-                         rlon[keep][:0] if "k" in skip else rlon[keep],
-                         knn_k, keys_np, keep[:0] if "k" in skip else keep,
-                         seq, knn_dir),
-        _overlay_task.remote(pool, touched[:0] if "o" in skip else touched,
-                             payload_refs, seq, max_overlay, overlay_dir),
-    )
     t1 = time.perf_counter()
-    nbytes, knn_rows, n_overlay = ray.get(list(futs))
+    nbytes, knn_rows, n_overlay, tail_t = _run_tail(
+        pool, seq, keys_np, cells_np, rlat, rlon, payload_refs, knn_k,
+        json_path, assign_dir, knn_dir, overlay_dir, max_overlay,
+    )
     t_tails = time.perf_counter() - t1
     # per-cell lineage counts (same math as AdiffJob._lineage_rows; the driver only
     # stamps wall_ms and builds the row dicts at commit time)
@@ -602,35 +657,8 @@ def _collect_tail_task(aug, seq, cells_in, pool, knn_k,
         "overlay": n_overlay, "all_cells": all_cells, "in_counts": in_counts,
         "out_counts": out_counts, "t_render_wait": round(t_render, 3),
         "t_coll_prep": round(t_prep, 3), "t_coll_tails": round(t_tails, 3),
-        "n_aug": aug["n_aug"], "aug_stage_t": aug["stage_t"],
+        "tail_t": tail_t, "n_aug": aug["n_aug"], "aug_stage_t": aug["stage_t"],
     }
-
-
-@ray.remote(num_cpus=0)
-def _overlay_task(pool, touched, payload_refs, seq, max_overlay, overlay_dir):
-    t0 = time.perf_counter()
-    pool = _pool_from(pool)
-    rows = []
-    if len(touched):
-        sels = ray.get(pool.overlay_select_scatter(touched))
-        t, order = _gather_payload(payload_refs)
-        if t is not None:
-            import pyarrow.compute as pc
-
-            bbs = (
-                t["bbox"].combine_chunks().flatten()
-                .to_numpy(zero_copy_only=False).reshape(-1, 4)[order]
-            )
-            # ship the ordered WKB column AS ARROW — shards index it lazily (only
-            # bbox-hit features decode), so the 10^4-1 Python bytes objects and the
-            # list pickle never materialize
-            wkbs_ref = ray.put(pc.take(t["wkb"], order).combine_chunks())
-            bbs_ref = ray.put(np.ascontiguousarray(bbs, np.float64))
-            rows = pool.overlay_finish_refs(seq, sels, wkbs_ref, bbs_ref, max_overlay)
-    _write_overlay_file(overlay_dir, seq, rows)
-    if os.environ.get("AUGDIFF_TAIL_DEBUG"):
-        print(f"[ovl {seq}] {time.perf_counter()-t0:.2f}", flush=True)
-    return len(rows)
 
 
 def render_partition_scatter(
@@ -772,7 +800,9 @@ class AdiffJob:
         if render_concurrency is None:
             from .indexer import pool_size
 
-            render_concurrency = max(2, pool_size(frac=0.25, cap=16))
+            env = os.environ.get("AUGDIFF_RENDER_POOL", "")
+            render_concurrency = (int(env) if env
+                                  else max(2, pool_size(frac=0.25, cap=16)))
         self.render_concurrency = render_concurrency
         self.save_interval = save_interval
         self.drop_tags_on_load = drop_tags_on_load
@@ -1152,46 +1182,27 @@ class AdiffJob:
 
     def _launch_tail(self, head: dict) -> dict:
         """Launch the whole tail (feature emit + kNN rounds + overlay select/render +
-        output writes) as ONE off-driver task; return its future."""
+        output writes) as ONE fused off-driver task; return its future."""
         ts = time.perf_counter()
         seq = head["seq"]
-        keep = np.empty(0, np.int64)
-        qlat = qlon = keep
-        if head["n_features"]:
-            rlat, rlon = head["rlat"], head["rlon"]
-            keep = np.nonzero(~(np.isnan(rlat) | np.isnan(rlon)))[0]
-            qlat, qlon = rlat[keep], rlon[keep]
-        touched = np.unique(np.asarray(head["cells_np"], np.int64))
-        touched = touched[touched >= 0]
-        payload_refs = head["payload_refs"] or []
-        # the kNN ring scatter and overlay bank select run INSIDE their tail tasks —
-        # the driver's per-batch launch cost is three task submissions, not the
-        # routing/selection work itself
-        futs = (
-            _emit_task.remote(
-                payload_refs, head["keys_np"], head["cells_np"], seq,
-                GJ.batch_json_path(self.adiff_template, seq),
-                str(self.out / "assignments"),
-            ),
-            _knn_task.remote(
-                self._tile_pool_ref(), qlat, qlon, self.knn_k, head["keys_np"], keep,
-                seq, str(self.out / "knn"),
-            ),
-            _overlay_task.remote(
-                self._tile_pool_ref(), touched, payload_refs, seq,
-                self.max_overlay, str(self.out / "overlay"),
-            ),
+        fut = _tail_task.remote(
+            self._tile_pool_ref(), seq, head["keys_np"], head["cells_np"],
+            head["rlat"], head["rlon"], head["payload_refs"] or [], self.knn_k,
+            GJ.batch_json_path(self.adiff_template, seq),
+            str(self.out / "assignments"), str(self.out / "knn"),
+            str(self.out / "overlay"), self.max_overlay,
         )
         head["stage_t"]["t_launch"] = round(time.perf_counter() - ts, 3)
-        return {"futs": futs}
+        return {"fut": fut}
 
     def _finish_batch(self, head: dict, tail: dict) -> dict:
         seq = head["seq"]
         stage_t = head["stage_t"]
         ts = time.perf_counter()
 
-        # tail components (emit + kNN + overlay, each with its writes) as 3 futures
-        nbytes, knn_rows, n_overlay = ray.get(list(tail["futs"]))
+        # the fused tail task returns (emit bytes, kNN rows, overlay rows, timings)
+        nbytes, knn_rows, n_overlay, tail_t = ray.get(tail["fut"])
+        stage_t.update(tail_t)
         # durability files (memory tier + index batch) must land before the commit;
         # for a flush batch the registered thread is the flush build — adopt it
         # (join + publish) rather than bare-joining
@@ -1263,6 +1274,7 @@ class AdiffJob:
         stage_t["render"] = res["t_render_wait"]
         stage_t["c_prep"] = res.get("t_coll_prep", 0.0)
         stage_t["c_tails"] = res.get("t_coll_tails", 0.0)
+        stage_t.update(res.get("tail_t") or {})
         stage_t.update(res.get("aug_stage_t") or {})
         wall_ms = (time.perf_counter() - pre["t0"]) * 1000.0
         self.lineage.commit_arrays(

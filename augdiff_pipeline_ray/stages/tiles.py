@@ -345,14 +345,22 @@ class FrameSampler:
 # ---------------------------------------------------------------------------
 
 
+def _id_pad(dtype: np.dtype):
+    """Padding value for unfilled top-k slots: '' for string ids, -1 for the
+    numeric-id fast path (fixed-width ids sort identically as ints — see
+    TileShard). Padding never reaches output rows (inf-dist rows are dropped)."""
+    return "" if dtype.kind == "U" else -1
+
+
 def topk_per_query(
     qidx: np.ndarray, dist: np.ndarray, ids: np.ndarray, n_queries: int, k: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """Flat (query_idx, dist, id) candidate triples → dense (Q, k) top-k arrays,
-    inf/''-padded, ties broken by id. One lexsort — no per-query Python loop. The
-    shared segment-top-k kernel for the ring path, the brute path and the shard merge."""
-    width = ids.dtype if ids.dtype.kind == "U" else np.dtype("U32")
-    out_ids = np.full((n_queries, k), "", dtype=width)
+    inf/pad-filled, ties broken by id. One lexsort — no per-query Python loop. The
+    shared segment-top-k kernel for the ring path, the brute path and the shard
+    merge. ``ids`` may be strings or (fixed-width-equivalent) int64."""
+    width = ids.dtype if ids.dtype.kind != "U" or ids.dtype.itemsize else np.dtype("U32")
+    out_ids = np.full((n_queries, k), _id_pad(ids.dtype), dtype=width)
     out_dist = np.full((n_queries, k), np.inf)
     # padding rows (inf dist) can never be selected — drop them BEFORE sorting
     # (shard merges arrive inf-padded to k per shard; the padding dominated the
@@ -532,7 +540,7 @@ def knn_arrays(
     cos_lat = np.cos(np.radians(np.nan_to_num(query_lat)))
     cell_min_m = np.minimum(cell_h_m, 360.0 / ncols * 111_320.0 * cos_lat)
 
-    out_ids = np.full((Q, kk), "", dtype=tile_ids.dtype)
+    out_ids = np.full((Q, kk), _id_pad(tile_ids.dtype), dtype=tile_ids.dtype)
     out_dist = np.full((Q, kk), np.inf)
     active = np.flatnonzero(qcells >= 0)
     r = ring
@@ -580,6 +588,15 @@ def knn_arrays(
                 break
             chunk_starts.append(e)
         bounds = chunk_starts + [A]
+        # float32 shadow coordinates for the PREFILTER flood (half the memory
+        # traffic of the candidate pass — the serving pools are bandwidth-bound
+        # under concurrency); the exact float64 distances are recomputed on the
+        # few surviving contenders, so the output stays bit-identical
+        tl32 = tile_lat.astype(np.float32)
+        tn32 = tile_lon.astype(np.float32)
+        ql32 = query_lat.astype(np.float32)
+        qn32 = query_lon.astype(np.float32)
+        cos32 = cos_lat.astype(np.float32)
         for ci in range(len(chunk_starts)):
             s0, s1 = bounds[ci], bounds[ci + 1]
             sub = active[s0:s1]
@@ -588,31 +605,43 @@ def knn_arrays(
             )
             counts[s0 : s0 + len(sub)] = cnts
             aq = sub[qpos]
-            dlat = (tile_lat[cand] - query_lat[aq]) * 111_320.0
-            dlon = (tile_lon[cand] - query_lon[aq]) * 111_320.0 * cos_lat[aq]
-            d2 = dlat * dlat + dlon * dlon  # squared (monotone) — sqrt only the k
             if len(cand):
-                # EXACT partition-prefilter before the (n log n, 3-key) lexsort:
-                # keep only candidates with d2 ≤ the query's kk-th smallest d2
-                # (ties INCLUDED, so the id_rank tie-break below still sees every
-                # contender — dropped rows are strictly farther and could never
-                # be selected; output bit-identical). At ~20 tiles/cell density a
-                # k=3 ring-1 query carries ~190 candidates, and this full-sort
-                # over the flood was the serving pool's dominant kernel cost.
-                # Dense (A, maxc) padding is linear; guarded against skew (a
-                # metro cell blowing maxc) by falling back to the full sort.
+                # partition-prefilter before the (n log n, 3-key) lexsort: keep
+                # only candidates with d2 ≤ the query's kk-th smallest d2 plus a
+                # float32 guard band (ties INCLUDED — a true contender's float32
+                # distance deviates relatively ≤ ~1e-6, far inside the 1e-5
+                # margin, so dropped rows are strictly farther and could never
+                # be selected; the survivors then re-verify in exact float64 and
+                # the output is bit-identical). At ~20 tiles/cell density a k=3
+                # ring-1 query carries ~190 candidates, and this full-sort over
+                # the flood was the serving pool's dominant kernel cost. Dense
+                # (A, maxc) padding is linear; guarded against skew (a metro
+                # cell blowing maxc) by falling back to the full sort.
                 maxc = int(cnts.max())
                 A_sub = len(sub)
                 if maxc > kk and A_sub * maxc <= (1 << 23):
+                    dlat32 = (tl32[cand] - ql32[aq]) * np.float32(111_320.0)
+                    dlon32 = (tn32[cand] - qn32[aq]) * (
+                        np.float32(111_320.0) * cos32[aq]
+                    )
+                    d2_32 = dlat32 * dlat32 + dlon32 * dlon32
                     starts_g = np.concatenate([[0], np.cumsum(cnts)[:-1]])
                     pos_in = np.arange(len(cand)) - np.repeat(starts_g, cnts)
-                    dd = np.full((A_sub, maxc), np.inf)
-                    dd[qpos, pos_in] = d2
+                    dd = np.full((A_sub, maxc), np.inf, np.float32)
+                    dd[qpos, pos_in] = d2_32
                     thr = np.partition(dd, kk - 1, axis=1)[:, kk - 1]
-                    keep_m = d2 <= thr[qpos]
+                    keep_m = d2_32 <= thr[qpos] * np.float32(1.00001) + np.float32(
+                        1e-25
+                    )
                     cand = cand[keep_m]
-                    d2 = d2[keep_m]
                     qpos = qpos[keep_m]
+                    aq = aq[keep_m]
+                # exact float64 distances on the survivors only (or the whole
+                # flood when the prefilter was skipped) — same expressions,
+                # elementwise, so selected distances are bit-identical
+                dlat = (tile_lat[cand] - query_lat[aq]) * 111_320.0
+                dlon = (tile_lon[cand] - query_lon[aq]) * 111_320.0 * cos_lat[aq]
+                d2 = dlat * dlat + dlon * dlon  # squared (monotone) — sqrt only the k
                 o = np.lexsort((id_rank[cand], d2, qpos))  # qpos presorted → cheap
                 qs = qpos[o]
                 first = np.r_[True, qs[1:] != qs[:-1]]
@@ -631,7 +660,7 @@ def knn_arrays(
         da = np.flatnonzero(done)
         sel = idx_a[da]
         good = sel >= 0
-        ids_sel = np.full(sel.shape, "", dtype=tile_ids.dtype)
+        ids_sel = np.full(sel.shape, _id_pad(tile_ids.dtype), dtype=tile_ids.dtype)
         if good.any():
             ids_sel[good] = tile_ids[sel[good]]
         out_ids[active[da]] = ids_sel

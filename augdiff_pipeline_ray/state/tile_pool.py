@@ -43,7 +43,7 @@ def shard_of_cell(cells: np.ndarray, num_shards: int) -> np.ndarray:
     return np.asarray(cells, np.int64) % num_shards
 
 
-@ray.remote(num_cpus=0, max_restarts=2, max_task_retries=2)
+@ray.remote(num_cpus=0, max_restarts=2, max_task_retries=2, max_concurrency=4)
 class TileShard:
     """One cell-RANGE shard of the tile index (centroids) — the kNN pool.
 
@@ -56,6 +56,12 @@ class TileShard:
     cuts → equal tile counts): a kNN ring maps to ONE contiguous cell-id interval, so the
     pool routes each query to just the 1–2 shards its ring intersects instead of
     broadcasting every query to every shard (per-query work now divides by the pool).
+
+    THREADED actor (``max_concurrency=4``): every serving method is a pure read
+    over state frozen at ``__init__`` (the numpy kernels release the GIL), so
+    concurrent ring calls from pipelined stream batches interleave instead of
+    head-of-line blocking — a skewed metro shard's 0.4 s call otherwise delayed
+    every in-flight batch behind it (the r3 stream's latency-coupling floor).
 
     The overlay bank lives in a SEPARATE ``BankShard`` pool: an actor serves one call at
     a time, so co-locating both made every overlay select/render queue behind the
@@ -87,11 +93,32 @@ class TileShard:
         self.lat, self.lon = georef.centroid(sub["phash"])
         self.ids = sub["image_id"].to_pylist()
         self._ids_np = np.asarray(self.ids)
+        # numeric-id fast path: the engine's own tile ids are fixed-width
+        # ``img-%08d`` strings, whose lexicographic order EQUALS their numeric
+        # order — shards can then serve int64 ids (per-reply ship shrinks ~30×,
+        # the pool merge sorts numbers instead of U32 strings) and the caller
+        # reconstructs the identical strings vectorized. Any foreign id format
+        # fails the regex and keeps the general string path.
+        import pyarrow.compute as pc
+
+        idcol = sub["image_id"]
+        self._ids_num: np.ndarray | None = None
+        if len(self.ids) and pc.all(
+            pc.match_substring_regex(idcol, r"^img-\d{8}$")
+        ).as_py():
+            self._ids_num = (
+                pc.cast(pc.utf8_slice_codeunits(idcol, 4, 12), pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
         # cell order / id tie-break rank: once per (static) shard, not per call
         self._prep = T.knn_prep(self.cells, self._ids_np) if len(self.ids) else None
 
     def count(self) -> int:
         return len(self.ids)
+
+    def numeric_mode(self) -> bool:
+        """True when every id parsed as ``img-%08d`` (or the shard is empty)."""
+        return self._ids_num is not None or not self.ids
 
     def prime(self, n: int = 512, k: int = 3) -> int:
         """Run one representative ring query over this shard's own centroids —
@@ -111,27 +138,33 @@ class TileShard:
         self.knn_ring(self.lat[sel], self.lon[sel], k, 1)
         return m
 
-    def knn(self, qlat: np.ndarray, qlon: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    def _ids_arr(self, numeric: bool) -> np.ndarray:
+        return self._ids_num if numeric and self._ids_num is not None else self._ids_np
+
+    def _empty_knn(self, nq: int, numeric: bool) -> tuple[np.ndarray, np.ndarray]:
+        pad = np.full((nq, 1), -1, np.int64) if numeric else np.full((nq, 1), "", "U1")
+        return pad, np.full((nq, 1), np.inf)
+
+    def knn(self, qlat: np.ndarray, qlon: np.ndarray, k: int, numeric: bool = False
+            ) -> tuple[np.ndarray, np.ndarray]:
         """Local top-k per query (expanding-ring / brute under threshold) as dense
         (Q, k) id/dist arrays — numpy end-to-end, cheap to ship and to merge."""
         if not self.ids:
-            return (np.full((len(qlat), 1), "", dtype="U1"),
-                    np.full((len(qlat), 1), np.inf))
+            return self._empty_knn(len(qlat), numeric)
         return T.knn_arrays(
-            qlat, qlon, self.cells, self.lat, self.lon, self._ids_np,
+            qlat, qlon, self.cells, self.lat, self.lon, self._ids_arr(numeric),
             k=k, expand=True, prep=self._prep,
         )
 
-    def knn_ring(self, qlat: np.ndarray, qlon: np.ndarray, k: int, r: int
-                 ) -> tuple[np.ndarray, np.ndarray]:
+    def knn_ring(self, qlat: np.ndarray, qlon: np.ndarray, k: int, r: int,
+                 numeric: bool = False) -> tuple[np.ndarray, np.ndarray]:
         """Fixed-ring local top-k (one round of the pool's routed exact expansion)."""
         if not self.ids:
-            return (np.full((len(qlat), 1), "", dtype="U1"),
-                    np.full((len(qlat), 1), np.inf))
+            return self._empty_knn(len(qlat), numeric)
         import time as _time
         _t0 = _time.perf_counter()
         out = T.knn_arrays(
-            qlat, qlon, self.cells, self.lat, self.lon, self._ids_np,
+            qlat, qlon, self.cells, self.lat, self.lon, self._ids_arr(numeric),
             k=k, ring=r, expand=False, prep=self._prep,
         )
         if os.environ.get("AUGDIFF_KNN_DEBUG"):
@@ -139,18 +172,17 @@ class TileShard:
                   f"kernel={_time.perf_counter()-_t0:.2f}", flush=True)
         return out
 
-    def knn_brute(self, qlat: np.ndarray, qlon: np.ndarray, k: int
-                  ) -> tuple[np.ndarray, np.ndarray]:
+    def knn_brute(self, qlat: np.ndarray, qlon: np.ndarray, k: int,
+                  numeric: bool = False) -> tuple[np.ndarray, np.ndarray]:
         """Exact all-pairs local top-k — the pool's straggler fallback: a query that
         two ring rounds couldn't coverage-guarantee scans this shard's whole tile set
         once (vectorized, chunked to keep the distance matrix small) instead of
         serially doubling rings toward a grid-sized scan."""
         if not self.ids:
-            return (np.full((len(qlat), 1), "", dtype="U1"),
-                    np.full((len(qlat), 1), np.inf))
+            return self._empty_knn(len(qlat), numeric)
         chunk = max(32, (1 << 22) // max(len(self.ids), 1))
         return T._knn_brute_arrays(
-            qlat, qlon, self.lat, self.lon, self._ids_np, k, chunk=chunk
+            qlat, qlon, self.lat, self.lon, self._ids_arr(numeric), k, chunk=chunk
         )
 
 
@@ -197,6 +229,18 @@ class BankShard:
             return []
         hit = np.isin(self._bank_cells, touched)
         return [i for i, h in zip(self._bank_ids, hit) if h]
+
+    def overlay_select_fetch(
+        self, touched: np.ndarray, cap: int
+    ) -> tuple[list[str], list[dict]]:
+        """Fused phase 1+2a (ONE call per shard per batch instead of select +
+        fetch rounds): selected ids plus blob records for this shard's first
+        ``cap`` selected ids (sorted). The global cut keeps ``sorted(all)[:cap]``,
+        and global-top-cap ∩ shard ⊆ shard's local top-cap, so the caller always
+        finds every chosen id's blob in the prefetched superset; the (bounded)
+        extras are dropped."""
+        ids = self.overlay_select(touched)
+        return ids, self.overlay_fetch(sorted(ids)[:cap])
 
     def _geom_at(self, seq: int, wkbs: list, idx: int):
         """Lazily decode feature ``idx``'s WKB (cached per seq) — a shard only ever
@@ -419,7 +463,20 @@ class TilePool:
         futs = [a.prime.remote() for a in self._actors]
         futs += [a.prime.remote() for a in self._bank_actors]
         ray.get(futs)
+        self._numeric_mode()  # resolve the id-mode once, off the first batch's tail
         return n
+
+    _numeric: bool | None = None
+
+    def _numeric_mode(self) -> bool:
+        """True when every shard serves the fixed-width numeric-id fast path
+        (shard replies become int64 — ~30× smaller — and the merge sorts numbers;
+        the caller rebuilds identical id strings). Resolved once per process."""
+        if self._numeric is None:
+            self._numeric = bool(self._actors) and all(
+                ray.get([a.numeric_mode.remote() for a in self._actors])
+            )
+        return self._numeric
 
     def close(self) -> None:
         for a in self._actors + self._bank_actors:
@@ -446,13 +503,15 @@ class TilePool:
                        0, self.num_shards - 1)
         s_hi = np.clip(np.searchsorted(self._bounds, hi_id, side="right") - 1,
                        0, self.num_shards - 1)
+        numeric = self._numeric_mode()
         futs = []
         sizes = []
         for s in range(self.num_shards):
             idx = active[(s_lo <= s) & (s <= s_hi)]
             if len(idx):
                 futs.append(
-                    (idx, self._actors[s].knn_ring.remote(qlat[idx], qlon[idx], k, r))
+                    (idx, self._actors[s].knn_ring.remote(
+                        qlat[idx], qlon[idx], k, r, numeric))
                 )
                 sizes.append((s, len(idx)))
         if os.environ.get("AUGDIFF_KNN_DEBUG"):
@@ -489,7 +548,11 @@ class TilePool:
         return a not-yet-proven-exact top-k."""
         Q, k = len(state["qlat"]), state["k"]
         kk = max(1, min(k, max(self._n_tiles, 1)))
-        out_ids = np.full((Q, kk), "", dtype="U32")
+        numeric = self._numeric_mode()
+        if numeric:
+            out_ids = np.full((Q, kk), -1, dtype=np.int64)
+        else:
+            out_ids = np.full((Q, kk), "", dtype="U32")
         out_dist = np.full((Q, kk), np.inf)
         nrows, ncols = C.grid_shape(self._res)
         cell_min_m = np.minimum(
@@ -509,14 +572,14 @@ class TilePool:
                 w = ids_p.shape[1]
                 qs.append(np.repeat(idx, w))
                 ds.append(dist_p.ravel())
-                cs.append(ids_p.astype("U32").ravel())
+                cs.append(ids_p.ravel() if numeric else ids_p.astype("U32").ravel())
             pos_of = np.full(Q, -1, np.int64)
             pos_of[active] = np.arange(len(active))
             qidx = pos_of[np.concatenate(qs)] if qs else np.empty(0, np.int64)
             ids_a, dist_a = T.topk_per_query(
                 qidx,
                 np.concatenate(ds) if ds else np.empty(0),
-                np.concatenate(cs) if cs else np.empty(0, "U32"),
+                np.concatenate(cs) if cs else np.empty(0, np.int64 if numeric else "U32"),
                 len(active), kk,
             )
             kth = dist_a[:, kk - 1]
@@ -538,13 +601,15 @@ class TilePool:
                 _t0 = _time.perf_counter()
                 bq_lat = state["qlat"][active]
                 bq_lon = state["qlon"][active]
-                bfuts = [a.knn_brute.remote(bq_lat, bq_lon, k) for a in self._actors]
+                bfuts = [a.knn_brute.remote(bq_lat, bq_lon, k, numeric)
+                         for a in self._actors]
                 qs, ds, cs = [], [], []
                 for ids_p, dist_p in ray.get(bfuts):
                     w = ids_p.shape[1]
                     qs.append(np.tile(np.arange(len(active)), (w, 1)).T.ravel())
                     ds.append(dist_p.ravel())
-                    cs.append(ids_p.astype("U32").ravel())
+                    cs.append(ids_p.ravel() if numeric
+                              else ids_p.astype("U32").ravel())
                 ids_a, dist_a = T.topk_per_query(
                     np.concatenate(qs), np.concatenate(ds), np.concatenate(cs),
                     len(active), kk,
@@ -561,12 +626,46 @@ class TilePool:
         return out_ids, out_dist
 
     def knn(self, qlat: np.ndarray, qlon: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-        return self.knn_finish(self.knn_scatter(qlat, qlon, k))
+        """One-shot convenience: always returns STRING ids. The scatter/finish
+        pair used by the stream tail returns int64 ids in numeric-id mode (the
+        caller builds the Arrow column straight from them); here the identical
+        strings are rebuilt for API compatibility."""
+        ids, dist = self.knn_finish(self.knn_scatter(qlat, qlon, k))
+        if ids.dtype.kind in "iu":
+            flat = ids.ravel()
+            out = np.full(flat.shape, "", dtype="U32")
+            ok = flat >= 0
+            out[ok] = np.char.add(
+                "img-", np.char.zfill(flat[ok].astype("U8"), 8)
+            )
+            ids = out.reshape(ids.shape)
+        return ids, dist
 
     # -- overlay: two-phase, with the select scatter exposed for overlap ------
 
     def overlay_select_scatter(self, touched: np.ndarray) -> list:
         return [a.overlay_select.remote(touched) for a in self._bank_actors]
+
+    def overlay_select_fetch_scatter(self, touched: np.ndarray, max_tiles: int) -> list:
+        """Fused phase 1+2a: ONE call per bank shard returns (selected ids,
+        prefetched blob records for its local top-``max_tiles``) — halves the
+        bank pool's per-batch RPC rounds and removes one latency barrier."""
+        return [
+            a.overlay_select_fetch.remote(touched, max_tiles)
+            for a in self._bank_actors
+        ]
+
+    def overlay_finish_fetched(self, seq: int, parts: list, wkbs_ref, bbs_ref,
+                               max_tiles: int) -> list[dict]:
+        """Finish from ``overlay_select_fetch_scatter`` results: apply the global
+        deterministic cut (same ``sorted(all ids)[:max_tiles]`` as the two-round
+        path — byte-identical selection), keep the prefetched records for chosen
+        ids, rasterize."""
+        chosen = set(sorted([i for ids, _ in parts for i in ids])[:max_tiles])
+        if not chosen:
+            return []
+        recs = [r for _, part in parts for r in part if r["image_id"] in chosen]
+        return self._overlay_rasterize(seq, recs, wkbs_ref, bbs_ref)
 
     def overlay_finish_refs(self, seq: int, sels: list, wkbs_ref, bbs_ref,
                             max_tiles: int) -> list[dict]:
@@ -587,6 +686,12 @@ class TilePool:
             if any(i in chosen for i in s)
         ]
         recs = [r for part in ray.get(fetch_futs) for r in part]
+        return self._overlay_rasterize(seq, recs, wkbs_ref, bbs_ref)
+
+    def _overlay_rasterize(self, seq: int, recs: list[dict], wkbs_ref,
+                           bbs_ref) -> list[dict]:
+        """Shared phase-2 tail: bbox prune, one WKB decode per hit geometry,
+        cost-balanced stateless rasterize fan-out."""
         if not recs:
             return []
         recs.sort(key=lambda r: r["image_id"])

@@ -192,6 +192,51 @@ def test_tile_pool_sparse_straggler_exact(tmp_path):
     assert np.allclose(got_d, want_d)
 
 
+def test_tile_pool_numeric_id_mode_matches_strings(tmp_path):
+    """Fixed-width ``img-%08d`` ids trigger the numeric-id fast path (shards
+    reply int64, the merge sorts numbers); the pool API must return the
+    IDENTICAL strings and distances as the brute string path, ties included."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from augdiff_pipeline_ray import georef
+    from augdiff_pipeline_ray.state.tile_pool import TilePool
+
+    def phash_of(lat, lon):
+        lo = np.round((np.asarray(lon) + 180.0) / 360.0 * 65536.0).astype(np.int64)
+        la = np.round((np.asarray(lat) + 90.0) / 180.0 * 32768.0).astype(np.int64)
+        return (la << 16) | (lo & 0xFFFF)
+
+    rng = np.random.default_rng(5)
+    lat0 = 10.0 + rng.normal(0, 0.02, 80)
+    lon0 = 20.0 + rng.normal(0, 0.02, 80)
+    # exact duplicates to force (dist, id) ties through the numeric merge
+    lat0 = np.concatenate([lat0, lat0[:6]])
+    lon0 = np.concatenate([lon0, lon0[:6]])
+    ph = phash_of(lat0, lon0)
+    lat, lon = georef.centroid(ph)
+    ids = np.array([f"img-{i:08d}" for i in range(len(ph))])
+    tbl = pa.table(
+        {"image_id": pa.array(ids), "cell": pa.array(georef.cell_of_image(ph)),
+         "phash": pa.array(ph)}
+    )
+    path = str(tmp_path / "tiles_decoded.parquet")
+    pq.write_table(tbl, path)
+    qlat = np.array([10.0, 10.005, 10.02, 9.9])
+    qlon = np.array([20.0, 20.005, 19.98, 20.1])
+    pool = TilePool(path, None, num_shards=3)
+    try:
+        pool.warm()
+        assert pool._numeric_mode() is True  # the fast path actually engaged
+        raw_ids, _ = pool.knn_finish(pool.knn_scatter(qlat, qlon, 4))
+        assert raw_ids.dtype.kind in "iu"  # shards replied int64
+        got_ids, got_d = pool.knn(qlat, qlon, 4)
+    finally:
+        pool.close()
+    want_ids, want_d = T._knn_brute_arrays(qlat, qlon, lat, lon, ids, 4)
+    assert np.array_equal(got_ids.astype("U32"), want_ids.astype("U32"))
+    assert np.allclose(got_d, want_d)
+
+
 def test_resize_bilinear_invariants():
     """Constant image stays constant at any size; identity size is exact; a pure
     horizontal gradient stays monotone along x after downsample."""
