@@ -5,8 +5,12 @@ ships no imaging library, so the engine carries its own spec-level implementatio
 the two formats the input hint names. Streams written here are ordinary baseline
 sequential JFIF files (SOI/APP0/DQT/SOF0/DHT/SOS/EOI, 4:4:4, standard Annex K
 Huffman tables, libjpeg-style quality scaling) consumable by any external decoder,
-and ``jpeg_decode`` reads any baseline 4:4:4 or grayscale stream (progressive and
-subsampled streams are rejected explicitly, not silently mis-decoded).
+and ``jpeg_decode`` reads any baseline stream — grayscale, 4:4:4 and SUBSAMPLED
+layouts (4:2:0/4:2:2/4:4:0/4:1:1, sampling factors 1-4 with integer upsampling
+ratios; replicate upsampling — T.81 leaves the filter to the decoder). The encoder
+takes an optional ``subsampling=(2, 2)`` for 4:2:0 output (engine tiles stay 4:4:4,
+byte-identical to the pre-subsampling encoder). Progressive streams are rejected
+explicitly, not silently mis-decoded.
 
 Design notes (the hot path is the TileDecoder actor pool at 10^12-image scale):
 
@@ -300,10 +304,20 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """(h, w, 3) uint8 RGB → baseline JFIF bytes (4:4:4, Annex K Huffman tables)."""
+def jpeg_encode(pixels: np.ndarray, quality: int = 90,
+                subsampling: tuple[int, int] = (1, 1)) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes (Annex K Huffman tables).
+
+    ``subsampling=(sh, sv)`` is the luma:chroma sampling ratio: (1, 1) = 4:4:4
+    (the engine's tile default — byte-identical to the pre-subsampling encoder),
+    (2, 2) = 4:2:0, (2, 1) = 4:2:2. Chroma downsamples by box mean over the
+    MCU-padded plane; the decoder accepts all of these.
+    """
     if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
         raise ValueError("jpeg_encode expects (h, w, 3) uint8")
+    sh, sv = subsampling
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise ValueError(f"unsupported subsampling {subsampling}")
     h, w = pixels.shape[:2]
     if h == 0 or w == 0 or h > 65535 or w > 65535:
         raise ValueError(f"unsupported dimensions {w}x{h}")
@@ -316,27 +330,64 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
 
-    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    # pad to full MCUs (8·sh × 8·sv), downsample chroma from the padded plane
+    ph = -(-h // (8 * sv)) * 8 * sv
+    pw = -(-w // (8 * sh)) * 8 * sh
+    def _pad(p):
+        return (np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+                if (ph, pw) != (h, w) else p)
+    y, cb, cr = _pad(y), _pad(cb), _pad(cr)
+    if (sh, sv) != (1, 1):
+        cb = cb.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+        cr = cr.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+
     zz_parts, sel_parts = [], []
     for plane, qt, ch in ((y, qy, 0), (cb, qc, 1), (cr, qc, 1)):
-        if (ph, pw) != (h, w):  # edge-replicate pad to full blocks
-            plane = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
         blocks = _to_blocks(plane - 128.0)
         coefs = np.einsum("ij,bjk,lk->bil", DCT_M, blocks, DCT_M, optimize=True)
         q = np.round(coefs.reshape(-1, 64) / qt.astype(np.float32)).astype(np.int32)
         zz_parts.append(q[:, ZIG])
         sel_parts.append(ch)
-    nb = len(zz_parts[0])
-    # interleave per MCU (4:4:4 ⇒ one block per component per MCU): Y0 Cb0 Cr0 Y1 ...
-    zz = np.empty((nb * 3, 64), np.int32)
-    comp_sel = np.empty(nb * 3, np.int8)
-    for c in range(3):
-        zz[c::3] = zz_parts[c]
-        comp_sel[c::3] = sel_parts[c]
-    # DC differential per component (predictors are per-component, T.81 F.1.1.5.1)
-    for c in range(3):
-        dc = zz[c::3, 0].copy()
-        zz[c::3, 0] = np.diff(dc, prepend=0)
+
+    nby = len(zz_parts[0])
+    per_mcu = sh * sv + 2
+    mcux, mcuy = pw // (8 * sh), ph // (8 * sv)
+    n_mcu = mcux * mcuy
+    zz = np.empty((n_mcu * per_mcu, 64), np.int32)
+    comp_sel = np.empty(n_mcu * per_mcu, np.int8)
+    if (sh, sv) == (1, 1):
+        # 4:4:4 ⇒ one block per component per MCU: Y0 Cb0 Cr0 Y1 ... (original path)
+        for c in range(3):
+            zz[c::3] = zz_parts[c]
+            comp_sel[c::3] = sel_parts[c]
+        y_slots = np.arange(0, nby * 3, 3)
+    else:
+        # subsampled interleave: sh·sv Y blocks (raster within the MCU) + Cb + Cr.
+        # Gather the Y blocks of MCU (my, mx) from the full Y block grid.
+        my, mx = np.divmod(np.arange(n_mcu), mcux)
+        parts_idx = []
+        for by in range(sv):
+            for bx in range(sh):
+                parts_idx.append((my * sv + by) * (mcux * sh) + mx * sh + bx)
+        ygrid = np.stack(parts_idx, axis=1).ravel()  # (n_mcu·sh·sv,) Y block ids
+        slot = np.arange(n_mcu * per_mcu)
+        in_mcu = slot % per_mcu
+        y_slots = slot[in_mcu < sh * sv]
+        zz[y_slots] = zz_parts[0][ygrid]
+        comp_sel[y_slots] = 0
+        zz[in_mcu == sh * sv] = zz_parts[1]
+        zz[in_mcu == sh * sv + 1] = zz_parts[2]
+        comp_sel[in_mcu >= sh * sv] = 1
+    # DC differential per component in scan order (T.81 F.1.1.5.1)
+    for sel in (
+        (y_slots, np.flatnonzero(comp_sel == 1)[0::2],
+         np.flatnonzero(comp_sel == 1)[1::2])
+        if (sh, sv) != (1, 1)
+        else (np.arange(0, nby * 3, 3), np.arange(1, nby * 3, 3),
+              np.arange(2, nby * 3, 3))
+    ):
+        dc = zz[sel, 0].copy()
+        zz[sel, 0] = np.diff(dc, prepend=0)
     scan = _entropy_encode(zz, comp_sel)
 
     parts = [b"\xff\xd8"]  # SOI
@@ -344,8 +395,8 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
     parts.append(_seg(0xFFDB, bytes([0x00]) + bytes(qy[ZIG].astype(np.uint8))))
     parts.append(_seg(0xFFDB, bytes([0x01]) + bytes(qc[ZIG].astype(np.uint8))))
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, tq])
+    for cid, samp, tq in ((1, (sh << 4) | sv, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        sof += bytes([cid, samp, tq])
     parts.append(_seg(0xFFC0, sof))
     for tc_th, bits, vals in (
         (0x00, DC_LUM_BITS, DC_LUM_VALS), (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
@@ -416,15 +467,19 @@ class _Segments:
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes → (h, w, 3) uint8 RGB (grayscale replicated to 3 chans).
 
-    Supports baseline sequential (SOF0), 8-bit, 1 or 3 components, 4:4:4 sampling,
-    optional restart intervals. Progressive/subsampled streams raise ValueError.
+    Supports baseline sequential (SOF0/1), 8-bit, 1 or 3 components, ARBITRARY
+    sampling factors 1–4 with integer upsampling ratios (4:4:4, 4:2:0, 4:2:2,
+    4:4:0, 4:1:1 — the shapes real-world cameras emit), optional restart
+    intervals. Subsampled chroma upsamples by sample replication (T.81 leaves
+    the interpolation filter to the decoder). Progressive streams raise
+    ValueError.
     """
     data = bytes(data)
     segs = _Segments(data)
     qtables: dict[int, np.ndarray] = {}
     luts: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
     h = w = 0
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    comps: list[tuple[int, int, int, int]] = []  # (component id, hi, vi, quant id)
     restart_interval = 0
     scan_comps: list[tuple[int, int, int]] = []
     scan_start = -1
@@ -457,9 +512,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported component count {nc}")
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError("only 4:4:4 (1x1 sampling) supported")
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 15
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"invalid sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, tq))
         elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("not a baseline sequential JPEG (progressive/lossless SOF)")
         elif m == 0xDD:  # DRI
@@ -502,9 +558,29 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     win = (sp[:-3] << 24) | (sp[1:-2] << 16) | (sp[2:-1] << 8) | sp[3:]
 
     nc = len(comps)
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    n_mcu = bh * bw
-    coefs = np.zeros((n_mcu * nc, 64), np.int32)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if any(hmax % c[1] or vmax % c[2] for c in comps):
+        raise ValueError("non-integer chroma upsampling ratio unsupported")
+    if nc == 1:
+        # single-component scans are NON-interleaved (T.81 A.2.2): the data
+        # unit grid ignores the sampling factors — one 8×8 block per "MCU"
+        hmax = vmax = 1
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcux * mcuy
+    # per-component coefficient grids + the per-MCU block layout (component,
+    # block-row-in-MCU, block-col-in-MCU) in scan interleave order
+    comp_coefs = [
+        np.zeros((mcuy * vi * mcux * hi, 64), np.int32) for _, hi, vi, _ in comps
+    ]
+    layout = [
+        (c, by, bx)
+        for c, (_, hi, vi, _) in enumerate(comps)
+        for by in range(vi)
+        for bx in range(hi)
+    ]
     # per-scan-component LUT handles + predictors
     tabs = []
     for cid, td, ta in scan_comps:
@@ -527,9 +603,13 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 else:
                     bitpos = (bitpos + 7) & ~7
                 pred = [0] * nc
-            for c in range(nc):
+            my, mx = mcu // mcux, mcu % mcux
+            for c, by, bx in layout:
                 (dsym, dlen), (asym, alen) = tabs[c]
-                row = coefs[mcu * nc + c]
+                hi, vi = comps[c][1], comps[c][2]
+                row = comp_coefs[c][
+                    (my * vi + by) * (mcux * hi) + mx * hi + bx
+                ]
                 # --- DC ---
                 peek = (win[bitpos >> 3] >> (16 - (bitpos & 7))) & 0xFFFF
                 s = int(dsym[peek])
@@ -577,15 +657,23 @@ def jpeg_decode(data: bytes) -> np.ndarray:
 
     planes = []
     for c in range(nc):
-        tq = comps[c][1]
+        _, hi, vi, tq = comps[c]
         if tq not in qtables:
             raise ValueError(f"missing quant table {tq}")
-        deq = coefs[c::nc].astype(np.float32) * qtables[tq].astype(np.float32)
+        deq = comp_coefs[c].astype(np.float32) * qtables[tq].astype(np.float32)
         blocks = np.einsum("ji,bjk,kl->bil", DCT_M, deq.reshape(-1, 8, 8), DCT_M,
                            optimize=True)
+        bhc, bwc = mcuy * vi, mcux * hi
         plane = (
-            blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+            blocks.reshape(bhc, bwc, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(bhc * 8, bwc * 8)
         )
+        # crop to the component's true dims (T.81 A.1.1), then replicate-upsample
+        ch = (h * vi + vmax - 1) // vmax
+        cw = (w * hi + hmax - 1) // hmax
+        plane = plane[:ch, :cw]
+        if vi != vmax or hi != hmax:
+            plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
         planes.append(plane[:h, :w] + 128.0)
     if nc == 1:
         yp = np.clip(planes[0], 0, 255).astype(np.uint8)

@@ -191,3 +191,42 @@ def test_image_layer_dispatch():
     buf = pa.array([blob], pa.binary())[0].as_buffer()
     out2, fmt2 = IMG.decode(memoryview(buf))
     assert fmt2 == "jpeg" and (out2 == out).all()
+
+
+def test_subsampled_roundtrips_and_444_unchanged():
+    """4:2:0 / 4:2:2 encode+decode (VERDICT r3 missing #4): smooth content
+    round-trips at high PSNR, odd (non-MCU-multiple) dims crop exactly, and the
+    default 4:4:4 path is unaffected by the subsampling machinery."""
+    xx, yy = np.meshgrid(np.linspace(0, 1, 96), np.linspace(0, 1, 80))
+    img = np.stack([xx * 255, yy * 255, (xx + yy) / 2 * 255], axis=2).astype(np.uint8)
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 10 * np.log10(255**2 / mse) if mse else np.inf
+
+    for ss, bar in (((2, 2), 40.0), ((2, 1), 42.0)):
+        blob = jpeg_encode(img, 90, subsampling=ss)
+        out = jpeg_decode(blob)
+        assert out.shape == img.shape
+        assert psnr(img, out) >= bar
+        # header advertises the sampling factors
+        idx = blob.find(b"\xff\xc0")
+        assert blob[idx + 11] == (ss[0] << 4 | ss[1])  # Y component samp byte
+    # smaller stream than 4:4:4 at the same quality (the point of subsampling)
+    assert len(jpeg_encode(img, 90, subsampling=(2, 2))) < len(jpeg_encode(img, 90))
+    # odd dims: crop is exact
+    img2 = img[:77, :93]
+    out2 = jpeg_decode(jpeg_encode(img2, 90, subsampling=(2, 2)))
+    assert out2.shape == (77, 93, 3)
+    # 4:4:4 default path byte-stable across the subsampling change
+    assert jpeg_encode(img, 90) == jpeg_encode(img, 90, subsampling=(1, 1))
+
+
+def test_subsampled_constant_chroma_matches_444_luma():
+    """A grayscale-content RGB image has constant chroma: 4:2:0 decode must agree
+    with the 4:4:4 decode almost exactly (subsampling loses nothing)."""
+    g = np.repeat(np.linspace(0, 255, 64)[None, :], 48, axis=0).astype(np.uint8)
+    img = np.repeat(g[:, :, None], 3, axis=2)
+    d444 = jpeg_decode(jpeg_encode(img, 95))
+    d420 = jpeg_decode(jpeg_encode(img, 95, subsampling=(2, 2)))
+    assert np.abs(d444.astype(int) - d420.astype(int)).max() <= 2
