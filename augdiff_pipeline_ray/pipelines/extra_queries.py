@@ -225,22 +225,114 @@ def q_triangle_count(sf_dir: str):
         columns=["l_orderkey", "l_partkey", "l_quantity", "l_linenumber"],
     )
 
-    def pairs(grp: pa.Table) -> pa.Table:
-        q = grp["l_quantity"].to_numpy(zero_copy_only=False)
-        pk = grp["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ln = grp["l_linenumber"].to_numpy(zero_copy_only=False)
-        o = np.lexsort((ln, pk, -q))[:3]
-        sel = np.unique(pk[o])
-        if len(sel) < 2:
+    # top-3-per-order pair stream as a SORTED-BLOCK kernel (the
+    # grouped_pairs_sorted structure): one sort on (order, -qty, part, line),
+    # interior orders of each block run the vectorized top-3 + triu kernel,
+    # boundary orders route to one residual task — no per-order Python dispatch
+    # (the r3 map_groups edge build alone cost ~6 s of the 13 s at sf0.1)
+    def _top3_pairs_np(ok: np.ndarray, pk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Rows sorted by (order, -qty, part, line) → (x, y) pairs of each
+        order's ≤3 distinct top partkeys. Fully vectorized."""
+        if len(ok) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        first = np.r_[True, ok[1:] != ok[:-1]]
+        starts = np.flatnonzero(first)
+        gidx = np.cumsum(first) - 1
+        pos = np.arange(len(ok)) - starts[gidx]
+        m = pos < 3  # the oracle's ROW_NUMBER ≤ 3 rows
+        kk, vv = ok[m], pk[m]
+        # distinct partkeys within each order's top-3, (order, part)-sorted:
+        # packed-int unique when partkeys fit 21 bits (sf ≤ 10), lexsort else
+        if len(vv) and 0 <= vv.min() and vv.max() < (1 << 21) and kk.min() >= 0:
+            key = np.unique(
+                (kk.astype(np.uint64) << np.uint64(21)) | vv.astype(np.uint64)
+            )
+            kk = (key >> np.uint64(21)).astype(np.int64)
+            vv = (key & np.uint64((1 << 21) - 1)).astype(np.int64)
+        else:
+            o = np.lexsort((vv, kk))
+            kk, vv = kk[o], vv[o]
+            keep = np.r_[True, (kk[1:] != kk[:-1]) | (vv[1:] != vv[:-1])]
+            kk, vv = kk[keep], vv[keep]
+        f2 = np.r_[True, kk[1:] != kk[:-1]]
+        s2 = np.flatnonzero(f2)
+        g2 = np.cumsum(f2) - 1
+        sz = np.diff(np.r_[s2, len(kk)])[g2]     # group size per row
+        p2 = np.arange(len(kk)) - s2[g2]          # position within group
+        # pairs: row at position p pairs with every later position (size ≤ 3)
+        npair = sz - p2 - 1
+        xs = np.repeat(vv, npair)
+        offs = np.arange(int(npair.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(npair)[:-1]]), npair
+        )
+        ys = vv[np.repeat(np.arange(len(vv)), npair) + 1 + offs]
+        return xs, ys
+
+    # per-batch top-3 combiner before the sort: top-3 is a semilattice
+    # (top3(A∪B) ⊆ top3(A)∪top3(B)), so each batch keeps ≤3 rows per order it
+    # sees — the global sort then moves ~half the rows
+    def batch_top3(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((ln, pk, -q, ok))
+        oks = ok[o]
+        first = np.r_[True, oks[1:] != oks[:-1]]
+        starts = np.flatnonzero(first)
+        pos = np.arange(len(oks)) - starts[np.cumsum(first) - 1]
+        keep = o[pos < 3]
+        out = t.take(pa.array(np.sort(keep)))
+        return out.append_column("negq", pc.negate(out["l_quantity"]))
+
+    s = li.map_batches(batch_top3, batch_format="pyarrow").sort(
+        ["l_orderkey", "negq", "l_partkey", "l_linenumber"]
+    )
+    refs = s.to_arrow_refs()
+
+    @ray.remote(num_returns=2)
+    def split(t: pa.Table):
+        if t.num_rows == 0:
+            return (pa.table({"x": pa.array([], pa.int64()),
+                              "y": pa.array([], pa.int64())}),
+                    pa.table({"l_orderkey": pa.array([], pa.int64()),
+                              "l_partkey": pa.array([], pa.int64()),
+                              "rk": pa.array([], pa.int64())}))
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        edge = (ok == ok[0]) | (ok == ok[-1])
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = _top3_pairs_np(ok[~edge], pk[~edge])
+        rk = np.flatnonzero(edge)  # preserve the sorted row order for the residual
+        return (
+            pa.table({"x": pa.array(x), "y": pa.array(y)}),
+            pa.table({"l_orderkey": pa.array(ok[edge]),
+                      "l_partkey": pa.array(pk[edge]),
+                      "rk": pa.array(rk)}),
+        )
+
+    @ray.remote
+    def residual(*parts: pa.Table) -> pa.Table:
+        res = pa.concat_tables(parts)
+        if res.num_rows == 0:
             return pa.table({"x": pa.array([], pa.int64()),
                              "y": pa.array([], pa.int64())})
-        i, j = np.triu_indices(len(sel), k=1)
-        return pa.table({"x": pa.array(sel[i]), "y": pa.array(sel[j])})
+        # parts arrive block-ordered; rows within a part keep the global sort
+        # order via rk, so a stable (order) sort reassembles (order, -qty,
+        # part, line) exactly
+        ok = res["l_orderkey"].to_numpy(zero_copy_only=False)
+        rk = res["rk"].to_numpy(zero_copy_only=False)
+        blk = np.repeat(np.arange(len(parts)), [p.num_rows for p in parts])
+        o = np.lexsort((rk, blk, ok))
+        x, y = _top3_pairs_np(ok[o].astype(np.int64),
+                              res["l_partkey"].to_numpy(zero_copy_only=False)[o])
+        return pa.table({"x": pa.array(x), "y": pa.array(y)})
 
+    pair_parts = [split.remote(r) for r in refs]
+    pair_ds = rd.from_arrow_refs(
+        [p[0] for p in pair_parts] + [residual.remote(*[p[1] for p in pair_parts])]
+    )
     edges = (
-        li.groupby("l_orderkey")
-        .map_groups(pairs, batch_format="pyarrow")
-        .groupby(["x", "y"])
+        pair_ds.groupby(["x", "y"])
         .aggregate(Count(alias_name="m"))
         .select_columns(["x", "y"])
         # feeds the degree pass, the orientation pass and the closing join;
@@ -281,21 +373,72 @@ def q_triangle_count(sf_dir: str):
     oriented = edges.map_batches(orient, batch_format="pyarrow").materialize()
 
     # wedges at each center: rank-ordered out-neighbor pairs — (a, b) with
-    # rank(a) < rank(b) matches the stored orientation of the closing edge
-    def wedge_rows(grp: pa.Table) -> pa.Table:
-        w = grp["w"].to_numpy(zero_copy_only=False)
-        rw = grp["rw"].to_numpy(zero_copy_only=False)
-        if len(w) < 2:
-            return pa.table({"cu": pa.array([], pa.int64()),
+    # rank(a) < rank(b) matches the stored orientation of the closing edge.
+    # Same sorted-block shape as the edge build (sort by (u, rw), interior
+    # centers run the vectorized segment-pairs kernel, boundary centers go to
+    # one residual task) — groupby(u).map_groups paid one Python dispatch per
+    # vertex
+    ws = oriented.sort(["u", "rw"])
+    wrefs = ws.to_arrow_refs()
+
+    def _seg_pairs_np(k: np.ndarray, v: np.ndarray):
+        """(k sorted, v in within-group order) → (k, v_i, v_j) for i<j."""
+        if len(k) == 0:
+            e = np.empty(0, np.int64)
+            return e, e, e
+        first = np.r_[True, k[1:] != k[:-1]]
+        s2 = np.flatnonzero(first)
+        g2 = np.cumsum(first) - 1
+        sz = np.diff(np.r_[s2, len(k)])[g2]
+        p2 = np.arange(len(k)) - s2[g2]
+        npair = sz - p2 - 1
+        cu = np.repeat(k, npair)
+        xs = np.repeat(v, npair)
+        offs = np.arange(int(npair.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(npair)[:-1]]), npair
+        )
+        ys = v[np.repeat(np.arange(len(v)), npair) + 1 + offs]
+        return cu, xs, ys
+
+    _wedge_empty = pa.table({"cu": pa.array([], pa.int64()),
                              "u2": pa.array([], pa.int64()),
                              "w2": pa.array([], pa.int64())})
-        ws = w[np.argsort(rw)]
-        i, j = np.triu_indices(len(ws), k=1)
-        cu = np.full(len(i), int(grp["u"][0].as_py()), np.int64)
-        return pa.table({"cu": pa.array(cu), "u2": pa.array(ws[i]),
-                         "w2": pa.array(ws[j])})
 
-    wedges = oriented.groupby("u").map_groups(wedge_rows, batch_format="pyarrow")
+    @ray.remote(num_returns=2)
+    def wsplit(t: pa.Table):
+        if t.num_rows == 0:
+            return _wedge_empty, pa.table(
+                {"u": pa.array([], pa.int64()), "w": pa.array([], pa.int64()),
+                 "rk": pa.array([], pa.int64())})
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        edge = (u == u[0]) | (u == u[-1])
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cu, xs, ys = _seg_pairs_np(u[~edge], w[~edge])
+        return (
+            pa.table({"cu": pa.array(cu), "u2": pa.array(xs), "w2": pa.array(ys)}),
+            pa.table({"u": pa.array(u[edge]), "w": pa.array(w[edge]),
+                      "rk": pa.array(np.flatnonzero(edge))}),
+        )
+
+    @ray.remote
+    def wresidual(*parts: pa.Table) -> pa.Table:
+        res = pa.concat_tables(parts)
+        if res.num_rows == 0:
+            return _wedge_empty
+        u = res["u"].to_numpy(zero_copy_only=False)
+        rk = res["rk"].to_numpy(zero_copy_only=False)
+        blk = np.repeat(np.arange(len(parts)), [p.num_rows for p in parts])
+        o = np.lexsort((rk, blk, u))
+        cu, xs, ys = _seg_pairs_np(
+            u[o].astype(np.int64),
+            res["w"].to_numpy(zero_copy_only=False)[o].astype(np.int64),
+        )
+        return pa.table({"cu": pa.array(cu), "u2": pa.array(xs), "w2": pa.array(ys)})
+
+    wparts = [wsplit.remote(r) for r in wrefs]
+    wedges = rd.from_arrow_refs(
+        [p[0] for p in wparts] + [wresidual.remote(*[p[1] for p in wparts])]
+    )
     tri = wedges.join(
         oriented.select_columns(["u", "w"]).rename_columns({"u": "u2", "w": "w2"}),
         join_type="inner", num_partitions=np_j, on=("u2", "w2"),

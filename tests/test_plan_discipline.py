@@ -38,9 +38,10 @@ EXPECTED = {
     # --- round-2 continuation operators (extra_queries.py) ---
     "duplicate_spans": 3,        # fingerprint count groupby + mark join + doc groupby
     #                              (gram pass recomputed per consumer by design)
-    "triangle_count": 5,         # edge build (sort+agg, materialized ONCE) + degree
-    #                              groupby + oriented wedge groupby + closing join
-    #                              + unpivot count (degree-oriented plan, r4)
+    "triangle_count": 2,         # closing join + unpivot count in the FINAL lineage;
+    #                              the edge/wedge sorted-block passes (2 sorts + the
+    #                              pair/degree aggregates) run as materialized side
+    #                              passes via to_arrow_refs (degree-oriented plan, r4)
     "watermark_window": 1,       # block scan is side-pass; only the window groupby
     "track_length": 1,           # one hash sort per track key
     "cell_ring_agg": 3,          # cnt groupby (materialized once) + ring groupby + join
