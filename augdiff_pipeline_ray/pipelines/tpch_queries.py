@@ -4532,70 +4532,32 @@ def q_seq_pack(sf_dir: str):
     )
 
 
-@query(
-    "phash_dup_clusters",
-    """
-    WITH RECURSIVE tiles AS (
-      SELECT doc_id,
-             xor(xor(xor(((doc_id // 4) * 1103515245 + 12345) % 2147483648,
-               CASE WHEN doc_id % 4 >= 1
-                    THEN 1::BIGINT << (((doc_id % 4) * 7) % 31) ELSE 0 END),
-               CASE WHEN doc_id % 4 >= 2
-                    THEN 1::BIGINT << (((doc_id % 4) * 7 + 13) % 31) ELSE 0 END),
-               CASE WHEN doc_id % 4 >= 3
-                    THEN 1::BIGINT << (((doc_id % 4) * 7 + 26) % 31) ELSE 0 END)
-               AS ph
-      FROM documents),
-    pairs AS (
-      SELECT a.doc_id AS a, b.doc_id AS b
-      FROM tiles a JOIN tiles b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.ph, b.ph)) <= 3),
-    und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
-    reach(x, y) AS (
-      SELECT a, b FROM und
-      UNION
-      SELECT r.x, u.b FROM reach r JOIN und u ON r.y = u.a),
-    lab AS (SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster_id FROM reach GROUP BY x)
-    SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
-    FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
-    """,
-)
-def q_phash_dup_clusters(sf_dir: str):
-    """Image near-duplicate CLUSTERING in the compressed domain: pHash band-LSH →
-    in-bucket Hamming verify (radius 3) → distributed connected components → every
-    image labeled with its component's min id. This is the image-side analogue of
-    ``dup_clusters`` (text MinHash → CC) and runs entirely on the 8-byte
-    ``phash:int64`` of the input schema — at 10^12 images it streams at read
-    bandwidth where pixel or embedding comparison cannot. Recall is EXACT, not
-    probabilistic: 4 disjoint 8-bit bands over the 31 used hash bits mean ≤3
-    differing bits leave ≥1 band identical (pigeonhole), so every radius-3 pair
-    shares a bucket; at a true 64-bit phash the band width scales to 16 bits, same
-    argument for the same radius. Scale shape: one scan emits (band, band-value)
-    keys; a groupby on the bucket key localizes candidates; the O(|bucket|²)
-    verify is bounded by the band-width knob; verified pairs (output-sized) feed
-    ``stages/components.components_auto`` (hash-join min-label + pointer jumping
-    above 5M pairs, vectorized numpy below). The synthetic hash plants 4-member
-    near-dup families (doc_id//4) with intra-family distances {1,2,3,3,4,5}: the
-    family is connected through its base member but NOT a clique, so the CC step
-    is doing real work the pair list alone would get wrong. The oracle checks the
-    exhaustive-cross-join ground truth through a recursive-CTE min-label fixpoint."""
-    from ..stages import components as CC
+def _synthetic_phash(d: np.ndarray) -> np.ndarray:
+    """The deterministic near-dup pHash family planted on the documents table:
+    4-member families (doc_id//4) with member m flipping m bits of the base
+    hash — intra-family Hamming distances {1,2,3,3,4,5}."""
+    ph = ((d // 4) * 1103515245 + 12345) % 2147483648
+    m = d % 4
+    for j in range(3):  # member m flips bits at ((m*7 + j*13) % 31), j < m
+        pos = (m * 7 + j * 13) % 31
+        ph = np.where(m >= j + 1, ph ^ (np.int64(1) << pos), ph)
+    return ph.astype(np.int64)
 
+
+def _phash_band_pairs(sf_dir: str) -> rd.Dataset:
+    """Distinct radius-3 pHash near-dup pairs via exact pigeonhole band-LSH
+    (4 disjoint 8-bit bands over the 31 used bits: ≤3 differing bits leave ≥1
+    identical band) — the shared candidate generator of ``phash_dup_clusters``
+    and ``crossmodal_conflicts``. One compressed-domain scan emits bucket keys,
+    a bucket groupby localizes the O(|bucket|²) Hamming verify, and the pair
+    set stays distributed through ``_pair_distinct``."""
     RADIUS, BANDS, BWIDTH = 3, 4, 8
-
-    def _ph(d: np.ndarray) -> np.ndarray:
-        ph = ((d // 4) * 1103515245 + 12345) % 2147483648
-        m = d % 4
-        for j in range(3):  # member m flips bits at ((m*7 + j*13) % 31), j < m
-            pos = (m * 7 + j * 13) % 31
-            ph = np.where(m >= j + 1, ph ^ (np.int64(1) << pos), ph)
-        return ph.astype(np.int64)
 
     ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["doc_id"])
 
     def bands(t: pa.Table) -> pa.Table:
         d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ph = _ph(d)
+        ph = _synthetic_phash(d)
         ids, phs, bkt = [], [], []
         for b in range(BANDS):
             bv = (ph >> (BWIDTH * b)) & ((1 << BWIDTH) - 1)
@@ -4627,7 +4589,65 @@ def q_phash_dup_clusters(sf_dir: str):
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
     )
-    pairs = _pair_distinct(cand)
+    return _pair_distinct(cand)
+
+
+# shared SQL fragment: the synthetic pHash + exhaustive radius-3 pair ground
+# truth (the oracles cross-join; the engine uses the banded LSH)
+_SQL_PHASH_PAIRS = """
+    tiles AS (
+      SELECT doc_id,
+             xor(xor(xor(((doc_id // 4) * 1103515245 + 12345) % 2147483648,
+               CASE WHEN doc_id % 4 >= 1
+                    THEN 1::BIGINT << (((doc_id % 4) * 7) % 31) ELSE 0 END),
+               CASE WHEN doc_id % 4 >= 2
+                    THEN 1::BIGINT << (((doc_id % 4) * 7 + 13) % 31) ELSE 0 END),
+               CASE WHEN doc_id % 4 >= 3
+                    THEN 1::BIGINT << (((doc_id % 4) * 7 + 26) % 31) ELSE 0 END)
+               AS ph
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM tiles a JOIN tiles b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.ph, b.ph)) <= 3)"""
+
+
+@query(
+    "phash_dup_clusters",
+    f"""
+    WITH RECURSIVE {_SQL_PHASH_PAIRS.strip()},
+    und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+    reach(x, y) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.x, u.b FROM reach r JOIN und u ON r.y = u.a),
+    lab AS (SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster_id FROM reach GROUP BY x)
+    SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+    """,
+)
+def q_phash_dup_clusters(sf_dir: str):
+    """Image near-duplicate CLUSTERING in the compressed domain: pHash band-LSH →
+    in-bucket Hamming verify (radius 3) → distributed connected components → every
+    image labeled with its component's min id. This is the image-side analogue of
+    ``dup_clusters`` (text MinHash → CC) and runs entirely on the 8-byte
+    ``phash:int64`` of the input schema — at 10^12 images it streams at read
+    bandwidth where pixel or embedding comparison cannot. Recall is EXACT, not
+    probabilistic: 4 disjoint 8-bit bands over the 31 used hash bits mean ≤3
+    differing bits leave ≥1 band identical (pigeonhole), so every radius-3 pair
+    shares a bucket; at a true 64-bit phash the band width scales to 16 bits, same
+    argument for the same radius. Scale shape: one scan emits (band, band-value)
+    keys; a groupby on the bucket key localizes candidates; the O(|bucket|²)
+    verify is bounded by the band-width knob; verified pairs (output-sized) feed
+    ``stages/components.components_auto`` (hash-join min-label + pointer jumping
+    above 5M pairs, vectorized numpy below). The synthetic hash plants 4-member
+    near-dup families (doc_id//4) with intra-family distances {1,2,3,3,4,5}: the
+    family is connected through its base member but NOT a clique, so the CC step
+    is doing real work the pair list alone would get wrong. The oracle checks the
+    exhaustive-cross-join ground truth through a recursive-CTE min-label fixpoint."""
+    from ..stages import components as CC
+
+    pairs = _phash_band_pairs(sf_dir)
     pdf = pairs.to_pandas()  # output-sized: the verified near-dup pair list
     if not len(pdf):
         pdf = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
@@ -4656,6 +4676,90 @@ def q_phash_dup_clusters(sf_dir: str):
         hit = nodes[pos] == all_ids
         cluster[hit] = clus[pos[hit]]
     return pd.DataFrame({"doc_id": all_ids, "cluster_id": cluster})
+
+
+@query(
+    "crossmodal_conflicts",
+    f"""
+    WITH {_SQL_PHASH_PAIRS.strip()},
+    grams AS (
+      SELECT DISTINCT doc_id, substr(text, i, 3) AS g
+      FROM documents, UNNEST(range(1, length(text) - 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT p.a, p.b, COUNT(*) AS i
+      FROM pairs p JOIN grams ga ON ga.doc_id = p.a
+                   JOIN grams gb ON gb.doc_id = p.b AND ga.g = gb.g
+      GROUP BY p.a, p.b
+    )
+    SELECT p.a AS id_a, p.b AS id_b
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.a
+    JOIN sizes sb ON sb.doc_id = p.b
+    LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+    WHERE COALESCE(i.i, 0)::DOUBLE
+          / (sa.n + sb.n - COALESCE(i.i, 0)) < 0.5
+    """,
+)
+def q_crossmodal_conflicts(sf_dir: str):
+    """CROSS-MODAL corpus QA: near-identical IMAGES (pHash Hamming ≤ 3 via the
+    exact pigeonhole band-LSH, compressed-domain) whose CAPTIONS disagree
+    (trigram Jaccard < 0.5) — the image+caption conflict detector an
+    image-caption training corpus needs before dedup collapses a family onto
+    one caption. Scale shape: the pair list is output-sized (banded LSH, never
+    all-pairs), captions join onto pairs with two hash joins, and the caption
+    verify runs the ngram machinery's vectorized path — union-dictionary gram
+    codes off the Arrow buffer, one sorted searchsorted merge per DISTINCT
+    text pair. The oracle cross-joins the ground truth."""
+    from ..stages.closure import default_join_partitions
+
+    np_j = default_join_partitions()
+    thr = 0.5
+    pairs = _phash_band_pairs(sf_dir)
+    docs = SRC.read_parquet_clean(
+        TP._p(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).materialize()
+    ta = docs.rename_columns({"doc_id": "id_a", "text": "text_a"})
+    tb = docs.rename_columns({"doc_id": "id_b", "text": "text_b"})
+    j = pairs.join(ta, join_type="inner", num_partitions=np_j, on=("id_a",)).join(
+        tb, join_type="inner", num_partitions=np_j, on=("id_b",)
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        ea = pc.dictionary_encode(t["text_a"].combine_chunks())
+        eb = pc.dictionary_encode(t["text_b"].combine_chunks())
+        nda = len(ea.dictionary)
+        di, codes, nd = _gram_codes_flat(
+            pa.concat_arrays([ea.dictionary, eb.dictionary])
+        )
+        counts = np.bincount(di, minlength=nd)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        ca = ea.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = eb.indices.to_numpy(zero_copy_only=False).astype(np.int64) + nda
+        upk, inv = np.unique(ca * nd + cb, return_inverse=True)
+        ua, ub = upk // nd, upk % nd
+        inter = np.zeros(len(upk), np.int64)
+        for k in range(len(upk)):  # distinct text pairs only, numpy merge inside
+            A = codes[offs[ua[k]] : offs[ua[k] + 1]]
+            B = codes[offs[ub[k]] : offs[ub[k] + 1]]
+            if len(A) > len(B):
+                A, B = B, A
+            if len(B):
+                idx = np.minimum(np.searchsorted(B, A), len(B) - 1)
+                inter[k] = int((B[idx] == A).sum())
+        na, nb = counts[ua], counts[ub]
+        conflict = inter / np.maximum(na + nb - inter, 1) < thr
+        return t.filter(pa.array(conflict[inv])).select(["id_a", "id_b"])
+
+    out = j.map_batches(verify, batch_format="pyarrow")
+    pdf = out.to_pandas()
+    if not len(pdf):
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64)})
+    return pdf.astype({"id_a": np.int64, "id_b": np.int64}).sort_values(
+        ["id_a", "id_b"]
+    ).reset_index(drop=True)
 
 
 # -- geospatial raster additions: overview pyramid + zonal statistics -----------------
