@@ -4592,9 +4592,9 @@ def _phash_band_pairs(sf_dir: str) -> rd.Dataset:
     return _pair_distinct(cand)
 
 
-# shared SQL fragment: the synthetic pHash + exhaustive radius-3 pair ground
-# truth (the oracles cross-join; the engine uses the banded LSH)
-_SQL_PHASH_PAIRS = """
+# shared SQL fragments: the synthetic pHash table + exhaustive radius-3 pair
+# ground truth (the oracles cross-join; the engine uses the banded LSH)
+_SQL_PHASH_TILES = """
     tiles AS (
       SELECT doc_id,
              xor(xor(xor(((doc_id // 4) * 1103515245 + 12345) % 2147483648,
@@ -4605,7 +4605,8 @@ _SQL_PHASH_PAIRS = """
                CASE WHEN doc_id % 4 >= 3
                     THEN 1::BIGINT << (((doc_id % 4) * 7 + 26) % 31) ELSE 0 END)
                AS ph
-      FROM documents),
+      FROM documents)"""
+_SQL_PHASH_PAIRS = f"""{_SQL_PHASH_TILES},
     pairs AS (
       SELECT a.doc_id AS a, b.doc_id AS b
       FROM tiles a JOIN tiles b ON a.doc_id < b.doc_id
@@ -4760,6 +4761,71 @@ def q_crossmodal_conflicts(sf_dir: str):
     return pdf.astype({"id_a": np.int64, "id_b": np.int64}).sort_values(
         ["id_a", "id_b"]
     ).reset_index(drop=True)
+
+
+def _caption_reuse_oracle_sql(levels: int = 8) -> str:
+    """The caption near-dup CC (``_jaccard_dedup_oracle_sql``'s CTE chain) joined
+    with the synthetic pHash table: per multi-member caption cluster, how many
+    members carry an image UNRELATED to the representative's (Hamming > 16)."""
+    base = _jaccard_dedup_oracle_sql(levels)
+    head = base[: base.rindex("SELECT lbl AS doc_id")].rstrip()
+    return head + f""",
+  {_SQL_PHASH_TILES.strip()}
+  SELECT l.lbl AS doc_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         CAST(SUM(CASE WHEN bit_count(xor(tm.ph, tr.ph)) > 16
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_image_distinct
+  FROM l{levels} l JOIN tiles tm ON tm.doc_id = l.v
+                   JOIN tiles tr ON tr.doc_id = l.lbl
+  GROUP BY l.lbl HAVING COUNT(*) >= 2"""
+
+
+@query("caption_reuse", _caption_reuse_oracle_sql())
+def q_caption_reuse(sf_dir: str):
+    """The mirror of ``crossmodal_conflicts``: near-duplicate CAPTIONS spanning
+    UNRELATED images — per caption near-dup cluster (the exact Jaccard≥0.5 CC,
+    ``jaccard_dedup_corpus``'s labels), the count of members whose pHash sits
+    more than Hamming 16 from the representative's. Boilerplate/stock-caption
+    reuse is the signal an image-caption corpus needs before caption-based
+    dedup deletes genuinely distinct images. Scale shape: the cluster labels
+    come from the bucketed pair graph + O(log n) CC (output-sized), and the
+    image check is arithmetic on the 8-byte pHash — pixels never load. The
+    oracle replays the min-label CC in SQL and cross-checks the per-cluster
+    counts."""
+    from ..stages import components as CC
+
+    pairs = q_ngram_jaccard_pairs(sf_dir)
+    edges = pa.table(
+        {
+            "a": pa.array(pairs["id_a"].to_numpy(np.int64)),
+            "b": pa.array(pairs["id_b"].to_numpy(np.int64)),
+        }
+    )
+    lab = CC.components_auto(edges)
+    if isinstance(lab, rd.Dataset):  # pragma: no cover - corpus-scale plan
+        lab = pa.concat_tables(
+            list(lab.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+    nodes = lab["node"].to_numpy(zero_copy_only=False)
+    clus = lab["cluster"].to_numpy(zero_copy_only=False)
+    if not len(nodes):
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64),
+             "cluster_size": pd.Series([], dtype=np.int64),
+             "n_image_distinct": pd.Series([], dtype=np.int64)}
+        )
+    # members of multi-member clusters only (labels table covers exactly the
+    # vertices of the pair graph — singletons never enter it)
+    dist = DD.hamming64(
+        _synthetic_phash(nodes) ^ _synthetic_phash(clus), np.int64(0)
+    )
+    reps, inv = np.unique(clus, return_inverse=True)
+    size = np.bincount(inv)
+    n_distinct = np.bincount(inv, weights=(dist > 16).astype(np.float64)).astype(np.int64)
+    keep = size >= 2
+    return pd.DataFrame(
+        {"doc_id": reps[keep], "cluster_size": size[keep].astype(np.int64),
+         "n_image_distinct": n_distinct[keep]}
+    ).sort_values("doc_id").reset_index(drop=True)
 
 
 # -- geospatial raster additions: overview pyramid + zonal statistics -----------------
