@@ -3898,8 +3898,9 @@ def q_daily_gapfill(sf_dir: str):
     WITH c AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang),
          t AS (SELECT source, SUM(n) AS tot FROM c GROUP BY source)
     SELECT c.source,
-           SUM(-(CAST(c.n AS DOUBLE) / t.tot) * log2(CAST(c.n AS DOUBLE) / t.tot))
-             AS lang_entropy
+           list_sum(list(-(CAST(c.n AS DOUBLE) / t.tot)
+                         * log2(CAST(c.n AS DOUBLE) / t.tot)
+                         ORDER BY c.lang)) AS lang_entropy
     FROM c JOIN t USING (source) GROUP BY c.source
     """,
 )
@@ -3908,8 +3909,10 @@ def q_entropy_by_source(sf_dir: str):
     metric a curation pipeline tracks per provenance bucket. Scale shape: per-batch
     (source, lang, n) partials → one groupby-sum at (sources × langs) cardinality →
     entropy as in-process arithmetic on the tiny aggregate. Terms are summed in
-    lang-sorted order (deterministic); the oracle's sum order is DuckDB's own, and
-    the ≤ languages-count float terms agree to far beyond the compare rounding."""
+    lang-sorted order on BOTH sides — the oracle folds an ``ORDER BY lang`` list
+    with ``list_sum`` because DuckDB's parallel SUM accumulates in a
+    nondeterministic order (observed: 14 distinct last-ulp results over 30 runs,
+    one of which crossed the compare rounding and flaked a sweep)."""
     from ray.data.aggregate import Sum
 
     ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["source", "lang"])
@@ -5295,8 +5298,9 @@ def q_spatial_clusters(sf_dir: str):
              COUNT(*) OVER (PARTITION BY user_id) AS cnt
       FROM events)
     SELECT user_id, cnt AS n_events,
-           SUM(CASE WHEN rn = 0 THEN value * POW(0.75, cnt - 1)
-                    ELSE 0.25 * value * POW(0.75, cnt - 1 - rn) END) AS ema
+           list_sum(list(CASE WHEN rn = 0 THEN value * POW(0.75, cnt - 1)
+                              ELSE 0.25 * value * POW(0.75, cnt - 1 - rn) END
+                         ORDER BY rn)) AS ema
     FROM o GROUP BY user_id, cnt
     """,
 )
