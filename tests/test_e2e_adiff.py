@@ -370,3 +370,29 @@ def test_osctemplate_uri_source(world, full_run, tmp_path_factory):
         p.relative_to(ref) for p in (ref / "adiff").rglob("*.ndjson")
     )[:2]:
         assert (out / rel).read_bytes() == (ref / rel).read_bytes()
+
+
+def test_augment_shard_death_mid_stream_is_transparent(world, full_run, tmp_path_factory):
+    """Kill one persistent AugmentShard between stream segments: the baked
+    arg-free constructor (r4 — ray#53727) lets max_restarts replay it, the
+    restarted actor rebuilds its snapshot hot-cache from disk, and every output
+    byte matches the undisturbed run's."""
+    import ray
+
+    from augdiff_pipeline_ray.pipelines.adiff import AdiffJob
+
+    out = tmp_path_factory.mktemp("kill_aug")
+    job = AdiffJob(str(world), str(out), num_shards=2, render_concurrency=2,
+                   distributed_render="force")
+    job.bootstrap()
+    job.warm()
+    job.run_stream(start=1, end=3)
+    ray.kill(job._aug_pool()[0], no_restart=False)
+    stats = job.run_stream(start=4, end=6)
+    job.close()
+    assert all(b["features"] >= 0 for b in stats["batches"])
+
+    ref, _ = full_run
+    got = _read_all_ndjson(out)
+    want = _read_all_ndjson(ref)
+    assert got == want, "stream output diverged after AugmentShard death"
