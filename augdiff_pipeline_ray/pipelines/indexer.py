@@ -104,8 +104,13 @@ def assign_tiles(
         # most of the node (leaving a slice for the read/collect stages) — but never
         # more actors than ~a quarter of the batch count: per-actor process spawn +
         # package import costs ~1-2 s, which dominates small bootstrap worlds
+        # ~6 batches of work per actor: below that the per-actor spawn +
+        # by-value package import (~2-3 s, CPU-bound across actors) outweighs
+        # the decode parallelism (measured at sf0.1: 12 actors 4.5 s, 20 → 6.9,
+        # 24 → 8.1); at corpus scale the cap/pool term binds instead and init
+        # amortizes over minutes of decode
         concurrency = max(
-            2, min(pool_size(frac=0.85, cap=64), n_imgs // (batch_size * 4) + 1)
+            2, min(pool_size(frac=0.85, cap=64), n_imgs // (batch_size * 6) + 1)
         )
     bank_rate = max(1, n_imgs // 4096)  # ≤ ~4096 sampled blobs for the overlay bank
     kwargs = {"verify": verify, "bank_rate": bank_rate}
@@ -160,8 +165,14 @@ def assign_tiles(
             ).materialize()  # summaries only — O(files) rows
     else:
         # small-world object-store path: one streaming write of the whole decoded
-        # dataset (not worth per-partition commits at this size)
-        ds = rd.read_parquet(images_parquet)
+        # dataset (not worth per-partition commits at this size). The image table
+        # is often ONE parquet file with ONE row group — the default read is then
+        # a single task producing a single block, and the decode pool idles
+        # behind it (measured 2.3× on the sf0.1 bootstrap); force a block split
+        # so the read fans out and the pool ramps immediately
+        ds = rd.read_parquet(
+            images_parquet, override_num_blocks=max(8, concurrency * 4)
+        )
         decoded = ds.map_batches(
             _T.configured(TileDecoder, **kwargs),
             batch_format="pyarrow",
@@ -208,39 +219,66 @@ def assign_tiles(
             }
         )
 
-    slim = rd.read_parquet(str(tiles_dir), columns=["image_id", "cell"])
-    slim.map_batches(_to_assignment, batch_format="pyarrow").write_parquet(str(assign_dir))
-
-    # per-cell tile counts: partial pre-agg inside map_batches (combiner), tiny groupby
-    # after — no full-column shuffle, no hot reducer (skewed cells already combined
-    # per block before anything moves)
-    def _partial_counts(t: pa.Table) -> pa.Table:
-        cells_np = t["cell"].to_numpy(zero_copy_only=False)
+    # size-adaptive (the closure_auto pattern): the assignments projection and
+    # the per-cell counts are 3 tiny columns — below the threshold they build
+    # driver-side from ONE pyarrow read (identical bytes; two extra Ray
+    # executions cost ~2 s of spin-up on small worlds), above it the
+    # distributed combiner plan runs
+    if n_imgs <= 200_000:
+        slim_t = pads2.dataset(str(tiles_dir)).to_table(
+            columns=["image_id", "cell", "decode_ok"]
+        )
+        assign_dir.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            _to_assignment(slim_t), assign_dir / "part-000000.parquet"
+        )
+        cells_np = slim_t["cell"].to_numpy(zero_copy_only=False)
         u, c = np.unique(cells_np, return_counts=True)
-        ok_n = int(t["decode_ok"].to_numpy(zero_copy_only=False).sum())
-        return pa.table({"cell": pa.array(u), "n": pa.array(c.astype("int64")),
-                         "ok": pa.array(np.r_[ok_n, np.zeros(len(u) - 1, np.int64)]
-                                        if len(u) else np.empty(0, np.int64))})
+        cell_counts = pa.table(
+            {"cell": pa.array(u), "n": pa.array(c.astype("int64"))}
+        )
+        pq.write_table(cell_counts, out / "cell_counts.parquet")
+        n_tiles = int(len(slim_t))
+        n_ok = int(slim_t["decode_ok"].to_numpy(zero_copy_only=False).sum())
+    else:
+        # ONE slim columnar read-back serves BOTH the assignments write and the
+        # per-cell counts (materialized so the two consumers don't re-execute)
+        slim = rd.read_parquet(
+            str(tiles_dir), columns=["image_id", "cell", "decode_ok"]
+        ).materialize()
+        slim.map_batches(
+            _to_assignment, batch_format="pyarrow"
+        ).write_parquet(str(assign_dir))
 
-    partials = pa.concat_tables(
-        [
-            b
-            for b in rd.read_parquet(str(tiles_dir), columns=["cell", "decode_ok"])
-            .map_batches(_partial_counts, batch_format="pyarrow")
-            .iter_batches(batch_size=None, batch_format="pyarrow")
-        ],
-        promote_options="default",
-    )
-    cells_p = partials["cell"].to_numpy(zero_copy_only=False)
-    n_p = partials["n"].to_numpy(zero_copy_only=False)
-    u = np.unique(cells_p)
-    cell_counts = pa.table({
-        "cell": pa.array(u),
-        "n": pa.array(np.bincount(np.searchsorted(u, cells_p), weights=n_p).astype("int64")),
-    })
-    pq.write_table(cell_counts, out / "cell_counts.parquet")
-    n_tiles = int(n_p.sum())
-    n_ok = int(partials["ok"].to_numpy(zero_copy_only=False).sum())
+        # per-cell tile counts: partial pre-agg inside map_batches (combiner),
+        # tiny groupby after — no full-column shuffle, no hot reducer (skewed
+        # cells already combined per block before anything moves)
+        def _partial_counts(t: pa.Table) -> pa.Table:
+            cells_np = t["cell"].to_numpy(zero_copy_only=False)
+            u, c = np.unique(cells_np, return_counts=True)
+            ok_n = int(t["decode_ok"].to_numpy(zero_copy_only=False).sum())
+            return pa.table({"cell": pa.array(u), "n": pa.array(c.astype("int64")),
+                             "ok": pa.array(np.r_[ok_n, np.zeros(len(u) - 1, np.int64)]
+                                            if len(u) else np.empty(0, np.int64))})
+
+        partials = pa.concat_tables(
+            [
+                b
+                for b in slim.map_batches(_partial_counts, batch_format="pyarrow")
+                .iter_batches(batch_size=None, batch_format="pyarrow")
+            ],
+            promote_options="default",
+        )
+        cells_p = partials["cell"].to_numpy(zero_copy_only=False)
+        n_p = partials["n"].to_numpy(zero_copy_only=False)
+        u = np.unique(cells_p)
+        cell_counts = pa.table({
+            "cell": pa.array(u),
+            "n": pa.array(np.bincount(np.searchsorted(u, cells_p), weights=n_p).astype("int64")),
+        })
+        pq.write_table(cell_counts, out / "cell_counts.parquet")
+        n_tiles = int(n_p.sum())
+        n_ok = int(partials["ok"].to_numpy(zero_copy_only=False).sum())
     return {
         "tiles": n_tiles,
         "decode_ok": n_ok,
