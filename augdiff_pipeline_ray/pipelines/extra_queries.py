@@ -180,6 +180,45 @@ def q_duplicate_spans(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _top3_pairs_np(ok: np.ndarray, pk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Rows sorted by (order, -qty, part, line) → (x, y) pairs of each
+    order's ≤3 distinct top partkeys. Fully vectorized."""
+    if len(ok) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    first = np.r_[True, ok[1:] != ok[:-1]]
+    starts = np.flatnonzero(first)
+    gidx = np.cumsum(first) - 1
+    pos = np.arange(len(ok)) - starts[gidx]
+    m = pos < 3  # the oracle's ROW_NUMBER ≤ 3 rows
+    kk, vv = ok[m], pk[m]
+    # distinct partkeys within each order's top-3, (order, part)-sorted:
+    # packed-int unique when partkeys fit 21 bits (sf ≤ 10), lexsort else
+    if len(vv) and 0 <= vv.min() and vv.max() < (1 << 21) and kk.min() >= 0:
+        key = np.unique(
+            (kk.astype(np.uint64) << np.uint64(21)) | vv.astype(np.uint64)
+        )
+        kk = (key >> np.uint64(21)).astype(np.int64)
+        vv = (key & np.uint64((1 << 21) - 1)).astype(np.int64)
+    else:
+        o = np.lexsort((vv, kk))
+        kk, vv = kk[o], vv[o]
+        keep = np.r_[True, (kk[1:] != kk[:-1]) | (vv[1:] != vv[:-1])]
+        kk, vv = kk[keep], vv[keep]
+    f2 = np.r_[True, kk[1:] != kk[:-1]]
+    s2 = np.flatnonzero(f2)
+    g2 = np.cumsum(f2) - 1
+    sz = np.diff(np.r_[s2, len(kk)])[g2]     # group size per row
+    p2 = np.arange(len(kk)) - s2[g2]          # position within group
+    # pairs: row at position p pairs with every later position (size ≤ 3)
+    npair = sz - p2 - 1
+    xs = np.repeat(vv, npair)
+    offs = np.arange(int(npair.sum())) - np.repeat(
+        np.concatenate([[0], np.cumsum(npair)[:-1]]), npair
+    )
+    ys = vv[np.repeat(np.arange(len(vv)), npair) + 1 + offs]
+    return xs, ys
+
+
 @query(
     "triangle_count",
     """
@@ -230,43 +269,6 @@ def q_triangle_count(sf_dir: str):
     # interior orders of each block run the vectorized top-3 + triu kernel,
     # boundary orders route to one residual task — no per-order Python dispatch
     # (the r3 map_groups edge build alone cost ~6 s of the 13 s at sf0.1)
-    def _top3_pairs_np(ok: np.ndarray, pk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Rows sorted by (order, -qty, part, line) → (x, y) pairs of each
-        order's ≤3 distinct top partkeys. Fully vectorized."""
-        if len(ok) == 0:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
-        first = np.r_[True, ok[1:] != ok[:-1]]
-        starts = np.flatnonzero(first)
-        gidx = np.cumsum(first) - 1
-        pos = np.arange(len(ok)) - starts[gidx]
-        m = pos < 3  # the oracle's ROW_NUMBER ≤ 3 rows
-        kk, vv = ok[m], pk[m]
-        # distinct partkeys within each order's top-3, (order, part)-sorted:
-        # packed-int unique when partkeys fit 21 bits (sf ≤ 10), lexsort else
-        if len(vv) and 0 <= vv.min() and vv.max() < (1 << 21) and kk.min() >= 0:
-            key = np.unique(
-                (kk.astype(np.uint64) << np.uint64(21)) | vv.astype(np.uint64)
-            )
-            kk = (key >> np.uint64(21)).astype(np.int64)
-            vv = (key & np.uint64((1 << 21) - 1)).astype(np.int64)
-        else:
-            o = np.lexsort((vv, kk))
-            kk, vv = kk[o], vv[o]
-            keep = np.r_[True, (kk[1:] != kk[:-1]) | (vv[1:] != vv[:-1])]
-            kk, vv = kk[keep], vv[keep]
-        f2 = np.r_[True, kk[1:] != kk[:-1]]
-        s2 = np.flatnonzero(f2)
-        g2 = np.cumsum(f2) - 1
-        sz = np.diff(np.r_[s2, len(kk)])[g2]     # group size per row
-        p2 = np.arange(len(kk)) - s2[g2]          # position within group
-        # pairs: row at position p pairs with every later position (size ≤ 3)
-        npair = sz - p2 - 1
-        xs = np.repeat(vv, npair)
-        offs = np.arange(int(npair.sum())) - np.repeat(
-            np.concatenate([[0], np.cumsum(npair)[:-1]]), npair
-        )
-        ys = vv[np.repeat(np.arange(len(vv)), npair) + 1 + offs]
-        return xs, ys
 
     # per-batch top-3 combiner before the sort: top-3 is a semilattice
     # (top3(A∪B) ⊆ top3(A)∪top3(B)), so each batch keeps ≤3 rows per order it

@@ -1535,3 +1535,35 @@ def test_kfold_assign_balanced_and_deterministic(ray_session, events):
         want = {e: i % _KFOLD for i, e in enumerate(order)}
         got = dict(zip(a[a.event_type == et].event_id, a[a.event_type == et].fold))
         assert got == want
+
+
+def test_top3_pairs_kernel_packed_equals_fallback():
+    """The triangle edge kernel's packed-uint64 distinct path and its lexsort
+    fallback (partkeys ≥ 2^21) must produce identical pairs — including dup
+    parts inside a top-3 and orders below pair size."""
+    import numpy as np
+
+    from augdiff_pipeline_ray.pipelines.extra_queries import _top3_pairs_np
+
+    rng = np.random.default_rng(3)
+    n_orders = 200
+    rows = []
+    for o in range(n_orders):
+        k = rng.integers(1, 7)
+        for _ in range(k):
+            rows.append((o, int(rng.integers(0, 40))))
+    # rows sorted by (order, [-qty part line] proxy = insertion order)
+    ok = np.array([r[0] for r in rows], np.int64)
+    pk = np.array([r[1] for r in rows], np.int64)
+    x1, y1 = _top3_pairs_np(ok, pk)
+    x2, y2 = _top3_pairs_np(ok, pk + (1 << 22))
+    assert np.array_equal(x1, x2 - (1 << 22))
+    assert np.array_equal(y1, y2 - (1 << 22))
+    # brute: distinct parts among each order's first 3 rows, triu pairs
+    want = []
+    import itertools
+    for o in range(n_orders):
+        sel = sorted(set(pk[ok == o][:3].tolist()))
+        want.extend((a, b) for a, b in itertools.combinations(sel, 2))
+    got = sorted(zip(x1.tolist(), y1.tolist()))
+    assert got == sorted(want)
