@@ -351,3 +351,33 @@ def test_form_rings_from_shuffled_cuts(seed, ncut):
 def _closed_set(r):
     """Vertex multiset of a closed ring (rotation/orientation invariant compare)."""
     return sorted(map(tuple, np.round(r[:-1], 12)))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12), st.integers(1, 6), st.integers(1, 6)),
+    min_size=2, max_size=5,
+))
+def test_union_rings_sampled_membership(rects):
+    """Property: union output (exteriors minus holes, even-odd) classifies random
+    probe points exactly like 'inside ANY input ring' — the defining property of
+    a union — for arbitrary overlapping/touching/nested axis-aligned rectangles."""
+    rings = [
+        ring([[x, y], [x + w, y], [x + w, y + h], [x, y + h], [x, y]])
+        for x, y, w, h in rects
+    ]
+    ex, holes = CLIP.union_rings(list(rings))
+    rng = np.random.RandomState(7)
+    px = rng.uniform(-1, 20, 400)
+    py = rng.uniform(-1, 20, 400)
+    want = np.zeros(400, bool)
+    for r in rings:
+        want |= G.points_in_ring(px, py, r)
+    got = np.zeros(400, bool)
+    for e in ex:
+        got |= G.points_in_ring(px, py, e)
+    for h in holes:
+        got &= ~G.points_in_ring(px, py, h)
+    # irrational-ish probes never sit on integer-coordinate edges, so the
+    # even-odd classification is unambiguous on both sides
+    assert np.array_equal(got, want)
