@@ -361,3 +361,91 @@ def test_local_closure_matches_brute_force_random_graphs():
         assert alle2 == alle and new2 == set()
 
     check()
+
+
+def test_osc_roundtrip_randomized_adversarial(tmp_path):
+    """Generative write→parse round-trip: random mixed-type rows with
+    adversarial attribute/tag strings (entities, quotes, '>', unicode) must
+    survive the OSC writer and the byte-scan parser (or its ET fallback)
+    byte-for-byte at the value level."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    weird = ["plain", "a&b", 'x"y', "it's", "<tagish>", "a>b", "ünïcode™",
+             "sp ace", "", "amp;&lt;"]
+    rows = []
+    ts0 = 1_700_000_000_000
+    for i in range(60):
+        etype = ["node", "way", "relation"][int(rng.integers(3))]
+        action = ["create", "modify", "delete"][int(rng.integers(3))]
+        lat = float(np.round(rng.uniform(-85, 85), 7))
+        lon = float(np.round(rng.uniform(-179, 179), 7))
+        r = {
+            "id": int(rng.integers(1, 1 << 40)),
+            "type": etype,
+            "tags": ([] if action == "delete" else
+                     [(weird[int(rng.integers(len(weird) - 1)) + 1],
+                       weird[int(rng.integers(len(weird)))])
+                      for _ in range(int(rng.integers(3)))]),
+            "lat": lat if etype == "node" and action != "delete" else None,
+            "lon": lon if etype == "node" and action != "delete" else None,
+            "nds": ([{"ref": int(rng.integers(1, 1000))} for _ in range(int(rng.integers(4)))]
+                    if etype == "way" and action != "delete" else []),
+            "members": ([{"type": "node", "ref": int(rng.integers(1, 1000)),
+                          "role": weird[int(rng.integers(len(weird)))]}
+                         for _ in range(int(rng.integers(3)))]
+                        if etype == "relation" and action != "delete" else []),
+            "changeset": None if action == "delete" else int(rng.integers(1, 10**6)),
+            "timestamp": ts0 + int(rng.integers(0, 10**9)),
+            "uid": None if action == "delete" else int(rng.integers(1, 10**5)),
+            "user": None if action == "delete" else weird[int(rng.integers(len(weird)))],
+            "version": int(rng.integers(1, 50)),
+            "visible": action != "delete",
+            "action": action,
+        }
+        rows.append(r)
+    import pyarrow as pa
+
+    from augdiff_pipeline_ray import keys as K2
+    from augdiff_pipeline_ray.schemas import CHANGE_SCHEMA
+
+    ids = np.array([r["id"] for r in rows], np.int64)
+    types = [r["type"] for r in rows]
+    lats = np.array([np.nan if r["lat"] is None else r["lat"] for r in rows])
+    lons = np.array([np.nan if r["lon"] is None else r["lon"] for r in rows])
+    from augdiff_pipeline_ray import cells as C2
+
+    t = pa.table({
+        "p": pa.array(K2.partition_number_typed(ids, types)),
+        "cell": pa.array(C2.cell_of(lats, lons)),
+        "id": pa.array(ids),
+        "type": pa.array(types, pa.string()),
+        "tags": pa.array([r["tags"] for r in rows], CHANGE_SCHEMA.field("tags").type),
+        "lat": pa.array([r["lat"] for r in rows], pa.float64()),
+        "lon": pa.array([r["lon"] for r in rows], pa.float64()),
+        "nds": pa.array([r["nds"] for r in rows], CHANGE_SCHEMA.field("nds").type),
+        "members": pa.array([r["members"] for r in rows], CHANGE_SCHEMA.field("members").type),
+        "changeset": pa.array([r["changeset"] for r in rows], pa.int64()),
+        "timestamp": pa.array([r["timestamp"] for r in rows], pa.timestamp("ms")),
+        "uid": pa.array([r["uid"] for r in rows], pa.int64()),
+        "user": pa.array([r["user"] for r in rows], pa.string()),
+        "version": pa.array([r["version"] for r in rows], pa.int64()),
+        "visible": pa.array([r["visible"] for r in rows], pa.bool_()),
+        "batch_seq": pa.array([5] * len(rows), pa.int64()),
+        "action": pa.array([r["action"] for r in rows], pa.string()),
+    })
+    p = str(tmp_path / "rand.osc")
+    osc.write_osc(t, p)
+    back = osc.read_osc_file(p, batch_seq=5)
+    a, b = t.to_pylist(), back.to_pylist()
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        for k in ("id", "type", "changeset", "timestamp", "uid", "user",
+                  "version", "visible", "action", "nds", "members"):
+            assert ra[k] == rb[k], (k, ra, rb)
+        assert dict(ra["tags"]) == dict(rb["tags"])
+        for k in ("lat", "lon"):
+            va, vb = ra[k], rb[k]
+            assert (va is None) == (vb is None)
+            if va is not None:
+                assert abs(va - vb) < 5e-8  # %.7f writer quantization
