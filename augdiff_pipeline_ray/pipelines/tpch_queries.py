@@ -1095,6 +1095,75 @@ def q_cosine_topk(sf_dir: str):
 
 
 @query(
+    "knn_label_prop",
+    """
+    WITH lab AS (SELECT vec_id, vec_id % 4 AS label, embedding
+                 FROM embeddings WHERE vec_id % 10 < 3),
+    unl AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 >= 3),
+    knn AS (
+      SELECT u.vec_id, l.label,
+             ROW_NUMBER() OVER (
+               PARTITION BY u.vec_id
+               ORDER BY list_cosine_similarity(u.embedding::DOUBLE[],
+                                               l.embedding::DOUBLE[]) DESC,
+                        l.vec_id) AS rk
+      FROM unl u CROSS JOIN lab l),
+    votes AS (SELECT vec_id, label, COUNT(*) AS n
+              FROM knn WHERE rk <= 5 GROUP BY vec_id, label)
+    SELECT vec_id, label AS label_pred FROM (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY n DESC, label) AS r
+      FROM votes) WHERE r = 1
+    """,
+)
+def q_knn_label_prop(sf_dir: str):
+    """Semi-supervised LABEL PROPAGATION over the embedding table: every
+    unlabeled vector takes the majority label of its 5 nearest labeled
+    neighbors by exact cosine (ties: similarity then labeled id; vote ties:
+    smallest label) — the classic kNN pseudo-labeling step of a training-data
+    pipeline. Labels are the deterministic synthetic assignment (vec_id % 4 on
+    the 30 % with vec_id % 10 < 3). Scale shape: the labeled matrix broadcasts
+    once (``ray.put`` — the labeled set is the small side by construction),
+    each batch of unlabeled vectors runs one normalized matmul + a stable
+    argsort over labeled-id-sorted columns (ties resolve to the smaller id
+    without a lexsort), and the vote is a per-row bincount — no shuffle at
+    all. The oracle cross-joins the exact ground truth."""
+    emb = pq.read_table(TP._p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    vid = emb["vec_id"].to_numpy(zero_copy_only=False)
+    lab_t = emb.filter(pa.array(vid % 10 < 3))
+    lab_ids = lab_t["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(lab_ids)  # id-ascending columns → stable argsort tie-break
+    lab_ids = lab_ids[order]
+    L = SIM.normalize(SIM.embedding_matrix(lab_t["embedding"], np.float64))[order]
+    lab_labels = (lab_ids % 4).astype(np.int64)
+    ref = ray.put((L, lab_ids, lab_labels))
+
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def prop(t: pa.Table) -> pa.Table:
+        Lm, lids, llab = ray.get(ref)
+        v = t["vec_id"].to_numpy(zero_copy_only=False)
+        keep = v % 10 >= 3
+        if not keep.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "label_pred": pa.array([], pa.int64())})
+        U = SIM.normalize(SIM.embedding_matrix(
+            t.filter(pa.array(keep))["embedding"], np.float64))
+        sims = U @ Lm.T  # (n_unl, n_lab)
+        k = min(5, sims.shape[1])
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :k]  # ties → smaller id
+        votes = llab[top]  # (n_unl, k)
+        counts = np.zeros((len(votes), 4), np.int64)
+        for j in range(k):  # k≤5 vectorized column adds
+            np.add.at(counts, (np.arange(len(votes)), votes[:, j]), 1)
+        pred = np.argmax(counts, axis=1)  # first max → smallest label
+        return pa.table({"vec_id": pa.array(v[keep]),
+                         "label_pred": pa.array(pred.astype(np.int64))})
+
+    return ds.map_batches(prop, batch_format="pyarrow")
+
+
+@query(
     "cosine_neardup_pairs",
     """
     WITH u AS (SELECT vec_id, embedding FROM embeddings
