@@ -1095,6 +1095,58 @@ def q_cosine_topk(sf_dir: str):
 
 
 @query(
+    "weighted_sample",
+    """
+    WITH w AS (SELECT doc_id, GREATEST(length(text), 1) AS wt,
+                      ((doc_id * 1103515245 + 12345) % 2147483648 + 1)::DOUBLE
+                        / 2147483649.0 AS u
+               FROM documents),
+    k AS (SELECT doc_id, -ln(u) / wt AS key FROM w)
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key, doc_id) - 1 AS rank
+    FROM (SELECT doc_id, key FROM k ORDER BY key, doc_id LIMIT 100)
+    """,
+)
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each doc draws key = −ln(u)/w with w = its length and u a
+    reproducible LCG uniform; the global 100 smallest keys ARE a weighted
+    sample — the standard data-mixing primitive (upweight long/high-quality
+    docs) made restart-stable by hashing instead of RNG. Scale shape: keys are
+    per-row arithmetic, each batch keeps its local 100 smallest (top-k is a
+    semilattice), and only ≤100·blocks candidate rows ever leave the batches —
+    no shuffle, driver merge is sample-sized. The integer LCG is exact on both
+    sides and the single-division + ln + division float chain is IEEE-identical
+    numpy vs DuckDB, so ranks match hash-for-hash."""
+    ds = SRC.read_parquet_clean(TP._p(sf_dir, "documents"), columns=["doc_id", "text"])
+    M = 100
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wt = np.maximum(
+            pc.utf8_length(pc.fill_null(t["text"], "")).to_numpy(zero_copy_only=False),
+            1,
+        ).astype(np.float64)
+        u = ((d * 1103515245 + 12345) % 2147483648 + 1).astype(np.float64) / 2147483649.0
+        key = -np.log(u) / wt
+        m = min(M, len(d))
+        sel = np.argpartition(key, m - 1)[:m]
+        return pa.table({"doc_id": pa.array(d[sel]), "key": pa.array(key[sel])})
+
+    parts = pa.concat_tables(
+        [b for b in ds.map_batches(partial, batch_format="pyarrow")
+         .iter_batches(batch_size=None, batch_format="pyarrow")],
+        promote_options="default",
+    )
+    d = parts["doc_id"].to_numpy(zero_copy_only=False)
+    key = parts["key"].to_numpy(zero_copy_only=False)
+    o = np.lexsort((d, key))[:M]
+    return pd.DataFrame(
+        {"doc_id": d[o].astype(np.int64),
+         "rank": np.arange(len(o), dtype=np.int64)}
+    )
+
+
+@query(
     "knn_label_prop",
     """
     WITH lab AS (SELECT vec_id, vec_id % 4 AS label, embedding
