@@ -588,15 +588,6 @@ def knn_arrays(
                 break
             chunk_starts.append(e)
         bounds = chunk_starts + [A]
-        # float32 shadow coordinates for the PREFILTER flood (half the memory
-        # traffic of the candidate pass — the serving pools are bandwidth-bound
-        # under concurrency); the exact float64 distances are recomputed on the
-        # few surviving contenders, so the output stays bit-identical
-        tl32 = tile_lat.astype(np.float32)
-        tn32 = tile_lon.astype(np.float32)
-        ql32 = query_lat.astype(np.float32)
-        qn32 = query_lon.astype(np.float32)
-        cos32 = cos_lat.astype(np.float32)
         for ci in range(len(chunk_starts)):
             s0, s1 = bounds[ci], bounds[ci + 1]
             sub = active[s0:s1]
@@ -606,42 +597,36 @@ def knn_arrays(
             counts[s0 : s0 + len(sub)] = cnts
             aq = sub[qpos]
             if len(cand):
-                # partition-prefilter before the (n log n, 3-key) lexsort: keep
-                # only candidates with d2 ≤ the query's kk-th smallest d2 plus a
-                # float32 guard band (ties INCLUDED — a true contender's float32
-                # distance deviates relatively ≤ ~1e-6, far inside the 1e-5
-                # margin, so dropped rows are strictly farther and could never
-                # be selected; the survivors then re-verify in exact float64 and
-                # the output is bit-identical). At ~20 tiles/cell density a k=3
-                # ring-1 query carries ~190 candidates, and this full-sort over
-                # the flood was the serving pool's dominant kernel cost. Dense
-                # (A, maxc) padding is linear; guarded against skew (a metro
-                # cell blowing maxc) by falling back to the full sort.
-                maxc = int(cnts.max())
-                A_sub = len(sub)
-                if maxc > kk and A_sub * maxc <= (1 << 23):
-                    dlat32 = (tl32[cand] - ql32[aq]) * np.float32(111_320.0)
-                    dlon32 = (tn32[cand] - qn32[aq]) * (
-                        np.float32(111_320.0) * cos32[aq]
-                    )
-                    d2_32 = dlat32 * dlat32 + dlon32 * dlon32
-                    starts_g = np.concatenate([[0], np.cumsum(cnts)[:-1]])
-                    pos_in = np.arange(len(cand)) - np.repeat(starts_g, cnts)
-                    dd = np.full((A_sub, maxc), np.inf, np.float32)
-                    dd[qpos, pos_in] = d2_32
-                    thr = np.partition(dd, kk - 1, axis=1)[:, kk - 1]
-                    keep_m = d2_32 <= thr[qpos] * np.float32(1.00001) + np.float32(
-                        1e-25
-                    )
-                    cand = cand[keep_m]
-                    qpos = qpos[keep_m]
-                    aq = aq[keep_m]
-                # exact float64 distances on the survivors only (or the whole
-                # flood when the prefilter was skipped) — same expressions,
-                # elementwise, so selected distances are bit-identical
+                # exact float64 distances over the whole flood — computed ONCE,
+                # shared by the prefilter and the final top-k (an earlier float32
+                # shadow-coordinate prefilter was unsound: casting absolute
+                # lat/lon to float32 costs ~1 m of ABSOLUTE distance error at
+                # mid/large coordinates — ulp(120°) ≈ 1e-5° — so a relative
+                # guard band pruned true near-tie contenders)
                 dlat = (tile_lat[cand] - query_lat[aq]) * 111_320.0
                 dlon = (tile_lon[cand] - query_lon[aq]) * 111_320.0 * cos_lat[aq]
                 d2 = dlat * dlat + dlon * dlon  # squared (monotone) — sqrt only the k
+                # partition-prefilter before the (n log n, 3-key) lexsort: keep
+                # only candidates with d2 ≤ the query's kk-th smallest EXACT d2
+                # (ties included by the ≤ — the id_rank tie-break still sees
+                # every tied contender, so the output is exactly the full-sort
+                # result). At ~20 tiles/cell density a k=3 ring-1 query carries
+                # ~190 candidates, and the full 3-key sort over the flood was
+                # the serving pool's dominant kernel cost. Dense (A, maxc)
+                # padding is linear; guarded against skew (a metro cell blowing
+                # maxc) by falling back to the full sort.
+                maxc = int(cnts.max())
+                A_sub = len(sub)
+                if maxc > kk and A_sub * maxc <= (1 << 23):
+                    starts_g = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+                    pos_in = np.arange(len(cand)) - np.repeat(starts_g, cnts)
+                    dd = np.full((A_sub, maxc), np.inf)
+                    dd[qpos, pos_in] = d2
+                    thr = np.partition(dd, kk - 1, axis=1)[:, kk - 1]
+                    keep_m = d2 <= thr[qpos]
+                    cand = cand[keep_m]
+                    qpos = qpos[keep_m]
+                    d2 = d2[keep_m]
                 o = np.lexsort((id_rank[cand], d2, qpos))  # qpos presorted → cheap
                 qs = qpos[o]
                 first = np.r_[True, qs[1:] != qs[:-1]]

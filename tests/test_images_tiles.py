@@ -142,6 +142,41 @@ def test_knn_ring_loop_matches_brute_with_ties():
     assert np.allclose(ring_d, b_d)
 
 
+def test_knn_metre_near_ties_at_large_coordinates():
+    """Regression for the r4 float32 shadow-coordinate prefilter: at (45°N, 120°E)
+    float32 lat/lon carries ~1 m of absolute position error (ulp(120°) ≈ 1e-5°), so a
+    RELATIVE guard band on float32 distances pruned true contenders whose exact
+    distances differ at metre scale. Clusters of tiles at radii 1.0 m + i·0.1 m around
+    each query must come back in exact order — both the expand=True escalation path
+    and the fixed-ring expand=False path (clusters are metres wide, whole clusters sit
+    inside ring 1, and other clusters are kilometres away, so ring-1 top-k == global
+    brute top-k)."""
+    rng = np.random.default_rng(45)
+    n_anchor, per = 500, 12
+    alat = rng.uniform(44.8, 45.2, n_anchor)
+    alon = rng.uniform(119.8, 120.2, n_anchor)
+    deg_m = 1.0 / 111_320.0  # ~1 metre in degrees
+    radii = (1.0 + 0.1 * np.arange(per)) * deg_m
+    theta = rng.uniform(0, 2 * np.pi, (n_anchor, per))
+    lat = (alat[:, None] + radii[None, :] * np.sin(theta)).ravel()
+    lon = (alon[:, None] + radii[None, :] * np.cos(theta) /
+           np.cos(np.radians(alat))[:, None]).ravel()
+    n = len(lat)
+    ids = np.array([f"img-{i:06d}" for i in rng.permutation(n)])
+    cells = C.cell_of(lat, lon)
+    q = 800  # Q·n = 4.8M > 1<<22 → expand=True takes the ring loop, not brute
+    qlat = np.concatenate([alat, alat[: q - n_anchor] + 0.3 * deg_m])
+    qlon = np.concatenate([alon, alon[: q - n_anchor]])
+    b_ids, b_d = T._knn_brute_arrays(qlat, qlon, lat, lon, ids, 3)
+    e_ids, e_d = T.knn_arrays(qlat, qlon, cells, lat, lon, ids, k=3, expand=True)
+    assert np.array_equal(e_ids, b_ids)
+    assert np.allclose(e_d, b_d)
+    f_ids, f_d = T.knn_arrays(qlat, qlon, cells, lat, lon, ids, k=3, ring=1,
+                              expand=False)
+    assert np.array_equal(f_ids, b_ids)
+    assert np.allclose(f_d, b_d)
+
+
 def test_tile_pool_sparse_straggler_exact(tmp_path):
     """The serving pool's full scatter → routed rings → brute-straggler path must be
     EXACTLY the global brute top-k (ids and distances, ties by id) on a sparse
