@@ -193,7 +193,8 @@ def _top3_pairs_np(ok: np.ndarray, pk: np.ndarray) -> tuple[np.ndarray, np.ndarr
     kk, vv = ok[m], pk[m]
     # distinct partkeys within each order's top-3, (order, part)-sorted:
     # packed-int unique when partkeys fit 21 bits (sf ≤ 10), lexsort else
-    if len(vv) and 0 <= vv.min() and vv.max() < (1 << 21) and kk.min() >= 0:
+    if (len(vv) and 0 <= vv.min() and vv.max() < (1 << 21) and kk.min() >= 0
+            and kk.max() < (1 << 43)):
         key = np.unique(
             (kk.astype(np.uint64) << np.uint64(21)) | vv.astype(np.uint64)
         )

@@ -1126,7 +1126,14 @@ def q_weighted_sample(sf_dir: str):
             pc.utf8_length(pc.fill_null(t["text"], "")).to_numpy(zero_copy_only=False),
             1,
         ).astype(np.float64)
-        u = ((d * 1103515245 + 12345) % 2147483648 + 1).astype(np.float64) / 2147483649.0
+        # uint64 wrap-around is exact mod-2^31 arithmetic (2^31 | 2^64), so the
+        # LCG never overflows for any doc_id — int64 d*1103515245 would wrap
+        # (and diverge from the oracle) beyond doc_id ≈ 8.36e9
+        du = d.astype(np.uint64)
+        u = (
+            (du * np.uint64(1103515245) + np.uint64(12345)) % np.uint64(2147483648)
+            + np.uint64(1)
+        ).astype(np.float64) / 2147483649.0
         key = -np.log(u) / wt
         m = min(M, len(d))
         sel = np.argpartition(key, m - 1)[:m]

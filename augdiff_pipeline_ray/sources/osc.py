@@ -126,9 +126,14 @@ def _find_pat(arr: np.ndarray, pat: bytes, cand0: np.ndarray | None = None) -> n
 
 
 def _gather_utf8(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> pa.Array:
-    """Non-contiguous byte slices → one Arrow utf8 array (vectorized gather)."""
+    """Non-contiguous byte slices → one Arrow utf8 array (vectorized gather).
+    utf8 offsets are int32 — callers must guarantee < 2 GiB of gathered bytes
+    (parse_osc routes ≥ 2 GiB documents to the ElementTree path); raise rather
+    than silently wrap if that contract is ever violated."""
     lens = (ends - starts).astype(np.int64)
     total = int(lens.sum())
+    if total >= 1 << 31:
+        raise ValueError(f"gathered bytes {total} overflow utf8 int32 offsets")
     if total:
         flat = data[
             np.repeat(starts, lens)
@@ -190,6 +195,10 @@ def parse_osc(xml_bytes: bytes, batch_seq: int) -> pa.Table:
     import pyarrow.compute as pc
 
     if any(p in xml_bytes for p in _FALLBACK_PATTERNS):
+        return _parse_osc_et(xml_bytes, batch_seq)
+    if len(xml_bytes) >= 1 << 31:
+        # gathered attribute spans are disjoint within the document, so doc
+        # size < 2 GiB guarantees _gather_utf8's int32 utf8 offsets can't wrap
         return _parse_osc_et(xml_bytes, batch_seq)
 
     data = np.frombuffer(xml_bytes, np.uint8)
