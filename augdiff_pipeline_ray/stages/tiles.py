@@ -473,6 +473,268 @@ def _ring_candidates(
     return cand, counts, qpos
 
 
+def _chunk_flood_topk(
+    cand: np.ndarray, cnts: np.ndarray, qpos: np.ndarray, aq: np.ndarray,
+    query_lat: np.ndarray, query_lon: np.ndarray, cos_lat: np.ndarray,
+    tile_lat: np.ndarray, tile_lon: np.ndarray, id_rank: np.ndarray, kk: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Exact per-query top-kk over one gathered candidate flood; returns the
+    selected (query position, rank, tile index, squared distance) quadruple.
+
+    Distances are exact float64 throughout — computed ONCE, shared by the
+    prefilter and the final selection (an earlier float32 shadow-coordinate
+    prefilter was unsound: casting absolute lat/lon to float32 costs ~1 m of
+    ABSOLUTE distance error at mid/large coordinates — ulp(120°) ≈ 1e-5° — so
+    a relative guard band pruned true near-tie contenders).
+
+    The partition-prefilter before the (n log n, 3-key) lexsort keeps only
+    candidates with d2 ≤ the query's kk-th smallest EXACT d2 (ties included by
+    the ≤ — the id_rank tie-break still sees every tied contender, so the
+    output is exactly the full-sort result). At ~20 tiles/cell density a k=3
+    ring-1 query carries ~190 candidates, and the full 3-key sort over the
+    flood was the serving pool's dominant kernel cost. Dense (A, maxc) padding
+    is linear; guarded against skew (a metro cell blowing maxc) by falling
+    back to the full sort."""
+    dlat = (tile_lat[cand] - query_lat[aq]) * 111_320.0
+    dlon = (tile_lon[cand] - query_lon[aq]) * 111_320.0 * cos_lat[aq]
+    d2 = dlat * dlat + dlon * dlon  # squared (monotone) — sqrt only the k
+    maxc = int(cnts.max())
+    A_sub = len(cnts)
+    if maxc > kk and A_sub * maxc <= (1 << 23):
+        starts_g = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        pos_in = np.arange(len(cand)) - np.repeat(starts_g, cnts)
+        dd = np.full((A_sub, maxc), np.inf)
+        dd[qpos, pos_in] = d2
+        thr = np.partition(dd, kk - 1, axis=1)[:, kk - 1]
+        keep_m = d2 <= thr[qpos]
+        cand = cand[keep_m]
+        qpos = qpos[keep_m]
+        d2 = d2[keep_m]
+    o = np.lexsort((id_rank[cand], d2, qpos))  # qpos presorted → cheap
+    qs = qpos[o]
+    first = np.r_[True, qs[1:] != qs[:-1]]
+    starts = np.flatnonzero(first)
+    lens = np.diff(np.r_[starts, len(qs)])
+    pos = np.arange(len(qs)) - np.repeat(starts, lens)
+    m = pos < kk
+    return qs[m], pos[m], cand[o][m], d2[o][m]
+
+
+def _quad_geometry(
+    query_lat: np.ndarray, query_lon: np.ndarray, res: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-query leaning 2×2 block: (first row, first col, fy, fx).
+
+    The block is the query's own cell plus the row/column neighbor on the side
+    the query point leans toward (fractional position ≥ 0.5). Rows outside the
+    grid are clamped away by the bounds machinery (no tiles exist beyond the
+    grid edge, so the lost half never hides a candidate); columns wrap."""
+    nrows, ncols = C.grid_shape(res)
+    y = np.nan_to_num((np.asarray(query_lat, np.float64) + 90.0) / 180.0 * nrows)
+    x = np.nan_to_num((np.asarray(query_lon, np.float64) + 180.0) / 360.0 * ncols)
+    row = np.clip(np.floor(y).astype(np.int64), 0, nrows - 1)
+    col_raw = np.floor(x).astype(np.int64)
+    fy = np.clip(y - row, 0.0, 1.0)
+    fx = x - col_raw
+    col = np.mod(col_raw, ncols)
+    qrow0 = row - 1 + (fy >= 0.5)
+    c_lo = col - 1 + (fx >= 0.5)  # in [-1, ncols-1]; c_hi = c_lo + 1
+    return qrow0, c_lo, fy, fx
+
+
+def quad_coverage_m(
+    query_lat: np.ndarray, query_lon: np.ndarray, res: int = C.DEFAULT_RES,
+) -> np.ndarray:
+    """Guaranteed-coverage radius (metres) of the leaning 2×2 block: the
+    distance from the query point to the nearest block boundary is
+    max(f, 1−f) ≥ 0.5 cell per axis (the block extends toward the side the
+    point leans to). A query whose k-th candidate distance is ≤ this radius is
+    EXACT — no closer tile can exist outside the searched block. Grid-edge
+    clamping only widens the bound (nothing exists beyond the edge, and the
+    formula's min already comes from the in-grid side)."""
+    nrows, ncols = C.grid_shape(res)
+    _, _, fy, fx = _quad_geometry(query_lat, query_lon, res)
+    cell_h_m = 180.0 / nrows * 111_320.0
+    cos_lat = np.cos(np.radians(np.nan_to_num(query_lat)))
+    cell_w_m = 360.0 / ncols * 111_320.0 * cos_lat
+    return np.minimum(
+        np.maximum(fy, 1.0 - fy) * cell_h_m,
+        np.maximum(fx, 1.0 - fx) * cell_w_m,
+    )
+
+
+def _block_bounds(
+    qrow0: np.ndarray, c_lo: np.ndarray, sc: np.ndarray, res: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-query (lo, hi) searchsorted bounds of the 2-row × 2-col leaning
+    block — the quadrant analogue of :func:`_ring_bounds` (same strip
+    enumeration: one contiguous cell-id range per in-grid row, wrap strips for
+    columns crossing the antimeridian)."""
+    nrows, ncols = C.grid_shape(res)
+    A = len(qrow0)
+    rows = qrow0[:, None] + np.arange(2)[None, :]            # (A, 2)
+    row_ok = (rows >= 0) & (rows < nrows)
+    c_hi = c_lo + 1                                          # may be ncols
+
+    def _strip(lo_col: np.ndarray, hi_col: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        ok = row_ok & (hi_col >= lo_col)[:, None]
+        base = C.make_cell(np.int64(res), np.where(row_ok, rows, 0), 0)
+        lo = np.where(ok, base + lo_col[:, None], np.int64(-2))
+        hi = np.where(ok, base + hi_col[:, None], np.int64(-3))
+        return (
+            np.searchsorted(sc, lo.ravel(), side="left"),
+            np.searchsorted(sc, hi.ravel(), side="right"),
+        )
+
+    strips = [_strip(np.maximum(c_lo, 0), np.minimum(c_hi, ncols - 1))]
+    if (c_lo < 0).any():
+        strips.append(_strip(
+            np.where(c_lo < 0, np.int64(ncols - 1), np.int64(1)),
+            np.where(c_lo < 0, np.int64(ncols - 1), np.int64(0)),
+        ))
+    if (c_hi >= ncols).any():
+        strips.append(_strip(
+            np.where(c_hi >= ncols, np.int64(0), np.int64(1)),
+            np.where(c_hi >= ncols, np.int64(0), np.int64(0)),
+        ))
+    lo = np.concatenate([s[0].reshape(A, -1) for s in strips], axis=1)
+    hi = np.concatenate([s[1].reshape(A, -1) for s in strips], axis=1)
+    return lo, hi
+
+
+def _block_candidates(
+    qrow0: np.ndarray, c_lo: np.ndarray, sc: np.ndarray, order: np.ndarray,
+    res: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Candidate gather over the leaning 2×2 block (same flat layout as
+    :func:`_ring_candidates`)."""
+    A = len(qrow0)
+    lo, hi = _block_bounds(qrow0, c_lo, sc, res)
+    lens = np.maximum(hi - lo, 0)
+    counts = lens.sum(axis=1)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), counts, np.empty(0, np.int64)
+    lens_f = lens.ravel()
+    rep_start = np.repeat(lo.ravel(), lens_f)
+    within = np.arange(total) - np.repeat(np.cumsum(lens_f) - lens_f, lens_f)
+    cand = order[rep_start + within]
+    qpos = np.repeat(np.arange(A), counts)
+    return cand, counts, qpos
+
+
+def knn_quad_arrays(
+    query_lat: np.ndarray,
+    query_lon: np.ndarray,
+    tile_cells: np.ndarray,
+    tile_lat: np.ndarray,
+    tile_lon: np.ndarray,
+    tile_ids: np.ndarray,
+    k: int = 3,
+    res: int = C.DEFAULT_RES,
+    prep: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k among the tiles of the query's leaning 2×2 cell block — the
+    serving pool's round-0 kernel. The block (own cell + the row/col neighbor
+    the point leans toward) holds ~4/9 of the ring-1 candidate flood, and by
+    :func:`quad_coverage_m` its result is EXACT for any query whose k-th
+    distance fits inside max(f, 1−f) × cell dimension — at uniform density d
+    the k-th neighbor sits at ~sqrt(k/(πd)) cells, so for d ≳ 4k nearly every
+    query resolves in this round and never pays the full ring.
+
+    Returns dense (Q, k) (ids ''/-1-padded, dist inf-padded), ties by id —
+    identical layout and tie discipline to :func:`knn_arrays`. CONTRACT: rows
+    are exact top-k only for queries whose k-th distance ≤
+    :func:`quad_coverage_m` (the caller's resolve test); other rows may be
+    truncated — the flood is pruned at the coverage radius BEFORE the sort
+    (candidates beyond it can never appear in an exactly-resolved answer), so
+    a query the block can't prove exact pads to inf and stays active for the
+    ring rounds, which recompute it from scratch."""
+    tile_ids = np.asarray(tile_ids)
+    Q, n = len(query_lat), len(tile_ids)
+    kk = max(1, min(k, n)) if n else 1
+    if n == 0 or Q == 0:
+        return topk_per_query(np.empty(0, np.int64), np.empty(0), tile_ids[:1], Q, kk)
+    if prep is not None:
+        order, sc, id_rank = prep
+    else:
+        order, sc, id_rank = knn_prep(tile_cells, tile_ids)
+    qrow0, c_lo, _, _ = _quad_geometry(query_lat, query_lon, res)
+    cos_lat = np.cos(np.radians(np.nan_to_num(query_lat)))
+    bad = np.isnan(query_lat) | np.isnan(query_lon)
+    active = np.flatnonzero(~bad)
+    out_ids = np.full((Q, kk), _id_pad(tile_ids.dtype), dtype=tile_ids.dtype)
+    out_dist = np.full((Q, kk), np.inf)
+    A = len(active)
+    if A == 0:
+        return out_ids, out_dist
+    # coverage-radius² keep threshold, inflated by 3 ulps so a candidate whose
+    # ROUNDED sqrt(d2) lands exactly on the coverage radius is never dropped
+    # (the resolve test compares sqrt(d2) ≤ cov; keeping extra candidates is
+    # always sound — they're legitimate block members)
+    cov = quad_coverage_m(query_lat, query_lon, res)
+    cov2 = cov * cov * (1.0 + 1e-12)
+    idx_a = np.full((A, kk), -1, np.int64)
+    d2_a = np.full((A, kk), np.inf)
+    # chunk by exact candidate mass (metro-skew guard — same rationale as the
+    # ring kernel's loop); counts come from strip searchsorteds, no gather
+    lo_b, hi_b = _block_bounds(qrow0[active], c_lo[active], sc, res)
+    cnt_all = np.maximum(hi_b - lo_b, 0).sum(axis=1)
+    cum = np.cumsum(cnt_all)
+    cap = 1 << 21
+    chunk_starts = [0]
+    while True:
+        s = chunk_starts[-1]
+        e = int(np.searchsorted(cum, (cum[s - 1] if s else 0) + cap, "right"))
+        e = max(e, s + 1)
+        if e >= A:
+            break
+        chunk_starts.append(e)
+    bounds = chunk_starts + [A]
+    for ci in range(len(chunk_starts)):
+        s0, s1 = bounds[ci], bounds[ci + 1]
+        sub = active[s0:s1]
+        cand, cnts, qpos = _block_candidates(qrow0[sub], c_lo[sub], sc, order, res)
+        if not len(cand):
+            continue
+        aq = sub[qpos]
+        dlat = (tile_lat[cand] - query_lat[aq]) * 111_320.0
+        dlon = (tile_lon[cand] - query_lon[aq]) * 111_320.0 * cos_lat[aq]
+        d2 = dlat * dlat + dlon * dlon
+        keep = d2 <= cov2[aq]  # coverage prune: no dense pad, no partition
+        cand, qpos, d2 = cand[keep], qpos[keep], d2[keep]
+        if not len(cand):
+            continue
+        # 2-key sort + tie repair: np.lexsort pays a full stable argsort PER
+        # key, and exact float-distance ties are rare — sort (d2, qpos), then
+        # re-order only the tied runs by id_rank (the rows sit in exactly the
+        # right slots already, so writing the globally-(qpos,d2,id_rank)-sorted
+        # tied rows back into those slots restores the full 3-key order)
+        o = np.lexsort((d2, qpos))
+        d2s, qss = d2[o], qpos[o]
+        tie = (d2s[1:] == d2s[:-1]) & (qss[1:] == qss[:-1])
+        if tie.any():
+            tr = np.flatnonzero(np.r_[False, tie] | np.r_[tie, False])
+            sub_o = o[tr]
+            oo = np.lexsort((id_rank[cand[sub_o]], d2[sub_o], qpos[sub_o]))
+            o[tr] = sub_o[oo]
+        qs = qpos[o]
+        first = np.r_[True, qs[1:] != qs[:-1]]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, len(qs)])
+        pos = np.arange(len(qs)) - np.repeat(starts, lens)
+        m = pos < kk
+        idx_a[qs[m] + s0, pos[m]] = cand[o][m]
+        d2_a[qs[m] + s0, pos[m]] = d2[o][m]
+    good = idx_a >= 0
+    ids_sel = np.full(idx_a.shape, _id_pad(tile_ids.dtype), dtype=tile_ids.dtype)
+    if good.any():
+        ids_sel[good] = tile_ids[idx_a[good]]
+    out_ids[active] = ids_sel
+    out_dist[active] = np.sqrt(d2_a)
+    return out_ids, out_dist
+
+
 def knn_prep(tile_cells: np.ndarray, tile_ids: np.ndarray
              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(cell argsort order, sorted cells, id tie-break rank) for :func:`knn_arrays` —
@@ -597,45 +859,12 @@ def knn_arrays(
             counts[s0 : s0 + len(sub)] = cnts
             aq = sub[qpos]
             if len(cand):
-                # exact float64 distances over the whole flood — computed ONCE,
-                # shared by the prefilter and the final top-k (an earlier float32
-                # shadow-coordinate prefilter was unsound: casting absolute
-                # lat/lon to float32 costs ~1 m of ABSOLUTE distance error at
-                # mid/large coordinates — ulp(120°) ≈ 1e-5° — so a relative
-                # guard band pruned true near-tie contenders)
-                dlat = (tile_lat[cand] - query_lat[aq]) * 111_320.0
-                dlon = (tile_lon[cand] - query_lon[aq]) * 111_320.0 * cos_lat[aq]
-                d2 = dlat * dlat + dlon * dlon  # squared (monotone) — sqrt only the k
-                # partition-prefilter before the (n log n, 3-key) lexsort: keep
-                # only candidates with d2 ≤ the query's kk-th smallest EXACT d2
-                # (ties included by the ≤ — the id_rank tie-break still sees
-                # every tied contender, so the output is exactly the full-sort
-                # result). At ~20 tiles/cell density a k=3 ring-1 query carries
-                # ~190 candidates, and the full 3-key sort over the flood was
-                # the serving pool's dominant kernel cost. Dense (A, maxc)
-                # padding is linear; guarded against skew (a metro cell blowing
-                # maxc) by falling back to the full sort.
-                maxc = int(cnts.max())
-                A_sub = len(sub)
-                if maxc > kk and A_sub * maxc <= (1 << 23):
-                    starts_g = np.concatenate([[0], np.cumsum(cnts)[:-1]])
-                    pos_in = np.arange(len(cand)) - np.repeat(starts_g, cnts)
-                    dd = np.full((A_sub, maxc), np.inf)
-                    dd[qpos, pos_in] = d2
-                    thr = np.partition(dd, kk - 1, axis=1)[:, kk - 1]
-                    keep_m = d2 <= thr[qpos]
-                    cand = cand[keep_m]
-                    qpos = qpos[keep_m]
-                    d2 = d2[keep_m]
-                o = np.lexsort((id_rank[cand], d2, qpos))  # qpos presorted → cheap
-                qs = qpos[o]
-                first = np.r_[True, qs[1:] != qs[:-1]]
-                starts = np.flatnonzero(first)
-                lens = np.diff(np.r_[starts, len(qs)])
-                pos = np.arange(len(qs)) - np.repeat(starts, lens)
-                m = pos < kk
-                idx_a[qs[m] + s0, pos[m]] = cand[o][m]
-                d2_a[qs[m] + s0, pos[m]] = d2[o][m]
+                qs_m, pos_m, cand_m, d2_m = _chunk_flood_topk(
+                    cand, cnts, qpos, aq, query_lat, query_lon, cos_lat,
+                    tile_lat, tile_lon, id_rank, kk,
+                )
+                idx_a[qs_m + s0, pos_m] = cand_m
+                d2_a[qs_m + s0, pos_m] = d2_m
         dist_a = np.sqrt(d2_a)
         if not expand or r >= 64:
             done = np.ones(A, bool)

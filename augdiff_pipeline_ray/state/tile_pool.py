@@ -136,6 +136,7 @@ class TileShard:
         m = min(n, len(self.ids))
         sel = np.linspace(0, len(self.ids) - 1, m).astype(np.int64)
         self.knn_ring(self.lat[sel], self.lon[sel], k, 1)
+        self.knn_quad(self.lat[sel], self.lon[sel], k)  # round-0 kernel scratch
         return m
 
     def _ids_arr(self, numeric: bool) -> np.ndarray:
@@ -155,6 +156,23 @@ class TileShard:
             qlat, qlon, self.cells, self.lat, self.lon, self._ids_arr(numeric),
             k=k, expand=True, prep=self._prep,
         )
+
+    def knn_quad(self, qlat: np.ndarray, qlon: np.ndarray, k: int,
+                 numeric: bool = False) -> tuple[np.ndarray, np.ndarray]:
+        """Round-0 leaning-2×2-block top-k (exact for queries the pool's
+        coverage test resolves; the rest escalate to the ring rounds)."""
+        if not self.ids:
+            return self._empty_knn(len(qlat), numeric)
+        import time as _time
+        _t0 = _time.perf_counter()
+        out = T.knn_quad_arrays(
+            qlat, qlon, self.cells, self.lat, self.lon, self._ids_arr(numeric),
+            k=k, prep=self._prep,
+        )
+        if os.environ.get("AUGDIFF_KNN_DEBUG"):
+            print(f"[shard {self.shard_id}] knn_quad q={len(qlat)} "
+                  f"kernel={_time.perf_counter()-_t0:.2f}", flush=True)
+        return out
 
     def knn_ring(self, qlat: np.ndarray, qlon: np.ndarray, k: int, r: int,
                  numeric: bool = False) -> tuple[np.ndarray, np.ndarray]:
@@ -519,19 +537,45 @@ class TilePool:
         return futs
 
     def knn_scatter(self, qlat: np.ndarray, qlon: np.ndarray, k: int) -> dict:
-        """Fire round 1; returns the in-flight state for :meth:`knn_finish`."""
+        """Fire round 0 (leaning 2×2 quad blocks); returns the in-flight state
+        for :meth:`knn_finish`. The quad round carries ~4/9 of the ring-1
+        candidate flood and routes each query to the 1–2 shards its TWO block
+        rows intersect (a symmetric ring needs 2r+1 rows), and at working
+        density it exactly resolves ~90 % of queries — the ring escalation
+        then only ever sees the coverage-test stragglers."""
         qlat = np.asarray(qlat, np.float64)
         qlon = np.asarray(qlon, np.float64)
         qcells = C.cell_of(qlat, qlon, self._res)
+        qrow0, _, _, _ = T._quad_geometry(qlat, qlon, self._res)
+        active = np.flatnonzero(qcells >= 0)
         state = {
             "qlat": qlat, "qlon": qlon, "k": int(k),
             "qrow": C.cell_row(qcells),
-            "active": np.flatnonzero(qcells >= 0),
+            "active": active,
             "r": self._r0(k),
+            "quad": True,
         }
-        state["futs"] = self._scatter_round(
-            qlat, qlon, state["qrow"], state["active"], k, state["r"]
+        nrows, ncols = C.grid_shape(self._res)
+        lo_id = C.make_cell(
+            np.int64(self._res), np.clip(qrow0[active], 0, nrows - 1), 0
         )
+        hi_id = C.make_cell(
+            np.int64(self._res), np.clip(qrow0[active] + 1, 0, nrows - 1), ncols - 1
+        )
+        s_lo = np.clip(np.searchsorted(self._bounds, lo_id, side="right") - 1,
+                       0, self.num_shards - 1)
+        s_hi = np.clip(np.searchsorted(self._bounds, hi_id, side="right") - 1,
+                       0, self.num_shards - 1)
+        numeric = self._numeric_mode()
+        futs = []
+        for s in range(self.num_shards):
+            idx = active[(s_lo <= s) & (s <= s_hi)]
+            if len(idx):
+                futs.append(
+                    (idx, self._actors[s].knn_quad.remote(qlat[idx], qlon[idx],
+                                                          k, numeric))
+                )
+        state["futs"] = futs
         return state
 
     BRUTE_ACTIVE_MAX = 4096  # straggler set small enough for an all-shard brute round
@@ -564,8 +608,8 @@ class TilePool:
         rounds = 0
         _dbg = bool(os.environ.get("AUGDIFF_KNN_DEBUG"))
         import time as _time
-        while len(active):
-            _t0 = _time.perf_counter()
+
+        def _gather_merge(futs, active):
             qs, ds, cs = [], [], []
             for idx, fut in futs:
                 ids_p, dist_p = ray.get(fut)
@@ -576,12 +620,42 @@ class TilePool:
             pos_of = np.full(Q, -1, np.int64)
             pos_of[active] = np.arange(len(active))
             qidx = pos_of[np.concatenate(qs)] if qs else np.empty(0, np.int64)
-            ids_a, dist_a = T.topk_per_query(
+            return T.topk_per_query(
                 qidx,
                 np.concatenate(ds) if ds else np.empty(0),
-                np.concatenate(cs) if cs else np.empty(0, np.int64 if numeric else "U32"),
+                np.concatenate(cs) if cs else np.empty(0,
+                                                       np.int64 if numeric else "U32"),
                 len(active), kk,
             )
+
+        if state.get("quad") and len(active):
+            # round 0: merge the quad-block partials; a query is EXACT (and
+            # leaves the active set) iff its k-th distance fits inside the
+            # block's guaranteed coverage radius — identical float formula to
+            # the kernel's own prune threshold, so truncation is never
+            # mistaken for resolution
+            _t0 = _time.perf_counter()
+            ids_a, dist_a = _gather_merge(futs, active)
+            kth = dist_a[:, kk - 1]
+            cov = T.quad_coverage_m(
+                state["qlat"][active], state["qlon"][active], self._res
+            )
+            done = np.isfinite(kth) & (kth <= cov)
+            da = np.flatnonzero(done)
+            out_ids[active[da]] = ids_a[da]
+            out_dist[active[da]] = dist_a[da]
+            n_prev = len(active)
+            active = active[~done]
+            if _dbg:
+                print(f"[knn_finish] quad round active={n_prev} "
+                      f"remaining={len(active)} t={_time.perf_counter()-_t0:.2f}",
+                      flush=True)
+            futs = (self._scatter_round(state["qlat"], state["qlon"],
+                                        state["qrow"], active, k, r)
+                    if len(active) else [])
+        while len(active):
+            _t0 = _time.perf_counter()
+            ids_a, dist_a = _gather_merge(futs, active)
             kth = dist_a[:, kk - 1]
             done = (np.isfinite(kth) & (kth <= r * cell_min_m[active])) | (r >= grid_r)
             da = np.flatnonzero(done)
