@@ -395,24 +395,19 @@ class BankShard:
 def _rasterize_tiles(seq: int, recs: list[dict], hits: list[np.ndarray],
                      boxes: list[tuple], geoms: dict[int, object]) -> list[dict]:
     """Stateless phase-2 rasterize of one cost-balanced tile chunk: decode the tile,
-    mask each pre-decoded hit geometry (same geom-index order and 256-cap as the
-    original per-shard loop — ``changed_px`` is byte-identical), blend the union."""
+    rasterize ALL its pre-decoded hit geometries in one vectorized pass
+    (``geoms_tile_stats`` — pair-key dedup reproduces the per-geometry mask
+    loop bit-for-bit, without its ~10⁴ per-hit full-tile mask/sum/or passes),
+    blend the union."""
     rows = []
     for rec, idxs, (lat0, lat1, lon0, lon1) in zip(recs, hits, boxes):
         px, _ = IMG.decode(rec["blob"])
         h_px, w_px = px.shape[:2]
-        changed_total = 0
-        union = None
-        for gi in idxs:
-            g = geoms.get(int(gi))
-            if g is None:
-                continue
-            m = T.geom_tile_mask(h_px, w_px, (lat0, lat1, lon0, lon1), g)
-            c = int(m.sum())
-            if c:
-                changed_total += c
-                union = m if union is None else (union | m)
-        if union is not None:
+        glist = [(int(gi), geoms.get(int(gi))) for gi in idxs]
+        changed_total, union = T.geoms_tile_stats(
+            h_px, w_px, (lat0, lat1, lon0, lon1), glist
+        )
+        if union.any():
             px = T.blend_mask_on_tile(px, union)
         rows.append(
             {"batch_seq": seq, "image_id": rec["image_id"],
@@ -768,6 +763,8 @@ class TilePool:
         cost-balanced stateless rasterize fan-out."""
         if not recs:
             return []
+        import time as _time
+        _t0 = _time.perf_counter()
         recs.sort(key=lambda r: r["image_id"])
         bbs = ray.get(bbs_ref) if not isinstance(bbs_ref, np.ndarray) else bbs_ref
         wkbs = ray.get(wkbs_ref) if isinstance(wkbs_ref, ray.ObjectRef) else wkbs_ref
@@ -787,12 +784,14 @@ class TilePool:
                 idxs = np.empty(0, np.int64)
             hits.append(idxs)
             need.update(idxs.tolist())
+        _t_hits = _time.perf_counter() - _t0
         geoms: dict[int, object] = {}
         for gi in sorted(need):
             w = wkbs[gi]
             if not isinstance(w, (bytes, type(None))):
                 w = w.as_py()
             geoms[gi] = G.wkb_to_geom(w)
+        _t_geom = _time.perf_counter() - _t0 - _t_hits
         # cost-balanced round-robin over up to pool-width chunks (heaviest first)
         cost = np.array([len(h) + 1 for h in hits], np.float64)
         # cap the task fan-out: per-call overhead (~20 ms submit+deserialize+
@@ -820,6 +819,11 @@ class TilePool:
             ))
         rows = [r for part in ray.get(futs) for r in part]
         rows.sort(key=lambda r: r["image_id"])
+        if os.environ.get("AUGDIFF_OVERLAY_DEBUG"):
+            print(f"[ovl {seq}] tiles={len(recs)} geoms={len(need)} "
+                  f"nhit={int(sum(len(h) for h in hits))} hits={_t_hits:.3f} "
+                  f"wkb={_t_geom:.3f} tasks={_time.perf_counter()-_t0-_t_hits-_t_geom:.3f}",
+                  flush=True)
         return rows
 
     def overlay(self, seq: int, touched: np.ndarray, wkbs: list, bbs: np.ndarray,
