@@ -801,8 +801,14 @@ class AdiffJob:
             from .indexer import pool_size
 
             env = os.environ.get("AUGDIFF_RENDER_POOL", "")
+            # frac 0.5: with the kNN/overlay tails vectorized (r5) the render
+            # pool became the stream's throughput cap — at 32 CPUs the
+            # quarter-width pool (8 actors) held the whole stream at 0.34
+            # s/batch while 16 actors reach the ~0.28 work floor; the dup
+            # factor is chunking-driven, not width-driven (1.57 @ 8 → 1.61
+            # @ 16 shards), so the wider pool costs almost no extra work
             render_concurrency = (int(env) if env
-                                  else max(2, pool_size(frac=0.25, cap=16)))
+                                  else max(2, pool_size(frac=0.5, cap=16)))
         self.render_concurrency = render_concurrency
         self.save_interval = save_interval
         self.drop_tags_on_load = drop_tags_on_load
