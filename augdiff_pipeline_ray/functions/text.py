@@ -224,19 +224,16 @@ def lang_id_arrow(col) -> np.ndarray:
     )
 
 
-def fingerprint64_arrow(col) -> np.ndarray:
-    """FNV-1a 64-bit rolling fingerprint straight off the Arrow utf8 values buffer.
-
-    Fully vectorized: the padded (n_docs, max_len) byte matrix is built with one
-    repeat/arange scatter from the contiguous utf8 buffer (no per-row encode), then
-    the sequential recurrence h = (h ^ byte) * prime advances one byte *position*
-    per step across the whole batch — max_len vector ops, zero per-row Python."""
+def _utf8_byte_matrix(col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow utf8 column → padded (n, max_len) uint8 matrix + per-row byte lengths,
+    built with one repeat/arange scatter off the contiguous values buffer (no
+    per-row encode) — the shared substrate of the vectorized fingerprints."""
     arr = pc.fill_null(col, "")
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
     if n == 0:
-        return np.empty(0, np.int64)
+        return np.zeros((0, 0), np.uint8), np.empty(0, np.int64)
     if pa.types.is_large_string(arr.type):
         off_np = np.frombuffer(arr.buffers()[1], np.int64)[arr.offset : arr.offset + n + 1]
     else:
@@ -254,12 +251,55 @@ def fingerprint64_arrow(col) -> np.ndarray:
         np.repeat(starts, lens)
         + flat_cols
     ]
+    return mat, lens
+
+
+def fingerprint64_arrow(col) -> np.ndarray:
+    """FNV-1a 64-bit rolling fingerprint straight off the Arrow utf8 values buffer.
+
+    Fully vectorized: the padded (n_docs, max_len) byte matrix is built with one
+    repeat/arange scatter from the contiguous utf8 buffer (no per-row encode), then
+    the sequential recurrence h = (h ^ byte) * prime advances one byte *position*
+    per step across the whole batch — max_len vector ops, zero per-row Python."""
+    mat, lens = _utf8_byte_matrix(col)
+    n = len(lens)
+    if n == 0:
+        return np.empty(0, np.int64)
     h = np.full(n, 0xCBF29CE484222325, np.uint64)
     prime = np.uint64(0x100000001B3)
-    for j in range(max_len):
+    for j in range(mat.shape[1]):
         live = lens > j
         h = np.where(live, (h ^ mat[:, j].astype(np.uint64)) * prime, h)
     return h.view(np.int64)
+
+
+def fingerprint128_arrow(col) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit FNV-1a-style lanes over the same byte matrix — a
+    vectorized 128-bit content fingerprint for equal-text dedup verification
+    (VERDICT r4 #3: replaces the per-doc blake2b C-call loop).
+
+    Lane 1 is standard FNV-1a/64; lane 2 runs the same recurrence with a
+    different odd multiplier and offset basis and the byte stream XOR-masked,
+    so the lanes mix the same bytes through unrelated linear orbits. Equal
+    texts always agree on both lanes (deterministic); distinct texts collide
+    on both only with ~2⁻¹²⁸-scale odds on non-adversarial corpora — an
+    engineering-grade contract (NOT cryptographic; a dedup facing adversarial
+    inputs should swap in a keyed cryptographic hash here)."""
+    mat, lens = _utf8_byte_matrix(col)
+    n = len(lens)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    h1 = np.full(n, 0xCBF29CE484222325, np.uint64)
+    h2 = np.full(n, 0x9E3779B97F4A7C15, np.uint64)
+    p1 = np.uint64(0x100000001B3)
+    p2 = np.uint64(0xDA942042E4DD58B5)
+    mask = np.uint64(0xA5)
+    for j in range(mat.shape[1]):
+        live = lens > j
+        b = mat[:, j].astype(np.uint64)
+        h1 = np.where(live, (h1 ^ b) * p1, h1)
+        h2 = np.where(live, (h2 ^ (b ^ mask)) * p2, h2)
+    return h1.view(np.int64), h2.view(np.int64)
 
 
 def shingles(text: str, k: int = 5) -> set[int]:
