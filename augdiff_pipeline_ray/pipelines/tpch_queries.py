@@ -1150,6 +1150,54 @@ def q_weighted_sample(sf_dir: str):
 
 
 @query(
+    "hot_type_value_topk",
+    """
+    SELECT event_type, event_id, value, rank FROM (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY value DESC, event_id) - 1 AS rank
+      FROM events) WHERE rank < 10
+    """,
+)
+def q_hot_type_value_topk(sf_dir: str):
+    """Per-event-type top-10 rows by value through the GENERAL salted shuffle
+    (stages/shuffle.py::salted_group_apply — its production user): event_type has
+    only ~5 distinct values, each holding ~20 % of the table, so a plain
+    ``groupby(event_type).map_groups`` hands one reducer a fifth of ALL rows —
+    the definitional hot-key reducer at 10^12 scale. The salted plan detects the
+    hot keys from partial counts, splits each into k=8 (key, salt) sub-groups
+    spread by a row hash, runs the associative per-sub-group top-10, and
+    re-merges ≤ 8×10 rows per key in a tiny second groupby — exact (top-k is a
+    semilattice), oracle-checked against the window-function SQL."""
+    from ..stages import shuffle as SH
+
+    ds = SRC.read_parquet_clean(
+        TP._p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def _topk(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((e, -v))[:10]
+        return pa.table(
+            {"event_type": t["event_type"].take(pa.array(sel)),
+             "event_id": pa.array(e[sel]),
+             "value": pa.array(v[sel])}
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        out = _topk(t)
+        return out.append_column(
+            "rank", pa.array(np.arange(len(out), dtype=np.int64))
+        )
+
+    res = SH.salted_group_apply(
+        ds, "event_type", _topk, _merge, hot_threshold=100, k=8
+    ).to_pandas()
+    return res.sort_values(["event_type", "rank"]).reset_index(drop=True)
+
+
+@query(
     "knn_label_prop",
     """
     WITH lab AS (SELECT vec_id, vec_id % 4 AS label, embedding

@@ -29,6 +29,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+from ..functions.text import fingerprint64_arrow
+
 
 def detect_hot_keys(ds: rd.Dataset, key: str, hot_threshold: int) -> set[int]:
     """Partial per-batch counts → small groupby → keys with count ≥ hot_threshold.
@@ -48,14 +50,23 @@ def detect_hot_keys(ds: rd.Dataset, key: str, hot_threshold: int) -> set[int]:
         .aggregate(Sum("n", alias_name="n"))
     )
     pdf = agg.to_pandas()
-    return set(pdf.loc[pdf["n"] >= hot_threshold, key].astype(np.int64).tolist())
+    hot = pdf.loc[pdf["n"] >= hot_threshold, key]
+    if pd.api.types.is_integer_dtype(hot):
+        hot = hot.astype(np.int64)
+    return set(hot.tolist())
 
 
 def add_salt(
-    ds: rd.Dataset, key: str, hot_keys: set[int], k: int = 8
+    ds: rd.Dataset, key: str, hot_keys: set, k: int = 8
 ) -> rd.Dataset:
-    """Stamp a ``salt`` column: hash-spread 0..k-1 for hot keys, 0 for cold keys."""
-    hot_ref = ray.put(np.fromiter(hot_keys, np.int64, len(hot_keys)))
+    """Stamp a ``salt`` column: hash-spread 0..k-1 for hot keys, 0 for cold keys.
+    Integer keys mix directly; string keys (e.g. an event-type column whose every
+    value is hot) mix through the vectorized FNV-1a fingerprint."""
+    int_keys = all(isinstance(h, (int, np.integer)) for h in hot_keys)
+    hot_ref = ray.put(
+        np.fromiter(hot_keys, np.int64, len(hot_keys)) if int_keys
+        else np.asarray(sorted(hot_keys), object)
+    )
 
     def stamp(t: pa.Table) -> pa.Table:
         hot = ray.get(hot_ref)
@@ -63,9 +74,13 @@ def add_salt(
         salt = np.zeros(len(t), np.int64)
         mask = np.isin(kv, hot)
         if mask.any():
+            if kv.dtype.kind in "iu":
+                base = kv[mask].astype(np.int64)
+            else:
+                base = fingerprint64_arrow(pa.array(kv[mask].astype(str)))
             # deterministic row hash: mix the row's position-invariant content
             idx = np.arange(len(t))[mask]
-            salt[mask] = (kv[mask] * 0x9E3779B1 + idx) % k
+            salt[mask] = (base * 0x9E3779B1 + idx) % k
         if "salt" in t.column_names:
             t = t.drop_columns(["salt"])
         return t.append_column("salt", pa.array(salt))
@@ -81,12 +96,12 @@ def salted_group_count(
     salted = add_salt(ds, key, hot, k)
 
     def partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {key: t[key].to_numpy(zero_copy_only=False),
-             "salt": t["salt"].to_numpy(zero_copy_only=False)}
+        g = (
+            t.select([key, "salt"])
+            .group_by([key, "salt"])
+            .aggregate([([], "count_all")])
         )
-        g = df.groupby([key, "salt"], sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns([key, "salt", "n"])
 
     per_salt = (
         salted.map_batches(partial, batch_format="pyarrow")
@@ -100,17 +115,20 @@ def salted_group_count(
 def salted_group_apply(
     ds: rd.Dataset,
     key: str,
-    fn: Callable[[pd.DataFrame], pd.DataFrame],
-    merge: Callable[[pd.DataFrame], pd.DataFrame],
+    fn: Callable[[pa.Table], pa.Table],
+    merge: Callable[[pa.Table], pa.Table],
     hot_threshold: int = 100_000,
     k: int = 8,
 ) -> rd.Dataset:
     """General salted map_groups: ``fn`` runs per (key, salt) sub-group, ``merge``
-    combines a key's sub-results (must be associative w.r.t. fn's output)."""
+    combines a key's sub-results (must be associative w.r.t. fn's output). Arrow
+    end-to-end — both callables take and return ``pa.Table``. Production user:
+    ``hot_type_value_topk`` (pipelines/tpch_queries.py), where every event-type
+    key holds ~1/5 of the table and would otherwise serialize on one reducer."""
     hot = detect_hot_keys(ds, key, hot_threshold)
     salted = add_salt(ds, key, hot, k)
-    per_salt = salted.groupby([key, "salt"]).map_groups(fn, batch_format="pandas")
-    return per_salt.groupby(key).map_groups(merge, batch_format="pandas")
+    per_salt = salted.groupby([key, "salt"]).map_groups(fn, batch_format="pyarrow")
+    return per_salt.groupby(key).map_groups(merge, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -150,10 +150,19 @@ def cpu_control_rate(seconds: float = 2.0) -> float:
 
 
 def run_long_stream(n_batches: int = 60) -> dict:
-    """60-batch stream on a small world; records per-batch wall + the 'emit' stage
-    (memory-tier write + incremental index append). Evidence that the sorted-base +
-    delta-tier design (state/index_store.py) keeps steady-state append cost FLAT as
-    the index grows — r1's concat+argsort-per-append was O(N log N) per batch."""
+    """Long-stream flatness evidence: steady-state per-batch cost must not grow
+    with accumulated state (index edges, memory tier, lineage). Evidence that the
+    sorted-base + delta-tier design (state/index_store.py) holds — r1's
+    concat+argsort-per-append was O(N log N) per batch.
+
+    Metric re-cut (VERDICT r4 #2): the old headline compared first/last-quartile
+    means of the 'emit' stage, but emit is now only the durability THREAD LAUNCH
+    (~1 ms — the append work runs off the serial path), so the ratio measured
+    timer resolution. The headline is now per-batch WALL flatness between the
+    second quartile (post-warmup) and the last quartile, with the CLOSURE stage
+    ratio as the growth-sensitive supporting signal (closure's 2-hop fetch reads
+    the live+base index shards every batch, so index growth would surface there
+    first); churn is 4× higher so per-batch wall sits well above timer noise."""
     import logging
 
     import ray
@@ -169,27 +178,38 @@ def run_long_stream(n_batches: int = 60) -> dict:
     work = tempfile.mkdtemp(prefix="augdiff_long_")
     world, out = os.path.join(work, "world"), os.path.join(work, "out")
     W.write_world(world, W.WorldConfig(grid=96, n_images=4096,
-                                       n_batches=n_batches, churn_nodes=3000))
+                                       n_batches=n_batches, churn_nodes=12000))
     job = AD.AdiffJob(world, out)
     job.bootstrap()
     stats = job.run_stream()
     job.close()
     batches = stats["batches"]
     emit = [b["stage_sec"].get("emit", 0.0) for b in batches]
+    closure = [b["stage_sec"].get("closure", 0.0) for b in batches]
     walls = [b["wall_ms"] / 1000.0 for b in batches]
-    q = max(1, len(emit) // 4)
-    head_emit = sum(emit[:q]) / q
-    tail_emit = sum(emit[-q:]) / q
+    q = max(1, len(walls) // 4)
+    warm = walls[q : 2 * q]  # second quartile: past warmup, state still small
+    tail = walls[-q:]        # last quartile: state at its largest
+    warm_cl = closure[q : 2 * q]
+    tail_cl = closure[-q:]
     result = {
-        "metric": "per-batch index-append ('emit') time over a long stream: "
-        "first-quartile vs last-quartile mean (flat => delta tier amortizes)",
+        "metric": "per-batch WALL flatness over a long stream: second-quartile "
+        "(post-warmup) vs last-quartile mean (flat => state growth is amortized); "
+        "closure-stage ratio = the index-growth-sensitive supporting signal",
         "n_batches": len(batches),
-        "emit_mean_first_quartile_s": round(head_emit, 4),
-        "emit_mean_last_quartile_s": round(tail_emit, 4),
-        "emit_last_over_first": round(tail_emit / max(head_emit, 1e-9), 3),
-        "wall_mean_first_quartile_s": round(sum(walls[:q]) / q, 4),
-        "wall_mean_last_quartile_s": round(sum(walls[-q:]) / q, 4),
+        "wall_mean_warm_quartile_s": round(sum(warm) / len(warm), 4),
+        "wall_mean_last_quartile_s": round(sum(tail) / len(tail), 4),
+        "wall_last_over_warm": round(
+            (sum(tail) / len(tail)) / max(sum(warm) / len(warm), 1e-9), 3
+        ),
+        "closure_mean_warm_quartile_s": round(sum(warm_cl) / len(warm_cl), 4),
+        "closure_mean_last_quartile_s": round(sum(tail_cl) / len(tail_cl), 4),
+        "closure_last_over_warm": round(
+            (sum(tail_cl) / len(tail_cl)) / max(sum(warm_cl) / len(warm_cl), 1e-9), 3
+        ),
+        "emit_mean_last_quartile_s": round(sum(emit[-q:]) / q, 4),
         "per_batch_emit_s": [round(e, 4) for e in emit],
+        "per_batch_closure_s": [round(c, 4) for c in closure],
         "per_batch_wall_s": [round(w, 4) for w in walls],
     }
     shutil.rmtree(work, ignore_errors=True)

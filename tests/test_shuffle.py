@@ -44,11 +44,11 @@ def test_salted_count_equals_unsalted(skewed_cells):
 def test_salted_apply_equals_direct(skewed_cells):
     ds = rd.from_arrow(skewed_cells)
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"cell": [g["cell"].iloc[0]], "mx": [g["phash"].max()]})
+    def fn(g: pa.Table) -> pa.Table:
+        return pa.table({"cell": g["cell"][:1], "mx": [pa.compute.max(g["phash"])]})
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"cell": [g["cell"].iloc[0]], "mx": [g["mx"].max()]})
+    def merge(g: pa.Table) -> pa.Table:
+        return pa.table({"cell": g["cell"][:1], "mx": [pa.compute.max(g["mx"])]})
 
     out = SH.salted_group_apply(ds, "cell", fn, merge, hot_threshold=50, k=4).to_pandas()
     direct = (
@@ -56,6 +56,35 @@ def test_salted_apply_equals_direct(skewed_cells):
     )
     got = dict(zip(out["cell"], out["mx"]))
     want = dict(zip(direct["cell"], direct["mx"]))
+    assert got == want
+
+
+def test_salted_apply_string_keys_topk(ray_session):
+    """String hot keys (every key hot — the event-type shape used by the
+    hot_type_value_topk registry query): salted top-k == the direct top-k."""
+    rng = np.random.default_rng(3)
+    n = 4000
+    types = np.asarray(["a", "b", "c"], object)[rng.integers(0, 3, n)]
+    vals = rng.random(n)
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"ty": pa.array(types), "id": pa.array(ids), "v": pa.array(vals)})
+
+    def topk(g: pa.Table) -> pa.Table:
+        v = g["v"].to_numpy(zero_copy_only=False)
+        i = g["id"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((i, -v))[:5]
+        return pa.table({"ty": g["ty"].take(pa.array(sel)),
+                         "id": pa.array(i[sel]), "v": pa.array(v[sel])})
+
+    out = SH.salted_group_apply(
+        rd.from_arrow(t).repartition(7), "ty", topk, topk, hot_threshold=10, k=4
+    ).to_pandas()
+    direct = (
+        t.to_pandas().sort_values(["ty", "v", "id"], ascending=[True, False, True])
+        .groupby("ty").head(5)
+    )
+    got = {(r.ty, r.id) for r in out.itertuples()}
+    want = {(r.ty, r.id) for r in direct.itertuples()}
     assert got == want
 
 
