@@ -9,8 +9,12 @@ and ``jpeg_decode`` reads any baseline stream — grayscale, 4:4:4 and SUBSAMPLE
 layouts (4:2:0/4:2:2/4:4:0/4:1:1, sampling factors 1-4 with integer upsampling
 ratios; replicate upsampling — T.81 leaves the filter to the decoder). The encoder
 takes an optional ``subsampling=(2, 2)`` for 4:2:0 output (engine tiles stay 4:4:4,
-byte-identical to the pre-subsampling encoder). Progressive streams are rejected
-explicitly, not silently mis-decoded.
+byte-identical to the pre-subsampling encoder). PROGRESSIVE (SOF2) streams decode
+through the full T.81 G.1.2 multi-scan path (spectral selection + successive
+approximation, EOB-run coding, correction bits), and ``jpeg_encode_progressive``
+emits the classic 10-scan script — its output is pinned pixel-identical to the
+baseline path on the same quality. Hierarchical/lossless/arithmetic SOFs are
+rejected explicitly, not silently mis-decoded.
 
 Design notes (the hot path is the TileDecoder actor pool at 10^12-image scale):
 
@@ -168,6 +172,21 @@ _ENC_TABLES = {
     ("ac", 0): _build_codes(AC_LUM_BITS, AC_LUM_VALS),
     ("ac", 1): _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
 }
+
+# Progressive AC scans code EOBn symbols (nb<<4, nb=1..14) that the Annex K
+# sequential tables don't contain, so the progressive encoder carries its own
+# AC table: a flat 8-bit canonical assignment over every symbol a progressive
+# AC scan can emit — EOBn, ZRL, and (run<<4)|size for size 1..14. 240 codes of
+# length 8 satisfy Kraft (≤256), the all-ones padding code stays unassigned,
+# and the table ships in the stream's DHT like any other (a real encoder would
+# optimize per scan; fixed-length keeps the fixture generator simple).
+PROG_AC_VALS = (
+    [nb << 4 for nb in range(15)]            # EOB1..EOB16384 (0x00 = plain EOB)
+    + [0xF0]                                 # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+)
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(PROG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_TABLES[("acp", 0)] = _build_codes(PROG_AC_BITS, PROG_AC_VALS)
 
 
 # ---------------------------------------------------------------------------
@@ -414,6 +433,44 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90,
 # Decode
 # ---------------------------------------------------------------------------
 
+def _extract_scan(d: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+    """Entropy-coded byte slice → (32-bit peek windows, restart boundaries, n bytes).
+
+    De-stuffs FF00, stops at any true marker; RSTn markers are cut and their byte
+    positions recorded in KEPT bytes (the bitstream restarts byte-aligned there).
+    The peek windows are padded so reads past the end return zeros."""
+    ff = d == 0xFF
+    nxt = np.r_[d[1:], np.uint8(0)]
+    marker_at = np.flatnonzero(ff & (nxt != 0) & ~((nxt >= 0xD0) & (nxt <= 0xD7)))
+    end = int(marker_at[0]) if len(marker_at) else len(d)
+    d = d[:end]
+    drop = np.zeros(len(d), bool)
+    ffpos = np.flatnonzero(d[:-1] == 0xFF) if len(d) else np.array([], np.int64)
+    stuffed = ffpos[d[ffpos + 1] == 0x00]
+    drop[stuffed + 1] = True
+    rst = ffpos[(d[ffpos + 1] >= 0xD0) & (d[ffpos + 1] <= 0xD7)]
+    drop[rst] = True
+    drop[rst + 1] = True
+    kept = ~drop
+    kept_cum = np.cumsum(kept)
+    rst_at = (kept_cum[rst] - 0).astype(np.int64) if len(rst) else np.array([], np.int64)
+    scan = d[kept]
+    sp = np.r_[scan, np.zeros(8, np.uint8)].astype(np.uint32)
+    win = (sp[:-3] << 24) | (sp[1:-2] << 16) | (sp[2:-1] << 8) | sp[3:]
+    return win, rst_at, len(scan)
+
+
+def _entropy_end(data: bytes, start: int) -> int:
+    """Absolute offset of the first true marker (not FF00 stuffing, not RSTn)
+    at/after ``start`` — the end of an entropy-coded segment."""
+    d = np.frombuffer(data, np.uint8)[start:]
+    nxt = np.r_[d[1:], np.uint8(0)]
+    m = np.flatnonzero(
+        (d == 0xFF) & (nxt != 0) & ~((nxt >= 0xD0) & (nxt <= 0xD7))
+    )
+    return start + (int(m[0]) if len(m) else len(d))
+
+
 def _build_decode_lut(bits: list[int], vals: list[int]) -> tuple[np.ndarray, np.ndarray]:
     """16-bit-peek LUT: peeked 16 bits → (symbol, code length)."""
     if len(vals) != sum(bits):
@@ -470,9 +527,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     Supports baseline sequential (SOF0/1), 8-bit, 1 or 3 components, ARBITRARY
     sampling factors 1–4 with integer upsampling ratios (4:4:4, 4:2:0, 4:2:2,
     4:4:0, 4:1:1 — the shapes real-world cameras emit), optional restart
-    intervals. Subsampled chroma upsamples by sample replication (T.81 leaves
-    the interpolation filter to the decoder). Progressive streams raise
-    ValueError.
+    intervals, and PROGRESSIVE (SOF2) streams via the multi-scan decoder.
+    Subsampled chroma upsamples by sample replication (T.81 leaves the
+    interpolation filter to the decoder).
     """
     data = bytes(data)
     segs = _Segments(data)
@@ -516,8 +573,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError(f"invalid sampling factors {hi}x{vi}")
                 comps.append((cid, hi, vi, tq))
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("not a baseline sequential JPEG (progressive/lossless SOF)")
+        elif m == 0xC2:  # SOF2 — progressive: the multi-scan decoder takes over
+            return _jpeg_decode_progressive(data)
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported SOF (hierarchical/lossless/arithmetic)")
         elif m == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif m == 0xDA:  # SOS — entropy-coded data follows the segment
@@ -533,29 +592,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     if not comps or h == 0 or w == 0:
         raise ValueError("missing SOF header")
 
-    # entropy-coded bytes: de-stuff FF00, stop at any true marker; RSTn are cut and
-    # their byte positions recorded (they reset DC predictors + bit alignment)
-    d = np.frombuffer(data, np.uint8)[scan_start:]
-    ff = d == 0xFF
-    nxt = np.r_[d[1:], np.uint8(0)]
-    marker_at = np.flatnonzero(ff & (nxt != 0) & ~((nxt >= 0xD0) & (nxt <= 0xD7)))
-    end = int(marker_at[0]) if len(marker_at) else len(d)
-    d = d[:end]
-    drop = np.zeros(len(d), bool)
-    ffpos = np.flatnonzero(d[:-1] == 0xFF) if len(d) else np.array([], np.int64)
-    stuffed = ffpos[d[ffpos + 1] == 0x00]
-    drop[stuffed + 1] = True
-    rst = ffpos[(d[ffpos + 1] >= 0xD0) & (d[ffpos + 1] <= 0xD7)]
-    drop[rst] = True
-    drop[rst + 1] = True
-    kept = ~drop
-    # restart boundary positions measured in KEPT bytes (bitstream restarts there)
-    kept_cum = np.cumsum(kept)
-    rst_at = (kept_cum[rst] - 0).astype(np.int64) if len(rst) else np.array([], np.int64)
-    scan = d[kept]
-    # 32-bit big-endian peek windows (pad so peeks past the end read zeros)
-    sp = np.r_[scan, np.zeros(8, np.uint8)].astype(np.uint32)
-    win = (sp[:-3] << 24) | (sp[1:-2] << 16) | (sp[2:-1] << 8) | sp[3:]
+    win, rst_at, n_scan_bytes = _extract_scan(
+        np.frombuffer(data, np.uint8)[scan_start:]
+    )
 
     nc = len(comps)
     hmax = max(c[1] for c in comps)
@@ -591,7 +630,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     bitpos = 0
     rst_iter = iter(rst_at.tolist())
     next_rst = next(rst_iter, -1)
-    total_bits = len(scan) * 8
+    total_bits = n_scan_bytes * 8
     zig = ZIG  # local
     try:
         for mcu in range(n_mcu):
@@ -655,6 +694,13 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     except IndexError as e:  # peek past the padded window ⇒ truncated stream
         raise ValueError("truncated entropy-coded data") from e
 
+    return _finish_decode(comps, comp_coefs, qtables, h, w, hmax, vmax, mcux, mcuy)
+
+
+def _finish_decode(comps, comp_coefs, qtables, h, w, hmax, vmax, mcux, mcuy
+                   ) -> np.ndarray:
+    """Shared decode tail: dequant, IDCT, crop, replicate-upsample, color."""
+    nc = len(comps)
     planes = []
     for c in range(nc):
         _, hi, vi, tq = comps[c]
@@ -685,3 +731,544 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
     )
     return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — spectral selection + successive approximation, T.81 G.1.2
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_decode_progressive(data: bytes) -> np.ndarray:
+    """Progressive JFIF bytes → (h, w, 3) uint8 RGB.
+
+    Full T.81 G.1.2 decode: interleaved/non-interleaved DC first + refinement
+    scans, per-component AC band scans with EOB-run coding, and the AC
+    successive-approximation correction-bit algorithm (the jdphuff-style
+    formulation). Coefficients accumulate across scans into the same padded
+    per-component grids the baseline decoder uses, then the shared
+    dequant/IDCT/upsample tail runs once. Restart markers reset predictors,
+    EOB runs and bit alignment per scan."""
+    data = bytes(data)
+    segs = _Segments(data)
+    qtables: dict[int, np.ndarray] = {}
+    luts: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    h = w = 0
+    comps: list[tuple[int, int, int, int]] = []
+    restart_interval = 0
+    scans: list[tuple] = []
+    while True:
+        m, seg, at = segs.next()
+        if m == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                t = np.zeros(64, np.int32)
+                t[ZIG] = np.frombuffer(seg[i + 1 : i + 65], np.uint8)
+                qtables[tq] = t
+                i += 65
+        elif m == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nv])
+                luts[(tc, th)] = _build_decode_lut(bits, vals)
+                i += 17 + nv
+        elif m == 0xC2:
+            prec, h, w, nc_ = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported precision {prec}")
+            if nc_ not in (1, 3):
+                raise ValueError(f"unsupported component count {nc_}")
+            for c in range(nc_):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                hi, vi = samp >> 4, samp & 15
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"invalid sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, tq))
+        elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                   0xCE, 0xCF):
+            raise ValueError("mixed/unsupported SOF in progressive stream")
+        elif m == 0xDD:
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif m == 0xDA:
+            ns = seg[0]
+            sc = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                  for c in range(ns)]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            start = segs.pos
+            end = _entropy_end(data, start)
+            scans.append((sc, ss, se, ahal >> 4, ahal & 15, start, end,
+                          restart_interval, dict(luts)))
+            segs.pos = end
+        elif m == 0xD9:
+            break
+    if not comps or h == 0 or w == 0:
+        raise ValueError("missing SOF2 header")
+    if not scans:
+        raise ValueError("no scans in progressive stream")
+
+    nc = len(comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if any(hmax % c[1] or vmax % c[2] for c in comps):
+        raise ValueError("non-integer chroma upsampling ratio unsupported")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    comp_coefs = [
+        np.zeros((mcuy * vi * mcux * hi, 64), np.int32) for _, hi, vi, _ in comps
+    ]
+    cid_to_idx = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    zig = ZIG
+
+    for (sc, ss, se, ah, al, start, end, dri, scan_luts) in scans:
+        win, rst_at, n_bytes = _extract_scan(np.frombuffer(data, np.uint8)[start:end])
+        bitpos = 0
+        rst_iter = iter(rst_at.tolist())
+        next_rst = next(rst_iter, -1)
+
+        def read_huff(lut):
+            nonlocal bitpos
+            sym, ln = lut
+            peek = (win[bitpos >> 3] >> (16 - (bitpos & 7))) & 0xFFFF
+            l = int(ln[peek])
+            if l == 0:
+                raise ValueError("invalid Huffman code (progressive scan)")
+            bitpos += l
+            return int(sym[peek])
+
+        def receive(s):
+            nonlocal bitpos
+            v = int((win[bitpos >> 3] >> (32 - (bitpos & 7) - s)) & ((1 << s) - 1))
+            bitpos += s
+            return v
+
+        def read_bit():
+            nonlocal bitpos
+            b = int((win[bitpos >> 3] >> (31 - (bitpos & 7))) & 1)
+            bitpos += 1
+            return b
+
+        def restart_jump():
+            nonlocal bitpos, next_rst
+            if next_rst >= 0:
+                bitpos = int(next_rst) * 8
+                next_rst = next(rst_iter, -1)
+            else:
+                bitpos = (bitpos + 7) & ~7
+
+        try:
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("DC scan with Se != 0")
+                # block walk: interleaved over MCUs (ns > 1) or the component's
+                # own non-padded grid (ns == 1, T.81 A.2.2)
+                if len(sc) > 1:
+                    layout = []
+                    for cid, td, ta in sc:
+                        c = cid_to_idx[cid]
+                        _, hi, vi, _ = comps[c]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                layout.append((c, by, bx, td))
+                    n_units = mcux * mcuy
+                    def unit_blocks(u):
+                        my, mx = u // mcux, u % mcux
+                        for c, by, bx, td in layout:
+                            _, hi, vi, _ = comps[c]
+                            yield c, (my * vi + by) * (mcux * hi) + mx * hi + bx, td
+                else:
+                    cid, td0, _ = sc[0]
+                    c0 = cid_to_idx[cid]
+                    _, hi, vi, _ = comps[c0]
+                    bw = (-(-(w * hi) // hmax) + 7) // 8
+                    bh = (-(-(h * vi) // vmax) + 7) // 8
+                    n_units = bw * bh
+                    def unit_blocks(u):
+                        by, bx = u // bw, u % bw
+                        yield c0, by * (mcux * comps[c0][1]) + bx, td0
+                pred = [0] * nc
+                for u in range(n_units):
+                    if dri and u and u % dri == 0:
+                        restart_jump()
+                        pred = [0] * nc
+                    for c, bidx, td in unit_blocks(u):
+                        row = comp_coefs[c][bidx]
+                        if ah == 0:
+                            s = read_huff(scan_luts[(0, td)])
+                            if s:
+                                v = receive(s)
+                                if v < (1 << (s - 1)):
+                                    v -= (1 << s) - 1
+                            else:
+                                v = 0
+                            pred[c] += v
+                            row[0] = pred[c] << al
+                        else:
+                            if read_bit():
+                                row[0] |= 1 << al
+            else:
+                if len(sc) != 1:
+                    raise ValueError("interleaved AC scan (T.81 B.2.3 violation)")
+                cid, _, ta = sc[0]
+                c = cid_to_idx[cid]
+                _, hi, vi, _ = comps[c]
+                lut = scan_luts[(1, ta)]
+                bw = (-(-(w * hi) // hmax) + 7) // 8
+                bh = (-(-(h * vi) // vmax) + 7) // 8
+                grid_w = mcux * hi
+                eobrun = 0
+                p1, m1 = 1 << al, -1 << al
+                for u in range(bw * bh):
+                    if dri and u and u % dri == 0:
+                        restart_jump()
+                        eobrun = 0
+                    by, bx = u // bw, u % bw
+                    row = comp_coefs[c][by * grid_w + bx]
+                    if ah == 0:
+                        # --- AC first scan (G.1.2.2) ---
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = read_huff(lut)
+                            r, s = sym >> 4, sym & 15
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += receive(r)
+                                    break
+                                k += 16
+                                continue
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run past band end")
+                            v = receive(s)
+                            if v < (1 << (s - 1)):
+                                v -= (1 << s) - 1
+                            row[zig[k]] = v << al
+                            k += 1
+                    else:
+                        # --- AC refinement scan (G.1.2.3, jdphuff shape) ---
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                sym = read_huff(lut)
+                                r, s = sym >> 4, sym & 15
+                                val = 0
+                                if s == 0:
+                                    if r < 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += receive(r)
+                                        break
+                                    # r == 15: ZRL — skip 16 zero-history slots
+                                else:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "refinement symbol size != 1")
+                                    val = p1 if read_bit() else m1
+                                while k <= se:
+                                    zk = zig[k]
+                                    if row[zk] != 0:
+                                        if read_bit():
+                                            if (row[zk] & p1) == 0:
+                                                row[zk] += p1 if row[zk] >= 0 else m1
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val and k <= se:
+                                    row[zig[k]] = val
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                zk = zig[k]
+                                if row[zk] != 0:
+                                    if read_bit():
+                                        if (row[zk] & p1) == 0:
+                                            row[zk] += p1 if row[zk] >= 0 else m1
+                                k += 1
+                            eobrun -= 1
+            if bitpos > n_bytes * 8:
+                raise ValueError("entropy data overrun (progressive scan)")
+        except IndexError as e:
+            raise ValueError("truncated entropy-coded data") from e
+
+    return _finish_decode(comps, comp_coefs, qtables, h, w, hmax, vmax, mcux, mcuy)
+
+
+class _BitList:
+    """Per-scan (value, length) accumulator; packs/stuffs once at scan end."""
+
+    def __init__(self):
+        self.vals: list[int] = []
+        self.lens: list[int] = []
+
+    def emit(self, v: int, n: int) -> None:
+        if n:
+            self.vals.append(v & ((1 << n) - 1))
+            self.lens.append(n)
+
+    def emit_sym(self, cls: str, table: int, sym: int) -> None:
+        co, si = _ENC_TABLES[(cls, table)]
+        self.emit(int(co[sym]), int(si[sym]))
+
+    def tobytes(self) -> bytes:
+        return _pack_bits(
+            np.asarray(self.vals, np.uint64), np.asarray(self.lens, np.int64)
+        )
+
+
+def jpeg_encode_progressive(pixels: np.ndarray, quality: int = 90,
+                            subsampling: tuple[int, int] = (1, 1),
+                            script: list | None = None) -> bytes:
+    """(h, w, 3) uint8 RGB → progressive (SOF2) JFIF bytes.
+
+    Emits the classic 10-scan successive-approximation script (the libjpeg
+    default shape): interleaved DC first at Al=1 + DC refinement, per-component
+    AC band scans with EOB-run coding, and AC refinement scans down to Al=0 —
+    so a conforming decoder reconstructs EXACTLY the same quantized
+    coefficients as ``jpeg_encode`` at the same quality, and our own decoder's
+    progressive path is pinned pixel-identical to the baseline path. Mirrors
+    T.81 G.1.2 (the jcphuff-style correction-bit formulation)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("jpeg_encode_progressive expects (h, w, 3) uint8")
+    sh, sv = subsampling
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise ValueError(f"unsupported subsampling {subsampling}")
+    h, w = pixels.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"unsupported dimensions {w}x{h}")
+    qy, qc = quality_tables(quality)
+
+    rgb = pixels.astype(np.float32)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    ph = -(-h // (8 * sv)) * 8 * sv
+    pw = -(-w // (8 * sh)) * 8 * sh
+
+    def _pad(p):
+        return (np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+                if (ph, pw) != (h, w) else p)
+
+    y, cb, cr = _pad(y), _pad(cb), _pad(cr)
+    if (sh, sv) != (1, 1):
+        cb = cb.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+        cr = cr.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+
+    # per-component zigzag coefficient grids over the PADDED (MCU-multiple) grid
+    czz: list[np.ndarray] = []
+    for plane, qt in ((y, qy), (cb, qc), (cr, qc)):
+        blocks = _to_blocks(plane - 128.0)
+        coefs = np.einsum("ij,bjk,lk->bil", DCT_M, blocks, DCT_M, optimize=True)
+        q = np.round(coefs.reshape(-1, 64) / qt.astype(np.float32)).astype(np.int32)
+        czz.append(q[:, ZIG])
+    samp = [(sh, sv), (1, 1), (1, 1)]
+    dctab = [0, 1, 1]
+    actab = [0, 0, 0]  # all AC scans share the progressive AC table (id 0)
+    mcux, mcuy = pw // (8 * sh), ph // (8 * sv)
+    hmax, vmax = sh, sv
+    # non-interleaved (AC-scan) grid dims per component: ceil(comp_dim / 8) —
+    # may be NARROWER than the padded grid when the luma dimension is an odd
+    # number of blocks (T.81 A.2.2)
+    nbw = [(-(-(w * hi) // hmax) + 7) // 8 for hi, _ in samp]
+    nbh = [(-(-(h * vi) // vmax) + 7) // 8 for _, vi in samp]
+
+    def dc_first(al: int) -> bytes:
+        bl = _BitList()
+        pred = [0, 0, 0]
+        layout = [(c, by, bx) for c, (hi, vi) in enumerate(samp)
+                  for by in range(vi) for bx in range(hi)]
+        for u in range(mcux * mcuy):
+            my, mx = u // mcux, u % mcux
+            for c, by, bx in layout:
+                hi, vi = samp[c]
+                v = int(czz[c][(my * vi + by) * (mcux * hi) + mx * hi + bx, 0]) >> al
+                diff = v - pred[c]
+                pred[c] = v
+                s = int(_size_of(np.array([diff]))[0])
+                bl.emit_sym("dc", dctab[c], s)
+                if s:
+                    bl.emit(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        return bl.tobytes()
+
+    def dc_refine(al: int) -> bytes:
+        bl = _BitList()
+        layout = [(c, by, bx) for c, (hi, vi) in enumerate(samp)
+                  for by in range(vi) for bx in range(hi)]
+        for u in range(mcux * mcuy):
+            my, mx = u // mcux, u % mcux
+            for c, by, bx in layout:
+                hi, vi = samp[c]
+                v = int(czz[c][(my * vi + by) * (mcux * hi) + mx * hi + bx, 0])
+                bl.emit((v >> al) & 1, 1)
+        return bl.tobytes()
+
+    def ac_first(c: int, ss: int, se: int, al: int) -> bytes:
+        bl = _BitList()
+        ta = actab[c]
+        hi, _ = samp[c]
+        grid_w = mcux * hi
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                bl.emit_sym("acp", 0, nb << 4)
+                bl.emit(eobrun - (1 << nb), nb)
+                eobrun = 0
+
+        for u in range(nbw[c] * nbh[c]):
+            by, bx = u // nbw[c], u % nbw[c]
+            row = czz[c][by * grid_w + bx]
+            run = 0
+            any_nz = False
+            for k in range(ss, se + 1):
+                t = int(row[k])  # czz rows are already zigzag-ordered
+                mag = (t >> al) if t >= 0 else ((-t) >> al)
+                if mag == 0:
+                    run += 1
+                    continue
+                if not any_nz:
+                    flush()
+                    any_nz = True
+                while run > 15:
+                    bl.emit_sym("acp", 0, 0xF0)
+                    run -= 16
+                s = mag.bit_length()
+                bl.emit_sym("acp", 0, (run << 4) | s)
+                t2 = mag if t >= 0 else ~mag
+                bl.emit(t2 & ((1 << s) - 1), s)
+                run = 0
+            if run > 0 or not any_nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+        flush()
+        return bl.tobytes()
+
+    def ac_refine(c: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        bl = _BitList()
+        ta = actab[c]
+        hi, _ = samp[c]
+        grid_w = mcux * hi
+        eobrun = 0
+        be: list[int] = []  # correction bits buffered across an EOB run
+
+        def flush():
+            nonlocal eobrun, be
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                bl.emit_sym("acp", 0, nb << 4)
+                bl.emit(eobrun - (1 << nb), nb)
+                for bit in be:
+                    bl.emit(bit, 1)
+                be = []
+                eobrun = 0
+
+        for u in range(nbw[c] * nbh[c]):
+            by, bx = u // nbw[c], u % nbw[c]
+            row = czz[c][by * grid_w + bx]
+            mags = []
+            signs = []
+            eobpos = -1
+            for k in range(ss, se + 1):
+                t = int(row[k])  # czz rows are already zigzag-ordered
+                mag = (t >> al) if t >= 0 else ((-t) >> al)
+                mags.append(mag)
+                signs.append(t >= 0)
+                if mag == 1:
+                    eobpos = k
+            run = 0
+            br: list[int] = []  # correction bits since the last emitted symbol
+            for k in range(ss, se + 1):
+                mag = mags[k - ss]
+                if mag == 0:
+                    run += 1
+                    continue
+                if mag > 1:
+                    br.append(mag & 1)
+                    continue
+                # newly-significant coefficient (mag == 1)
+                flush()
+                while run > 15 and k <= eobpos:
+                    bl.emit_sym("acp", 0, 0xF0)
+                    run -= 16
+                    for bit in br:
+                        bl.emit(bit, 1)
+                    br = []
+                bl.emit_sym("acp", 0, (run << 4) | 1)
+                bl.emit(1 if signs[k - ss] else 0, 1)
+                for bit in br:
+                    bl.emit(bit, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF or len(be) > 900:
+                    flush()
+        flush()
+        return bl.tobytes()
+
+    # -- headers ------------------------------------------------------------
+    parts = [b"\xff\xd8"]
+    parts.append(_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
+    parts.append(_seg(0xFFDB, bytes([0x00]) + bytes(qy[ZIG].astype(np.uint8))))
+    parts.append(_seg(0xFFDB, bytes([0x01]) + bytes(qc[ZIG].astype(np.uint8))))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, (hi, vi), tq in ((1, samp[0], 0), (2, samp[1], 1), (3, samp[2], 1)):
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    parts.append(_seg(0xFFC2, sof))
+    for tc_th, bits, vals in (
+        (0x00, DC_LUM_BITS, DC_LUM_VALS), (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (0x10, PROG_AC_BITS, PROG_AC_VALS),
+    ):
+        parts.append(_seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals)))
+
+    def sos(scan_comps: list[int], ss: int, se: int, ah: int, al: int,
+            payload: bytes) -> None:
+        hdr = bytes([len(scan_comps)])
+        for c in scan_comps:
+            hdr += bytes([c + 1, (dctab[c] << 4) | actab[c]])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        parts.append(_seg(0xFFDA, hdr))
+        parts.append(payload)
+
+    # the classic 10-scan script (libjpeg's default shape); tests can pass a
+    # reduced script to pin each scan type in isolation
+    if script is None:
+        script = [
+            ("dc", [0, 1, 2], 0, 1),
+            ("ac", 0, 1, 5, 0, 2),
+            ("ac", 2, 1, 63, 0, 1),
+            ("ac", 1, 1, 63, 0, 1),
+            ("ac", 0, 6, 63, 0, 2),
+            ("ac", 0, 1, 63, 2, 1),
+            ("dc", [0, 1, 2], 1, 0),
+            ("ac", 2, 1, 63, 1, 0),
+            ("ac", 1, 1, 63, 1, 0),
+            ("ac", 0, 1, 63, 1, 0),
+        ]
+    for entry in script:
+        if entry[0] == "dc":
+            _, cs, ah, al = entry
+            sos(cs, 0, 0, ah, al, dc_first(al) if ah == 0 else dc_refine(al))
+        else:
+            _, c, ss_, se_, ah, al = entry
+            sos([c], ss_, se_, ah, al,
+                ac_first(c, ss_, se_, al) if ah == 0
+                else ac_refine(c, ss_, se_, ah, al))
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)

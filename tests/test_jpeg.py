@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 from augdiff_pipeline_ray.functions import image as IMG
+from augdiff_pipeline_ray.functions import jpeg as J
 from augdiff_pipeline_ray.functions.jpeg import (
     DCT_M,
     ZIG,
@@ -230,3 +231,58 @@ def test_subsampled_constant_chroma_matches_444_luma():
     d444 = jpeg_decode(jpeg_encode(img, 95))
     d420 = jpeg_decode(jpeg_encode(img, 95, subsampling=(2, 2)))
     assert np.abs(d444.astype(int) - d420.astype(int)).max() <= 2
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — VERDICT r4 #6
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_pixel_parity_with_baseline():
+    """The 10-scan successive-approximation script must reconstruct EXACTLY the
+    quantized coefficients of the sequential encoder → identical pixels."""
+    for i, (wd, ht, sub, q) in enumerate([
+        (64, 48, (1, 1), 85), (128, 128, (1, 1), 95), (72, 40, (1, 1), 30),
+        (64, 64, (2, 2), 85), (120, 88, (2, 2), 60), (17, 23, (1, 1), 85),
+        (8, 8, (1, 1), 85), (24, 24, (2, 2), 90),
+    ]):
+        px = IMG.synth_pixels(f"img-{i:08d}", wd, ht)
+        base = J.jpeg_decode(J.jpeg_encode(px, q, subsampling=sub))
+        prog = J.jpeg_decode(J.jpeg_encode_progressive(px, q, subsampling=sub))
+        assert np.array_equal(base, prog), (wd, ht, sub, q)
+
+
+def test_progressive_scan_types_in_isolation():
+    """Each scan shape pinned separately: plain spectral selection, DC
+    successive approximation, AC successive approximation, band splits."""
+    px = IMG.synth_pixels("img-00000042", 64, 48)
+    base = J.jpeg_decode(J.jpeg_encode(px, 85))
+    scripts = {
+        "spectral_only": [("dc", [0, 1, 2], 0, 0)]
+        + [("ac", c, 1, 63, 0, 0) for c in (0, 1, 2)],
+        "dc_refine": [("dc", [0, 1, 2], 0, 1), ("dc", [0, 1, 2], 1, 0)]
+        + [("ac", c, 1, 63, 0, 0) for c in (0, 1, 2)],
+        "ac_refine": [("dc", [0, 1, 2], 0, 0)]
+        + [("ac", c, 1, 63, 0, 1) for c in (0, 1, 2)]
+        + [("ac", c, 1, 63, 1, 0) for c in (0, 1, 2)],
+        "band_split": [("dc", [0, 1, 2], 0, 0), ("ac", 0, 1, 5, 0, 0),
+                       ("ac", 0, 6, 63, 0, 0), ("ac", 1, 1, 63, 0, 0),
+                       ("ac", 2, 1, 63, 0, 0)],
+        "two_level_aa": [("dc", [0, 1, 2], 0, 0),
+                         ("ac", 0, 1, 63, 0, 2), ("ac", 0, 1, 63, 2, 1),
+                         ("ac", 0, 1, 63, 1, 0)]
+        + [("ac", c, 1, 63, 0, 0) for c in (1, 2)],
+    }
+    for name, script in scripts.items():
+        prog = J.jpeg_decode(J.jpeg_encode_progressive(px, 85, script=script))
+        assert np.array_equal(base, prog), name
+
+
+def test_progressive_rejects_remain_for_exotic_sofs():
+    """Lossless/arithmetic SOFs still raise — only SOF2 gained a path."""
+    data = bytearray(J.jpeg_encode_progressive(
+        IMG.synth_pixels("img-00000001", 16, 16), 85))
+    i = bytes(data).find(b"\xff\xc2")
+    data[i + 1] = 0xC3  # SOF3 (lossless)
+    with pytest.raises(ValueError):
+        J.jpeg_decode(bytes(data))
