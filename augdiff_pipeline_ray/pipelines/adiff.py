@@ -967,11 +967,13 @@ class AdiffJob:
                     n_tiles = 1 << 30
             except Exception:
                 n_tiles = 1 << 30
+            env = os.environ.get("AUGDIFF_KNN_POOL", "")
             self._tiles = TilePool(
                 str(tiles_path),
                 str(self.out / "overlay_bank.parquet"),
-                num_shards=max(2, min(pool_size(frac=1.0, cap=48),
-                                      n_tiles // 8_000 + 1)),
+                num_shards=(int(env) if env else
+                            max(2, min(pool_size(frac=1.0, cap=48),
+                                       n_tiles // 8_000 + 1))),
             )
         return self._tiles
 
