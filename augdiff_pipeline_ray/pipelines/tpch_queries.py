@@ -1081,6 +1081,10 @@ def q_cosine_topk(sf_dir: str):
         batch_size=256,
         concurrency=2,
         num_cpus=1,
+        # honest restart policy: ctor specs live in the object store, so a
+        # restarted MapWorker can't replay (ray#53727) — the query re-runs whole
+        max_restarts=0,
+        max_task_retries=0,
     )
     parts = pa.concat_tables(
         [b for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")],
@@ -2360,6 +2364,10 @@ def q_ivf_ann(sf_dir: str):
         batch_size=256,
         concurrency=2,
         num_cpus=1,
+        # honest restart policy: ctor specs live in the object store, so a
+        # restarted MapWorker can't replay (ray#53727) — the query re-runs whole
+        max_restarts=0,
+        max_task_retries=0,
     )
     ivf = SIM.merge_topk(
         pa.concat_tables(
@@ -2375,6 +2383,10 @@ def q_ivf_ann(sf_dir: str):
         batch_size=256,
         concurrency=2,
         num_cpus=1,
+        # honest restart policy: ctor specs live in the object store, so a
+        # restarted MapWorker can't replay (ray#53727) — the query re-runs whole
+        max_restarts=0,
+        max_task_retries=0,
     )
     brute = SIM.merge_topk(
         pa.concat_tables(
@@ -3612,16 +3624,52 @@ def q_mode_per_user(sf_dir: str):
 # -- weighted sample over a join (deterministic race, rows-only) -----------------------
 
 
-@query("weighted_sample_join")
+@query(
+    "weighted_sample_join",
+    """
+    WITH s0 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             (CAST(o_orderkey AS HUGEINT) + 11400714819323198485)
+               % 18446744073709551616 AS z0
+      FROM orders),
+    s1 AS (SELECT *, xor(z0, z0 // 1073741824) AS a1 FROM s0),
+    s2 AS (SELECT *, (
+             (a1 % 4294967296) * 13787848793156543929
+             + (((a1 // 4294967296) * 13787848793156543929) % 4294967296)
+               * 4294967296
+           ) % 18446744073709551616 AS z1 FROM s1),
+    s3 AS (SELECT *, xor(z1, z1 // 134217728) AS a2 FROM s2),
+    s4 AS (SELECT *, (
+             (a2 % 4294967296) * 10723151780598845931
+             + (((a2 // 4294967296) * 10723151780598845931) % 4294967296)
+               * 4294967296
+           ) % 18446744073709551616 AS z2 FROM s3),
+    s5 AS (SELECT *, xor(z2, z2 // 2147483648) AS h FROM s4),
+    r AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                 ln((CAST(h AS DOUBLE) + 0.5) / 18446744073709551616.0)
+                   / o_totalprice AS race
+          FROM s5),
+    win AS (SELECT o_orderkey, o_custkey, o_totalprice FROM r
+            ORDER BY race DESC, o_orderkey LIMIT 100)
+    SELECT w.o_orderkey, w.o_custkey, w.o_totalprice, c.c_mktsegment
+    FROM win w JOIN customer c ON w.o_custkey = c.c_custkey
+    """,
+)
 def q_weighted_sample_join(sf_dir: str):
     """Weighted k-sample (k=100, weight = o_totalprice) over the orders ⨝ customer
     join, computed STREAMING: the join is the broadcast-dim shape (customer segment
     map via ``ray.put``), each batch folds to its k best deterministic race rows
     (functions/sketch.py::weighted_topk_* — Efraimidis–Spirakis keys drawn from a
     hash, so the sample is identical at any partitioning/cluster width), and the
-    driver merges k-sized partials. Nothing row-scale leaves the workers. No SQL
-    oracle (the hash race isn't SQL-expressible); pytest pins distributed == local
-    exact equality and the merge property."""
+    driver merges k-sized partials. Nothing row-scale leaves the workers.
+
+    ORACLED (r5): the race hash IS SQL-expressible — splitmix64 replayed in
+    DuckDB as mod-2^64 HUGEINT arithmetic with each multiply split into 32-bit
+    halves (a·M mod 2^64 = (a_lo·M + ((a_hi·M mod 2^32)·2^32)) mod 2^64, every
+    intermediate ≤ 2^96, inside HUGEINT), xors via xor(), shifts via integer
+    divide; the float tail (uint64→double + 0.5, /2^64, ln, /w) is the same
+    IEEE chain the green ``weighted_sample`` oracle already pins. The pytest
+    distributed==local equality stays."""
     from ..functions import sketch as SK
 
     K_SAMPLE = 100
@@ -4259,7 +4307,20 @@ def q_full_outer_spenders(sf_dir: str):
     )
 
 
-@query("pq_ann")
+@query(
+    "pq_ann",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5)
+    SELECT query_id, vec_id, rank, TRUE AS self_found, TRUE AS recall_ok FROM (
+      SELECT q.query_id, e.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) DESC,
+                        e.vec_id) - 1 AS rank
+      FROM embeddings e CROSS JOIN q)
+    WHERE rank < 10
+    """,
+)
 def q_pq_ann(sf_dir: str):
     """IVF-PQ-style ANN, the memory-scale path past ``ivf_ann``: at 10^12 vectors the
     float corpus cannot be held, so the table is compressed to m-byte PQ codes (32x
@@ -4268,15 +4329,24 @@ def q_pq_ann(sf_dir: str):
     ``ray.put``); search runs over the CODES stream only (uint8 table-gathers, no
     float math per row), emitting per-batch partial shortlists; the exact-cosine
     refine fetches ONLY the shortlist rows' true vectors with a distributed filtered
-    scan and re-ranks driver-side. Rows-only (k-means/PQ aren't SQL); recall vs
-    brute force and ADC-approximation invariants are pinned in tests/test_pq_ann.py."""
+    scan and re-ranks driver-side.
+
+    Certificate oracle (r5, the ivf_ann move): k-means/PQ aren't SQL, so the emitted
+    rows are the EXACT brute cosine top-10 per query plus two certificate bits the
+    SQL side emits as TRUE — ``self_found`` (the PQ pipeline's exact rerank places
+    the query's own vector at rank 0) and ``recall_ok`` (PQ recall@10 vs brute
+    ≥ 0.8, the shortlist-50 bound tests/test_pq_ann.py asserts). ADC-approximation
+    invariants stay pytest-pinned."""
     ds = SRC.read_parquet_clean(TP._p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    emb = pq.read_table(TP._p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qt = emb.filter(pc.less(emb["vec_id"], 5))
+    queries64 = SIM.embedding_matrix(qt["embedding"], np.float64)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     sample = ds.limit(4096).to_pandas()
     mat_s = np.stack([np.asarray(e, np.float32) for e in sample["embedding"]])
     books = SIM.pq_train(mat_s)
     m = books.shape[0]
-    queries = mat_s[:5]
-    qids = sample["vec_id"].to_numpy()[:5].astype(np.int64)
+    queries = queries64.astype(np.float32)
     books_ref = ray.put(books)
 
     def encode(t: pa.Table) -> pa.Table:
@@ -4294,6 +4364,10 @@ def q_pq_ann(sf_dir: str):
         batch_size=256,
         concurrency=2,
         num_cpus=1,
+        # honest restart policy: ctor specs live in the object store, so a
+        # restarted MapWorker can't replay (ray#53727) — the query re-runs whole
+        max_restarts=0,
+        max_task_retries=0,
     )
     parts = pa.concat_tables(
         [b for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")],
@@ -4327,10 +4401,39 @@ def q_pq_ann(sf_dir: str):
         rows_q.extend([int(qid)] * len(order))
         rows_v.extend(cand[order].tolist())
         rows_r.extend(range(len(order)))
-    return pa.table(
-        {"query_id": pa.array(rows_q, pa.int64()), "vec_id": pa.array(rows_v, pa.int64()),
-         "rank": pa.array(rows_r, pa.int64())}
+    pq_out = pd.DataFrame({"query_id": rows_q, "vec_id": rows_v, "rank": rows_r})
+    # certificate: exact brute top-10 rows (the float-deterministic TopKSearcher
+    # ranking the cosine_topk oracle pins) + the PQ pipeline's quality bits
+    brute_parts = ds.map_batches(
+        SIM.TopKSearcher,
+        fn_constructor_args=(queries64, qids, 10),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+        # honest restart policy: ctor specs live in the object store, so a
+        # restarted MapWorker can't replay (ray#53727) — the query re-runs whole
+        max_restarts=0,
+        max_task_retries=0,
     )
+    brute = SIM.merge_topk(
+        pa.concat_tables(
+            [b for b in brute_parts.iter_batches(batch_size=None, batch_format="pyarrow")],
+            promote_options="default",
+        ),
+        k=10,
+    ).to_pandas()
+    got = {int(q): set(g["vec_id"].tolist()) for q, g in pq_out.groupby("query_id")}
+    want = {int(q): set(g["vec_id"].tolist()) for q, g in brute.groupby("query_id")}
+    top0 = {int(r.query_id): int(r.vec_id)
+            for r in pq_out[pq_out["rank"] == 0].itertuples()}
+    self_found = {q: top0.get(q) == q for q in want}
+    recalls = [len(got.get(q, set()) & w) / max(len(w), 1) for q, w in want.items()]
+    recall_ok = bool(len(recalls) and sum(recalls) / len(recalls) >= 0.8)
+    out = brute[["query_id", "vec_id", "rank"]].astype(np.int64)
+    out["self_found"] = out["query_id"].map(self_found).astype(bool)
+    out["recall_ok"] = recall_ok
+    return out
 
 
 @query(
