@@ -404,3 +404,25 @@ def test_configured_decoder_class_restart_contract(ray_session):
     ray.kill(a, no_restart=False)
     replay = ray.get(a.__call__.remote(batch))
     assert _eq(first, replay) and _eq(first, want)
+
+
+def test_knn_quad_random_worlds_pool_kernel_exact():
+    """Randomized densities/cluster layouts: the quad round-0 kernel's
+    coverage-resolved answers must equal brute exactly, across density regimes
+    (sparse → the quad resolves little; dense → nearly everything)."""
+    for seed, n, spread in ((1, 2000, 0.05), (2, 20000, 0.2), (3, 500, 2.0)):
+        rng = np.random.default_rng(seed)
+        lat = rng.uniform(-60, 60, n) * spread / 2.0
+        lon = rng.uniform(-170, 170, n) * spread / 2.0
+        ids = np.array([f"img-{i:06d}" for i in rng.permutation(n)])
+        cells = C.cell_of(lat, lon)
+        q = 300
+        qi = rng.integers(0, n, q)
+        qlat = lat[qi] + rng.normal(0, 1e-3, q)
+        qlon = lon[qi] + rng.normal(0, 1e-3, q)
+        qids_, qd = T.knn_quad_arrays(qlat, qlon, cells, lat, lon, ids, k=3)
+        cov = T.quad_coverage_m(qlat, qlon)
+        resolved = np.isfinite(qd[:, -1]) & (qd[:, -1] <= cov)
+        b_ids, b_d = T._knn_brute_arrays(qlat, qlon, lat, lon, ids, 3)
+        assert np.array_equal(qids_[resolved], b_ids[resolved]), seed
+        assert np.allclose(qd[resolved], b_d[resolved]), seed

@@ -286,3 +286,16 @@ def test_progressive_rejects_remain_for_exotic_sofs():
     data[i + 1] = 0xC3  # SOF3 (lossless)
     with pytest.raises(ValueError):
         J.jpeg_decode(bytes(data))
+
+
+def test_progressive_noise_images_parity():
+    """Uniform noise maximizes coefficient magnitudes and code-size spread —
+    the adversarial case for the EOB-run and correction-bit paths."""
+    rng = np.random.default_rng(0)
+    for wh in ((64, 64), (40, 56), (16, 8)):
+        px = rng.integers(0, 256, (wh[1], wh[0], 3), np.uint8)
+        for q in (30, 95):
+            for sub in ((1, 1), (2, 2)):
+                b = J.jpeg_decode(J.jpeg_encode(px, q, subsampling=sub))
+                p = J.jpeg_decode(J.jpeg_encode_progressive(px, q, subsampling=sub))
+                assert np.array_equal(b, p), (wh, q, sub)
