@@ -3585,20 +3585,20 @@ def q_covisitation_topk(sf_dir: str):
                          "y": t["y"].take(pa.array(keep)),
                          "n": t["n"].take(pa.array(keep))})
 
-    def final(grp: pd.DataFrame) -> pd.DataFrame:
-        y = grp["y"].to_numpy(np.int64)
-        n = grp["n"].to_numpy(np.int64)
+    def final(grp: pa.Table) -> pa.Table:
+        y = grp["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = grp["n"].to_numpy(zero_copy_only=False).astype(np.int64)
         o = np.lexsort((y, -n))[:_COVIS_K]
-        return pd.DataFrame(
-            {"partkey": np.full(len(o), int(grp["x"].iloc[0]), np.int64),
-             "partner": y[o], "n": n[o],
-             "rk": np.arange(1, len(o) + 1, dtype=np.int64)}
+        return pa.table(
+            {"partkey": pa.array(np.full(len(o), grp["x"][0].as_py(), np.int64)),
+             "partner": pa.array(y[o]), "n": pa.array(n[o]),
+             "rk": pa.array(np.arange(1, len(o) + 1, dtype=np.int64))}
         )
 
     return (
         counts.map_batches(candidates, batch_format="pyarrow")
         .groupby("x")
-        .map_groups(final, batch_format="pandas")
+        .map_groups(final, batch_format="pyarrow")
     )
 
 
