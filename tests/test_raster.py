@@ -96,3 +96,60 @@ def test_zonal_stats_matches_local_decode(ray_session):
             np.int64
         )
         assert (got == row).all()
+
+
+def test_geoms_tile_stats_equals_per_geometry_masks():
+    """The r5 vectorized overlay rasterizer must reproduce the per-geometry
+    mask loop EXACTLY — changed_px (per-geometry pixel counts summed, overlap
+    within one geometry counted once) and the union mask — across random mixes
+    of points/lines/polys/multis/collections, NaN rows, and off-tile geometry."""
+    import numpy as np
+
+    from augdiff_pipeline_ray.stages import tiles as T
+
+    rng = np.random.default_rng(7)
+    h, w = 256, 128
+    bbox = (10.0, 10.01, 20.0, 20.005)
+
+    def rand_coords(n, spread=1.5):
+        return np.column_stack([
+            20.0 + rng.uniform(-0.005 * spread, 0.01 * spread, n),
+            10.0 + rng.uniform(-0.01 * spread, 0.02 * spread, n)])
+
+    def rand_geom():
+        k = rng.integers(0, 6)
+        if k == 0:
+            return ("Point", rand_coords(1)[0])
+        if k == 1:
+            c = rand_coords(rng.integers(2, 8))
+            if rng.random() < 0.2:
+                c[rng.integers(0, len(c))] = np.nan
+            return ("LineString", c)
+        if k == 2:
+            return ("MultiLineString",
+                    [rand_coords(rng.integers(2, 5)) for _ in range(rng.integers(1, 4))])
+        if k == 3:
+            c = rand_coords(rng.integers(3, 7))
+            return ("Polygon", [np.vstack([c, c[:1]])])
+        if k == 4:
+            polys = []
+            for _ in range(rng.integers(1, 3)):
+                c = rand_coords(rng.integers(3, 6))
+                polys.append([np.vstack([c, c[:1]])])
+            return ("MultiPolygon", polys)
+        return ("GeometryCollection", [rand_geom() for _ in range(rng.integers(1, 3))])
+
+    for trial in range(40):
+        glist = [(i, rand_geom()) for i in range(rng.integers(1, 30))]
+        changed = 0
+        union = None
+        for gi, g in glist:
+            m = T.geom_tile_mask(h, w, bbox, g)
+            c = int(m.sum())
+            if c:
+                changed += c
+                union = m if union is None else (union | m)
+        uref = union if union is not None else np.zeros((h, w), bool)
+        c2, u2 = T.geoms_tile_stats(h, w, bbox, glist)
+        assert c2 == changed, trial
+        assert np.array_equal(u2, uref), trial

@@ -338,3 +338,31 @@ def test_jaccard_dedup_corpus_invariants(ray_session):
     assert out["cluster_size"].sum() == n
     assert len(out) < n  # real dedup happened on this corpus
     assert out["doc_id"].is_monotonic_increasing
+
+
+def test_fingerprint128_lanes_deterministic_and_independent():
+    """Two-lane content fingerprint (the minhash verify hash): deterministic,
+    equal texts agree on both lanes, lane 1 == the documented FNV-1a/64, and
+    the lanes disagree on unequal inputs (independence smoke)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from augdiff_pipeline_ray.functions import text as TXT
+
+    col = pa.array(["", "a", "a", "ab", "ba", "hello world", "hello worle"])
+    h1a, h2a = TXT.fingerprint128_arrow(col)
+    h1b, h2b = TXT.fingerprint128_arrow(col)
+    assert np.array_equal(h1a, h1b) and np.array_equal(h2a, h2b)
+    # lane 1 is exactly fingerprint64_arrow (shared recurrence)
+    assert np.array_equal(h1a, TXT.fingerprint64_arrow(col))
+    # equal texts agree on both lanes
+    assert h1a[1] == h1a[2] and h2a[1] == h2a[2]
+    # distinct texts: all four non-empty distinct strings pairwise distinct in BOTH lanes
+    for i, j in ((1, 3), (3, 4), (5, 6), (1, 5)):
+        assert h1a[i] != h1a[j]
+        assert h2a[i] != h2a[j]
+    # reference scalar replay of lane 2's recurrence on one value
+    h = np.uint64(0x9E3779B97F4A7C15)
+    for b in b"ab":
+        h = (h ^ (np.uint64(b) ^ np.uint64(0xA5))) * np.uint64(0xDA942042E4DD58B5)
+    assert np.int64(h.view(np.int64)) == h2a[3]
