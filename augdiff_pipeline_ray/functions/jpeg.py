@@ -899,6 +899,8 @@ def _jpeg_decode_progressive(data: bytes) -> np.ndarray:
                     for c, bidx, td in unit_blocks(u):
                         row = comp_coefs[c][bidx]
                         if ah == 0:
+                            if (0, td) not in scan_luts:
+                                raise ValueError(f"missing DC Huffman table {td}")
                             s = read_huff(scan_luts[(0, td)])
                             if s:
                                 v = receive(s)
@@ -915,8 +917,12 @@ def _jpeg_decode_progressive(data: bytes) -> np.ndarray:
                 if len(sc) != 1:
                     raise ValueError("interleaved AC scan (T.81 B.2.3 violation)")
                 cid, _, ta = sc[0]
+                if cid not in cid_to_idx:
+                    raise ValueError(f"scan references unknown component {cid}")
                 c = cid_to_idx[cid]
                 _, hi, vi, _ = comps[c]
+                if (1, ta) not in scan_luts:
+                    raise ValueError(f"missing AC Huffman table {ta}")
                 lut = scan_luts[(1, ta)]
                 bw = (-(-(w * hi) // hmax) + 7) // 8
                 bh = (-(-(h * vi) // vmax) + 7) // 8

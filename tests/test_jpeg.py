@@ -299,3 +299,28 @@ def test_progressive_noise_images_parity():
                 b = J.jpeg_decode(J.jpeg_encode(px, q, subsampling=sub))
                 p = J.jpeg_decode(J.jpeg_encode_progressive(px, q, subsampling=sub))
                 assert np.array_equal(b, p), (wh, q, sub)
+
+
+def test_progressive_malformed_streams_raise_cleanly():
+    """Truncation anywhere and missing Huffman tables must raise ValueError —
+    never IndexError/KeyError — so foreign-corpus ingest fails typed."""
+    import struct
+
+    px = IMG.synth_pixels("img-00000001", 48, 32)
+    data = J.jpeg_encode_progressive(px, 85)
+    rng = np.random.default_rng(0)
+    for cut in rng.integers(2, len(data), 40).tolist():
+        with pytest.raises(ValueError):
+            J.jpeg_decode(data[:cut])
+    # strip the progressive AC DHT (0xFFC4 id 0x10) → clean missing-table error
+    pos, out = 2, bytearray(data[:2])
+    while pos < len(data):
+        if data[pos] == 0xFF and data[pos + 1] == 0xC4:
+            ln = struct.unpack_from(">H", data, pos + 2)[0]
+            if data[pos + 4] == 0x10:
+                pos += 2 + ln
+                continue
+        out.append(data[pos])
+        pos += 1
+    with pytest.raises(ValueError, match="Huffman table"):
+        J.jpeg_decode(bytes(out))
