@@ -426,3 +426,45 @@ def test_knn_quad_random_worlds_pool_kernel_exact():
         b_ids, b_d = T._knn_brute_arrays(qlat, qlon, lat, lon, ids, 3)
         assert np.array_equal(qids_[resolved], b_ids[resolved]), seed
         assert np.allclose(qd[resolved], b_d[resolved]), seed
+
+
+def test_tile_pool_dense_quad_round_exact(tmp_path):
+    """DENSE world through the full pool (scatter → quad round 0 → ring rounds):
+    at ~thousands of tiles in a small box, nearly every query resolves in the
+    quad round, so this pins the round-0 merge + coverage test + shard routing
+    against global brute — the sparse test above exercises the opposite regime."""
+    import pyarrow.parquet as pq
+
+    from augdiff_pipeline_ray.state.tile_pool import TilePool
+
+    rng = np.random.default_rng(19)
+
+    def phash_of(lat, lon):
+        lo = np.round((np.asarray(lon) + 180.0) / 360.0 * 65536.0).astype(np.int64)
+        la = np.round((np.asarray(lat) + 90.0) / 180.0 * 32768.0).astype(np.int64)
+        return (la << 16) | (lo & 0xFFFF)
+
+    n = 4000
+    ph = phash_of(rng.uniform(9.8, 10.4, n), rng.uniform(19.8, 20.6, n))
+    lat, lon = georef.centroid(ph)
+    ids = np.array([f"img-{i:05d}" for i in rng.permutation(n)])
+    tbl = pa.table(
+        {"image_id": pa.array(ids), "cell": pa.array(georef.cell_of_image(ph)),
+         "phash": pa.array(ph)}
+    )
+    path = str(tmp_path / "tiles_decoded.parquet")
+    pq.write_table(tbl, path)
+
+    q = 200
+    qi = rng.integers(0, n, q)
+    qlat = lat[qi] + rng.normal(0, 5e-4, q)
+    qlon = lon[qi] + rng.normal(0, 5e-4, q)
+    pool = TilePool(path, None, num_shards=4)
+    try:
+        pool.warm()
+        got_ids, got_d = pool.knn(qlat, qlon, 3)
+    finally:
+        pool.close()
+    want_ids, want_d = T._knn_brute_arrays(qlat, qlon, lat, lon, ids, 3)
+    assert np.array_equal(got_ids.astype("U32"), want_ids.astype("U32"))
+    assert np.allclose(got_d, want_d)
