@@ -1329,7 +1329,17 @@ class AdiffJob:
             )
             actor_cls = ray.remote(
                 num_cpus=0, max_restarts=2, max_task_retries=2)(baked)
-            self._aug_actors = [actor_cls.remote() for _ in range(3)]
+            from .indexer import pool_size
+
+            env = os.environ.get("AUGDIFF_AUG_POOL", "")
+            # width-scaled (~CPU/5, floor 3): at 2× the canonical churn the
+            # 3-actor pool became the stream's throughput cap (augment latency
+            # doubles with update rows while its pool bounded concurrency at
+            # 3 — 13.5 → 11.5 s at 32 CPUs with 6 actors, parity at the
+            # canonical churn and at 8 CPUs). Each actor carries a snapshot
+            # hot-cache, so the pool doesn't scale to full width.
+            n_aug = int(env) if env else max(3, pool_size(frac=0.2, cap=8))
+            self._aug_actors = [actor_cls.remote() for _ in range(n_aug)]
         return self._aug_actors
 
     def _render_partition_scatter(
